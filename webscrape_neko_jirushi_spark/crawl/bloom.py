@@ -1,0 +1,194 @@
+"""Sharded Bloom filter for the URL-seen set (SURVEY.md §2.8 F9, J1).
+
+The reference holds every seen URL in an in-memory Python set
+(comprehensive_scraper.py:68-79, smart_cat_discovery.py:41-43) — RAM-
+bound around 10^7 entries. At the 10^10-URL design point the seen set
+is a table; membership is a two-stage check:
+
+1. **Bloom pre-filter** (this module): shards of a bitset built with
+   ``applyInPandas`` over ``pmod(url_hash, n_shards)`` groups,
+   broadcast to executors, probed vectorized inside a pandas UDF.
+   ~1% FPR at 10 bits/key: 10^10 keys ≈ 12.5 GB total, but sharded
+   64x ≈ 195 MB/shard — each executor holds only the shards its
+   partitions probe (here: all, in local mode).
+2. **Exact anti-join** on the bloom-positive survivors — false
+   positives never drop a URL, so the seen-set stays EXACT (the
+   equality gate vs the oracle covers this path).
+
+Deletion-safe recrawl uses the cuckoo variant (``CuckooShards``):
+fingerprint eviction supports delete, same probe API.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _bit_positions(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """k derived bit positions per 64-bit key (double hashing:
+    h1 + i*h2, the standard Kirsch-Mitzenmacher construction)."""
+    h = hashes.astype(np.uint64)
+    h1 = h % np.uint64(n_bits)
+    h2 = (h >> np.uint64(33) | np.uint64(1)) % np.uint64(n_bits)
+    return (
+        h1[:, None] + np.arange(k, dtype=np.uint64)[None, :] * h2[:, None]
+    ) % np.uint64(n_bits)
+
+
+class BloomShards:
+    """n_shards independent bloom bitsets keyed by pmod(url_hash, n_shards)."""
+
+    def __init__(self, n_shards: int, n_bits_per_shard: int, k: int, bits: dict[int, np.ndarray]):
+        self.n_shards = n_shards
+        self.n_bits = n_bits_per_shard
+        self.k = k
+        self.bits = bits  # shard -> packed uint8 array
+
+    @classmethod
+    def build(
+        cls,
+        seen: DataFrame,
+        n_shards: int = 16,
+        expected_per_shard: int = 1_000_000,
+        fpr: float = 0.01,
+    ) -> "BloomShards":
+        """Distributed build: one bitset per shard via applyInPandas
+        (UDAF build phase), collected packed (n_bits/8 bytes each)."""
+        if n_shards & (n_shards - 1):
+            raise ValueError("n_shards must be a power of two (uint64 vs pmod parity)")
+        n_bits = max(1024, int(-expected_per_shard * math.log(fpr) / (math.log(2) ** 2)))
+        n_bits = 1 << (n_bits - 1).bit_length()  # round up to pow2
+        k = max(1, round(n_bits / expected_per_shard * math.log(2))) if expected_per_shard else 7
+        k = min(k, 16)
+
+        out_schema = T.StructType(
+            [
+                T.StructField("shard", T.IntegerType()),
+                T.StructField("bits", T.BinaryType()),
+            ]
+        )
+
+        def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros(n_bits // 8, dtype=np.uint8)
+            hashes = pdf["url_hash"].to_numpy()
+            if len(hashes):
+                pos = _bit_positions(hashes, n_bits, k).ravel()
+                np.bitwise_or.at(arr, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
+            return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [arr.tobytes()]})
+
+        rows = (
+            seen.select("url_hash", F.pmod("url_hash", F.lit(n_shards)).cast("int").alias("shard"))
+            .groupBy("shard")
+            .applyInPandas(_build_shard, schema=out_schema)
+            .collect()
+        )
+        bits = {r["shard"]: np.frombuffer(r["bits"], dtype=np.uint8) for r in rows}
+        return cls(n_shards, n_bits, k, bits)
+
+    def might_contain_np(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized probe (driver/executor side)."""
+        out = np.zeros(len(hashes), dtype=bool)
+        if not len(hashes):
+            return out
+        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+        for s in np.unique(shards):
+            arr = self.bits.get(int(s))
+            mask = shards == s
+            if arr is None:
+                continue  # empty shard -> definitely absent
+            pos = _bit_positions(hashes[mask], self.n_bits, self.k)
+            byte_idx = (pos >> 3).astype(np.int64)
+            bit = (1 << (pos & 7)).astype(np.uint8)
+            out[mask] = ((arr[byte_idx] & bit) != 0).all(axis=1)
+        return out
+
+    def prefilter(self, spark: SparkSession, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        """Adds ``bloom_maybe_seen``: False => definitely NOT seen
+        (skip the exact anti-join for these rows)."""
+        bc = spark.sparkContext.broadcast(self)
+
+        @F.pandas_udf(T.BooleanType())
+        def _probe(h: pd.Series) -> pd.Series:
+            return pd.Series(bc.value.might_contain_np(h.to_numpy()))
+
+        return df.withColumn("bloom_maybe_seen", _probe(F.col(hash_col)))
+
+
+class CuckooShards:
+    """Sharded cuckoo filter: like bloom, but supports delete (recrawl
+    after TTL expiry removes the URL so it becomes fetchable again).
+
+    2-choice bucketed fingerprint table; 4 slots/bucket, 16-bit
+    fingerprints -> ~0.02% FPR at 95% load.
+    """
+
+    SLOTS = 4
+
+    def __init__(self, n_shards: int, n_buckets: int, tables: dict[int, np.ndarray]):
+        self.n_shards = n_shards
+        self.n_buckets = n_buckets
+        self.tables = tables  # shard -> (n_buckets, SLOTS) uint16, 0 = empty
+
+    @classmethod
+    def empty(cls, n_shards: int = 4, n_buckets: int = 1 << 14) -> "CuckooShards":
+        return cls(n_shards, n_buckets, {})
+
+    def _fp_and_buckets(self, h: int) -> tuple[int, int, int]:
+        fp = (h >> 48) & 0xFFFF or 1
+        b1 = (h >> 16) % self.n_buckets
+        b2 = (b1 ^ (fp * 0x5BD1E995)) % self.n_buckets
+        return fp, b1, b2
+
+    def _table(self, shard: int) -> np.ndarray:
+        if shard not in self.tables:
+            self.tables[shard] = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
+        return self.tables[shard]
+
+    def insert(self, h: int, max_kicks: int = 200) -> bool:
+        h &= (1 << 64) - 1
+        shard = h % self.n_shards
+        t = self._table(shard)
+        fp, b1, b2 = self._fp_and_buckets(h)
+        for b in (b1, b2):
+            empt = np.where(t[b] == 0)[0]
+            if len(empt):
+                t[b, empt[0]] = fp
+                return True
+        # evict (deterministic slot choice keeps replays reproducible)
+        b = b1
+        for kick in range(max_kicks):
+            slot = kick % self.SLOTS
+            fp, t[b, slot] = t[b, slot], fp
+            b = (b ^ (fp * 0x5BD1E995)) % self.n_buckets
+            empt = np.where(t[b] == 0)[0]
+            if len(empt):
+                t[b, empt[0]] = fp
+                return True
+        return False  # table full — caller grows n_buckets
+
+    def contains(self, h: int) -> bool:
+        h &= (1 << 64) - 1
+        t = self.tables.get(h % self.n_shards)
+        if t is None:
+            return False
+        fp, b1, b2 = self._fp_and_buckets(h)
+        return bool((t[b1] == fp).any() or (t[b2] == fp).any())
+
+    def delete(self, h: int) -> bool:
+        h &= (1 << 64) - 1
+        t = self.tables.get(h % self.n_shards)
+        if t is None:
+            return False
+        fp, b1, b2 = self._fp_and_buckets(h)
+        for b in (b1, b2):
+            idx = np.where(t[b] == fp)[0]
+            if len(idx):
+                t[b, idx[0]] = 0
+                return True
+        return False

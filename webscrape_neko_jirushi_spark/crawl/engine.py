@@ -1,0 +1,352 @@
+"""The epoch-loop crawl engine (SURVEY.md §3.2 Spark re-expression).
+
+Each epoch is one batch DataFrame pipeline committed atomically:
+
+    frontier(pending)
+      -> bloom-prefiltered exact anti-join vs url_seen          (J1)
+      -> per-host budget select + token-bucket schedule          (T3, O3)
+      -> salted repartition fetch                                (S3/F3)
+      -> from_json listing parse | mapInPandas span extraction   (S2, F2)
+      -> discoveries: union + keep-min dedup + anti-join seen    (U1, J3)
+      -> single snapshot commit: documents/url_seen/fetch_log/
+         lineage appends + frontier replace                      (T2)
+
+The reference's analogue is the sequential loop at
+comprehensive_scraper.py:301-336 (page -> profiles -> images, progress
+saved per page); here the same traversal is a parallel wave per epoch
+with identical final seen-set and per-host order (verified against
+crawl/oracle.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions.urls import canonicalize_url, host_col, url_hash_col
+from ..operators.spans import extract_spans, parse_listing
+from .bloom import BloomShards
+from .politeness import select_budget
+from .snapshots import SnapshotStore
+
+# priority encoding: children of a page get parent_priority * FANOUT +
+# child_idx (idx < 4096); the NEXT listing page gets parent_priority + 1
+# so an 11k-page pagination chain stays flat instead of exponentiating.
+# Bounded to ~5 levels in a signed long — the test mirror's depth; at
+# 10^10 scale the order key is the composite (depth, epoch, priority)
+# columns, so the encoding only needs to be locally monotone.
+FANOUT = 4096
+SEEN_SHARDS = 64
+
+
+class MirrorFetcher:
+    """Deterministic fetch against the synthetic mirror: a left join on
+    URL (the scale-shape of a fetch stage — candidates shuffle to the
+    data, bodies never move twice). Unknown media-looking URLs resolve
+    to synthetic image responses, everything else 404
+    (fixtures.mirror.lookup_page semantics)."""
+
+    def __init__(self, pages: DataFrame):
+        self.pages = pages
+
+    def fetch(self, selected: DataFrame) -> DataFrame:
+        p = self.pages.select(
+            F.col("url").alias("p_url"),
+            F.col("kind").alias("p_kind"),
+            F.col("status_code").alias("p_status"),
+            F.col("content_type").alias("p_ct"),
+            F.col("body").alias("p_body"),
+        )
+        j = selected.join(p, selected.url == p.p_url, "left")
+        ext = F.lower(F.regexp_extract("url", r"\.([a-z0-9]+)$", 1))
+        is_image_url = ext.isin("jpg", "jpeg", "png", "webp", "gif")
+        ct_map = F.when(ext.isin("jpg", "jpeg"), "image/jpeg").otherwise(
+            F.concat(F.lit("image/"), ext)
+        )
+        return (
+            j.withColumn(
+                "kind",
+                F.coalesce(
+                    F.col("p_kind"), F.when(is_image_url, F.lit("image")).otherwise("missing")
+                ),
+            )
+            .withColumn(
+                "status_code",
+                F.coalesce(
+                    F.col("p_status"),
+                    F.when(is_image_url, F.lit(200)).otherwise(404),
+                ).cast("int"),
+            )
+            .withColumn(
+                "content_type",
+                F.coalesce(F.col("p_ct"), F.when(is_image_url, ct_map).otherwise("text/html")),
+            )
+            .withColumn("body", F.col("p_body"))
+            .drop("p_url", "p_kind", "p_status", "p_ct", "p_body")
+        )
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    selected: int
+    fetched_ok: int
+    failed: int
+    documents: int
+    discoveries: int
+    pending_after: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        fetcher,
+        host_budget: DataFrame,
+        base_url: str,
+        n_salts: int = 4,
+        fetch_images: bool = True,
+        bloom_fpr: float = 0.01,
+    ):
+        self.spark = spark
+        self.store = store
+        self.fetcher = fetcher
+        self.host_budget = host_budget
+        self.base_url = base_url
+        self.n_salts = n_salts
+        self.fetch_images = fetch_images
+        self.bloom_fpr = bloom_fpr
+
+    # -- state --------------------------------------------------------------
+    def frontier(self) -> DataFrame:
+        return self.store.read("frontier", schemas.FRONTIER)
+
+    def url_seen(self) -> DataFrame:
+        return self.store.read("url_seen", schemas.URL_SEEN)
+
+    def documents(self) -> DataFrame:
+        return self.store.read("documents", schemas.DOCUMENTS)
+
+    def fetch_log(self) -> DataFrame:
+        return self.store.read("fetch_log", schemas.FETCH_LOG)
+
+    def lineage(self) -> DataFrame:
+        return self.store.read("lineage", schemas.LINEAGE)
+
+    def seed(self, seed_urls: list[str]) -> None:
+        if self.store.version() > 0:
+            return  # resume: state already committed
+        rows = [(u, i + 1) for i, u in enumerate(seed_urls)]
+        df = self.spark.createDataFrame(rows, "raw_url string, priority long")
+        frontier = (
+            df.withColumn("url", canonicalize_url(F.col("raw_url")))
+            .withColumn("url_hash", url_hash_col(F.col("url")))
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("epoch", F.lit(0))
+            .withColumn("status", F.lit("pending"))
+            .withColumn("api_image_1", F.lit(None).cast("string"))
+            .select([f.name for f in schemas.FRONTIER.fields])
+        )
+        self.store.commit(0, replaces={"frontier": frontier})
+
+    # -- one epoch ------------------------------------------------------------
+    def run_epoch(self) -> EpochStats:
+        epoch = self.store.epoch() + 1
+        pending = self.frontier()
+        seen = self.url_seen()
+
+        # J1: exact anti-join with sharded-bloom pre-filter. Bloom-negative
+        # rows skip the join entirely; positives (incl. FPs) are re-checked
+        # exactly, so the seen set stays exact.
+        seen_count = seen.count()
+        if seen_count > 0:
+            bloom = BloomShards.build(
+                seen,
+                n_shards=16,
+                expected_per_shard=max(1024, seen_count // 16 + 1),
+                fpr=self.bloom_fpr,
+            )
+            flagged = bloom.prefilter(self.spark, pending)
+            definite_new = flagged.filter(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
+            maybe = (
+                flagged.filter(F.col("bloom_maybe_seen"))
+                .drop("bloom_maybe_seen")
+                .join(seen.select("url_hash"), "url_hash", "left_anti")
+            )
+            candidates = definite_new.unionByName(maybe)
+        else:
+            candidates = pending
+
+        selected, deferred = select_budget(candidates, self.host_budget, self.n_salts)
+        # salted repartition: spread one host's fetch/parse work across
+        # shards while select_budget's slot arithmetic keeps the per-host
+        # politeness schedule exact (SURVEY §7.2 crux)
+        selected = selected.repartition(
+            max(self.spark.sparkContext.defaultParallelism, self.n_salts), "host", "shard"
+        )
+        fetched = self.fetcher.fetch(selected).persist()
+        n_selected = fetched.count()
+        if n_selected == 0:
+            fetched.unpersist()
+            # nothing fetchable: frontier drained
+            return EpochStats(epoch, 0, 0, 0, 0, 0, 0)
+
+        ok = fetched.filter(F.col("status_code") == 200)
+
+        # documents from profile pages
+        profiles = ok.filter(F.col("kind") == "profile")
+        docs_with_meta = extract_spans(
+            profiles.select("url", "body", "api_image_1", "depth", "priority"),
+            self.base_url,
+            passthrough=True,
+        ).persist()
+        docs = docs_with_meta.select("doc_id", "spans")
+
+        # discoveries -----------------------------------------------------
+        listing_rows = parse_listing(ok.filter(F.col("kind") == "listing")).join(
+            ok.select(F.col("url").alias("listing_url"), "depth", "priority"),
+            "listing_url",
+        )
+        child_profiles = listing_rows.filter(F.col("cat_id").isNotNull()).select(
+            canonicalize_url(F.col("profile_path"), F.lit(self.base_url)).alias("url"),
+            (F.col("depth") + 1).alias("depth"),
+            (F.col("priority") * FANOUT + F.col("child_idx")).alias("priority"),
+            F.col("image_1").alias("api_image_1"),
+        )
+        next_pages = (
+            listing_rows.filter(F.col("page_now") < F.col("all_page"))
+            .select("listing_url", "page_now", "depth", "priority")
+            .distinct()
+            .select(
+                canonicalize_url(
+                    F.concat(
+                        F.lit(self.base_url + "/foster/cat/contents/?p="),
+                        (F.col("page_now") + 1).cast("string"),
+                    )
+                ).alias("url"),
+                F.col("depth").alias("depth"),
+                (F.col("priority") + 1).alias("priority"),
+                F.lit(None).cast("string").alias("api_image_1"),
+            )
+        )
+        span_kinds = ["image", "link"] if self.fetch_images else ["link"]
+        span_children = (
+            docs_with_meta.select("depth", "priority", F.explode("spans").alias("s"))
+            .filter(F.col("s.kind").isin(span_kinds))
+            .select(
+                F.col("s.media_ref").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+                (F.col("priority") * FANOUT + F.col("s.offset")).alias("priority"),
+                F.lit(None).cast("string").alias("api_image_1"),
+            )
+        )
+
+        discoveries = child_profiles.unionByName(next_pages).unionByName(span_children)
+        discoveries = (
+            discoveries.withColumn("url_hash", url_hash_col(F.col("url")))
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("epoch", F.lit(epoch))
+            .withColumn("status", F.lit("pending"))
+        )
+        # J3/U1: keep-min (depth, priority) per URL within the epoch, then
+        # drop anything already seen, just fetched, or still pending
+        w = Window.partitionBy("url_hash").orderBy("depth", "priority")
+        discoveries = discoveries.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+        just_fetched = fetched.select("url_hash")
+        discoveries = (
+            discoveries.join(seen.select("url_hash"), "url_hash", "left_anti")
+            .join(just_fetched, "url_hash", "left_anti")
+            .join(deferred.select("url_hash"), "url_hash", "left_anti")
+            .select([f.name for f in schemas.FRONTIER.fields])
+        )
+
+        new_frontier = deferred.select(
+            [f.name for f in schemas.FRONTIER.fields]
+        ).unionByName(discoveries).persist()
+
+        # commit ----------------------------------------------------------
+        seen_append = fetched.select(
+            "url_hash",
+            F.pmod("url_hash", F.lit(SEEN_SHARDS)).cast("int").alias("shard"),
+        )
+        fetch_log_append = fetched.select(
+            "url",
+            "url_hash",
+            "host",
+            "status_code",
+            "content_type",
+            F.lit(epoch).alias("epoch"),
+            F.col("seq_in_host").cast("long"),
+            "scheduled_ms",
+            F.lit(1).alias("attempt"),
+            F.when(F.col("status_code") != 200, F.concat(F.lit("http_"), F.col("status_code"))).alias(
+                "error"
+            ),
+        )
+        lineage_append = (
+            fetched.groupBy("shard", "host")
+            .agg(
+                F.count("*").alias("urls_in"),
+                F.sum((F.col("status_code") == 200).cast("long")).alias("fetched"),
+                F.sum((F.col("status_code") != 200).cast("long")).alias("failed"),
+            )
+            .select(
+                F.lit(epoch).alias("epoch"),
+                F.col("shard").alias("partition_id"),
+                F.pmod(F.xxhash64("host"), F.lit(64)).cast("int").alias("host_shard"),
+                "urls_in",
+                "fetched",
+                "failed",
+                F.current_timestamp().alias("committed_at"),
+            )
+        )
+
+        n_docs = docs.count()
+        n_disc = discoveries.count()
+        n_ok = ok.count()
+        n_pending_after = new_frontier.count()
+        self.store.commit(
+            epoch,
+            appends={
+                "url_seen": seen_append,
+                "fetch_log": fetch_log_append,
+                "documents": docs,
+                "lineage": lineage_append,
+            },
+            replaces={"frontier": new_frontier},
+        )
+        fetched.unpersist()
+        docs_with_meta.unpersist()
+        new_frontier.unpersist()
+        return EpochStats(
+            epoch=epoch,
+            selected=n_selected,
+            fetched_ok=n_ok,
+            failed=n_selected - n_ok,
+            documents=n_docs,
+            discoveries=n_disc,
+            pending_after=n_pending_after,
+        )
+
+    def run(
+        self, max_epochs: int = 100, target_docs: int | None = None
+    ) -> list[EpochStats]:
+        stats: list[EpochStats] = []
+        for _ in range(max_epochs):
+            if target_docs is not None:
+                if self.documents().count() >= target_docs:
+                    break
+            if self.frontier().count() == 0:
+                break
+            s = self.run_epoch()
+            stats.append(s)
+            if s.selected == 0:
+                break
+        return stats

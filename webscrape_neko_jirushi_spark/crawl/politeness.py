@@ -1,0 +1,85 @@
+"""Per-host politeness: budget selection + token-bucket schedule
+(SURVEY.md §2.9 T3/T4, §4.2 skew strategy).
+
+The reference enforces politeness with driver-side sleeps in a
+sequential loop (config.py:8-9 2s; comprehensive_scraper.py:328-331
+3-7s/page, :252 0.5-1.5s/image; smart_cat_discovery.py:314-315) — one
+host, one thread, ~0.2 pages/s. The engine keeps the *invariant*
+(per-host: ≤ budget fetches per epoch, ≥ min_delay between fetches)
+while parallelizing across hosts AND across salt shards within a host:
+
+1. ``select_budget``: per (host, epoch) take the top ``max_per_epoch``
+   pending URLs by (depth, priority, url_hash); assign each a slot
+   k = 0..B-1 and a virtual ``scheduled_ms = k * min_delay_ms`` — the
+   per-host token-bucket schedule.
+2. ``salt_for_parallelism``: shard = slot % n_salts. Shard i's slots
+   are {i, i+S, i+2S, ...}, so the UNION of all shards' schedules is
+   still exactly min_delay-spaced — one host's politeness budget is
+   split across salt shards without violating the per-host delay
+   (SURVEY §7.2 "single-host skew vs politeness" crux).
+
+The schedule is virtual (tests assert spacing/caps arithmetically);
+``enforce_wall_clock=True`` in the fetcher sleeps to it for real crawls.
+Robots rules ride along as a broadcast map host -> disallow prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_budget(
+    candidates: DataFrame,
+    host_budget: DataFrame,
+    n_salts: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Split pending candidates into (selected, deferred) for this epoch.
+
+    selected gains: slot (0-based per host), seq_in_host (1-based),
+    scheduled_ms, shard (salt), min_delay_ms.
+
+    The window sorts one host's candidates in one partition — the
+    single-site skew point. The shuffle moves only (url, keys), not
+    page bodies, and AQE skew-split handles residual imbalance; the
+    heavy fetch/parse work downstream runs on the SALTED key.
+    """
+    joined = candidates.join(F.broadcast(host_budget), "host", "left").fillna(
+        {"max_per_epoch": 1 << 30, "min_delay_ms": 0}
+    )
+    w = Window.partitionBy("host").orderBy("depth", "priority", "url_hash")
+    ranked = joined.withColumn("slot", F.row_number().over(w) - 1)
+    selected = (
+        ranked.filter(F.col("slot") < F.col("max_per_epoch"))
+        .withColumn("seq_in_host", F.col("slot") + 1)
+        .withColumn("scheduled_ms", F.col("slot").cast("long") * F.col("min_delay_ms"))
+        .withColumn("shard", F.pmod(F.col("slot"), F.lit(n_salts)).cast("int"))
+    )
+    deferred = ranked.filter(F.col("slot") >= F.col("max_per_epoch")).drop(
+        "slot", "max_per_epoch", "min_delay_ms"
+    )
+    return selected, deferred
+
+
+def robots_allowed(url: Column, host: Column, robots_map: dict[str, list[str]], spark) -> Column:
+    """Broadcast robots.txt cache probe: URL path must not start with a
+    disallowed prefix for its host (north-rule robots cache; the
+    reference sends polite headers but never parses robots —
+    comprehensive_scraper.py:32-42)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(robots_map)
+
+    @F.pandas_udf(T.BooleanType())
+    def _allowed(urls: pd.Series, hosts: pd.Series) -> pd.Series:
+        rules = bc.value
+        out = []
+        for u, h in zip(urls, hosts):
+            prefixes = rules.get(h, ())
+            path = u.split("/", 3)[-1] if u.count("/") >= 3 else ""
+            out.append(not any(("/" + path).startswith(p) for p in prefixes))
+        return pd.Series(out)
+
+    return _allowed(url, host)

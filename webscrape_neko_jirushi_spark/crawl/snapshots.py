@@ -1,0 +1,109 @@
+"""Atomic multi-table snapshot store (SURVEY.md §2.9 T2).
+
+The reference checkpoints by rewriting two JSON files non-atomically
+(comprehensive_scraper.py:82-96,317-326) — a crash between the writes
+tears the state. Here every epoch commits all state tables in ONE
+atomic step, the Iceberg pattern reduced to its core:
+
+- each table version is an immutable parquet directory;
+- a manifest (JSON) pins the exact directory set per table;
+- HEAD is a tiny pointer file swapped with ``os.replace`` (atomic on
+  POSIX) — readers only ever see a fully-committed manifest.
+
+On a cluster this class is swapped for real Iceberg tables
+(``df.writeTo(...).append()`` inside one transaction); the engine only
+uses the four methods below, so the swap is a constructor change.
+Orphan data dirs from a killed run are ignored (never referenced by a
+committed manifest) — resume is always consistent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnapshotStore:
+    def __init__(self, root: str | Path, spark: SparkSession):
+        self.root = Path(root)
+        self.spark = spark
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        (self.root / "manifests").mkdir(parents=True, exist_ok=True)
+
+    # -- read side ----------------------------------------------------------
+    def _head(self) -> dict | None:
+        head = self.root / "HEAD"
+        if not head.exists():
+            return None
+        manifest_path = head.read_text().strip()
+        with open(self.root / "manifests" / manifest_path) as f:
+            return json.load(f)
+
+    def version(self) -> int:
+        m = self._head()
+        return m["version"] if m else 0
+
+    def epoch(self) -> int:
+        m = self._head()
+        return m["epoch"] if m else 0
+
+    def read(self, table: str, schema: T.StructType) -> DataFrame:
+        """Committed contents of ``table`` (empty DF if never written)."""
+        m = self._head()
+        dirs = (m or {}).get("tables", {}).get(table, [])
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[str(self.root / "data" / d) for d in dirs]
+        )
+
+    # -- write side ----------------------------------------------------------
+    def commit(
+        self,
+        epoch: int,
+        appends: dict[str, DataFrame] | None = None,
+        replaces: dict[str, DataFrame] | None = None,
+    ) -> int:
+        """Write new data dirs, then atomically publish a new manifest.
+
+        ``appends`` add a directory to the table's set; ``replaces``
+        swap the whole set (used for the pending frontier, which shrinks).
+        A crash before the final ``os.replace`` leaves HEAD untouched.
+        """
+        m = self._head() or {"version": 0, "epoch": 0, "tables": {}}
+        tables: dict[str, list[str]] = {k: list(v) for k, v in m["tables"].items()}
+
+        for name, df in (replaces or {}).items():
+            d = f"{name}-{epoch:06d}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(str(self.root / "data" / d))
+            tables[name] = [d]
+        for name, df in (appends or {}).items():
+            d = f"{name}-{epoch:06d}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(str(self.root / "data" / d))
+            tables.setdefault(name, []).append(d)
+
+        version = m["version"] + 1
+        manifest = {"version": version, "epoch": epoch, "tables": tables}
+        mname = f"v{version:06d}.json"
+        tmp = self.root / "manifests" / (mname + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.root / "manifests" / mname)
+
+        head_tmp = self.root / "HEAD.tmp"
+        head_tmp.write_text(mname)
+        os.replace(head_tmp, self.root / "HEAD")  # the atomic commit point
+        return version
+
+    def compact(self, table: str, schema: T.StructType, epoch: int) -> None:
+        """Rewrite a many-dir table into one dir (metadata hygiene for
+        long crawls); readers are unaffected (next manifest swap)."""
+        df = self.read(table, schema)
+        self.commit(epoch, replaces={table: df})
