@@ -1,38 +1,799 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the engine's own operator modules
+(``webscrape_neko_jirushi_spark.operators/...``); ``oracle_sql()`` holds
+the DuckDB-equivalent ANSI SQL. Column names/aliases match pairwise;
+doubles are rounded identically on both sides; money sums go through
+DECIMAL(18,4) so both engines aggregate exactly.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webscrape_neko_jirushi_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+from webscrape_neko_jirushi_spark.functions.text import key_value_map
+from webscrape_neko_jirushi_spark.functions.urls import (
+    cat_id_col,
+    content_type_to_ext,
+    url_interest_predicate,
+)
+from webscrape_neko_jirushi_spark.operators import cleaning, dedup, reorganize, similarity
+from webscrape_neko_jirushi_spark.sources.analog import (
+    CAT_INFO_ANALOG_SQL,
+    IMAGES_ANALOG_SQL,
+    cat_info_analog,
+    images_analog,
+    load,
+)
+from webscrape_neko_jirushi_spark.text import analysis
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _images(spark, sf_dir):
+    return images_analog(load(spark, sf_dir, "lineitem"))
+
+
+# ===========================================================================
+# aggregations (A1, A5, A6, A11) / sort-limit (O2)
+# ===========================================================================
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,4)))                       AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4)))                  AS sum_base_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """A1/A6: grand-tally aggregation (TPC-H Q1 shape). Partial+final
+    hash agg; decimal sums are engine-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "per_group_rollup",
+    """
+    SELECT COALESCE(doc_id, '<ALL>') AS doc_id,
+           COUNT(*) AS n_images,
+           SUM(CAST(size_bytes AS DECIMAL(18,0))) AS total_bytes
+    FROM (%s) images
+    GROUP BY ROLLUP(doc_id)
+    """
+    % IMAGES_ANALOG_SQL,
+)
+def q_per_group_rollup(spark, sf_dir):
+    """A6: per-cat size rollup + grand total (data_manager.py:27-61) as
+    a single ROLLUP pass."""
+    return (
+        _images(spark, sf_dir)
+        .rollup("doc_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("size_bytes").cast("decimal(18,0)")).alias("total_bytes"),
+        )
+        .withColumn("doc_id", F.coalesce(F.col("doc_id"), F.lit("<ALL>")))
+    )
+
+
+@q(
+    "top10_sizes",
+    """
+    SELECT size_bytes, COUNT(*) AS n
+    FROM (%s) images
+    GROUP BY size_bytes
+    ORDER BY n DESC, size_bytes
+    LIMIT 10
+    """
+    % IMAGES_ANALOG_SQL,
+)
+def q_top10_sizes(spark, sf_dir):
+    """A5/O2: top-k frequent sizes (advanced_cleaning.py:307-310),
+    deterministic tie-break -> TakeOrderedAndProject."""
+    return cleaning.top_k_sizes(_images(spark, sf_dir), 10)
+
+
+@q(
+    "distinct_entities",
+    """
+    SELECT COUNT(DISTINCT md5) AS n_distinct_hashes,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (%s) images
+    """
+    % IMAGES_ANALOG_SQL,
+)
+def q_distinct_entities(spark, sf_dir):
+    """A11: distinct counts (len(scraped_cats) analogs)."""
+    return _images(spark, sf_dir).agg(
+        F.countDistinct("md5").alias("n_distinct_hashes"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ===========================================================================
+# joins / set ops (J1, J2, J5, U1, U2, U3)
+# ===========================================================================
+
+_SEEN_SQL = "SELECT CONCAT('https://mirror-main.test/img/', CAST(p_partkey AS VARCHAR), '_1.jpg') AS url FROM part WHERE p_partkey % 5 = 0"
+
+
+def _seen_urls(spark, sf_dir):
+    return load(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0).select(
+        F.concat(
+            F.lit("https://mirror-main.test/img/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("_1.jpg"),
+        ).alias("url")
+    )
+
+
+@q(
+    "url_seen_anti_join",
+    f"""
+    SELECT i.url, i.doc_id
+    FROM ({IMAGES_ANALOG_SQL}) i
+    WHERE i.image_idx = 1
+      AND NOT EXISTS (SELECT 1 FROM ({_SEEN_SQL}) s WHERE s.url = i.url)
+    """,
+)
+def q_url_seen_anti_join(spark, sf_dir):
+    """J1: the URL-seen anti-join (comprehensive_scraper.py:144-146)."""
+    imgs = _images(spark, sf_dir).filter(F.col("image_idx") == 1)
+    return imgs.join(_seen_urls(spark, sf_dir), "url", "left_anti").select(
+        "url", "doc_id"
+    )
+
+
+@q(
+    "url_seen_semi_join",
+    f"""
+    SELECT i.url, i.doc_id
+    FROM ({IMAGES_ANALOG_SQL}) i
+    WHERE i.image_idx = 1
+      AND EXISTS (SELECT 1 FROM ({_SEEN_SQL}) s WHERE s.url = i.url)
+    """,
+)
+def q_url_seen_semi_join(spark, sf_dir):
+    """U3: the complement semi-join (already-scraped check)."""
+    imgs = _images(spark, sf_dir).filter(F.col("image_idx") == 1)
+    return imgs.join(_seen_urls(spark, sf_dir), "url", "left_semi").select(
+        "url", "doc_id"
+    )
+
+
+@q(
+    "union_dedup_frontier",
+    f"""
+    SELECT url FROM (
+      SELECT url FROM ({IMAGES_ANALOG_SQL}) WHERE image_idx <= 2
+      UNION ALL
+      SELECT url FROM ({_SEEN_SQL})
+      UNION ALL
+      SELECT CONCAT('https://mirror-main.test/foster/', CAST(p_partkey AS VARCHAR), '/') AS url
+      FROM part WHERE p_partkey % 3 = 0
+    ) u GROUP BY url
+    """,
+)
+def q_union_dedup_frontier(spark, sf_dir):
+    """U1/J3: union of three discovery sources + dedup
+    (smart_cat_discovery.py:87-102)."""
+    a = _images(spark, sf_dir).filter(F.col("image_idx") <= 2).select("url")
+    b = _seen_urls(spark, sf_dir)
+    c = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0).select(
+        F.concat(
+            F.lit("https://mirror-main.test/foster/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("/"),
+        ).alias("url")
+    )
+    return a.unionByName(b).unionByName(c).dropDuplicates(["url"])
+
+
+@q(
+    "frontier_except_failed",
+    f"""
+    SELECT url FROM ({_SEEN_SQL})
+    EXCEPT
+    SELECT CONCAT('https://mirror-main.test/img/', CAST(p_partkey AS VARCHAR), '_1.jpg') AS url
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def q_frontier_except_failed(spark, sf_dir):
+    """U2: set difference (discovered minus failed,
+    smart_cat_discovery.py:305-311)."""
+    failed = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(
+            F.lit("https://mirror-main.test/img/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("_1.jpg"),
+        ).alias("url")
+    )
+    return _seen_urls(spark, sf_dir).exceptAll(failed).distinct()
+
+
+@q(
+    "data_images_join",
+    f"""
+    SELECT c.cat_id, COUNT(i.image_idx) AS n_images
+    FROM ({CAT_INFO_ANALOG_SQL}) c
+    LEFT JOIN ({IMAGES_ANALOG_SQL}) i
+      ON i.doc_id = CONCAT('cat_', CAST(c.cat_id % 500 AS VARCHAR))
+    GROUP BY c.cat_id
+    """,
+)
+def q_data_images_join(spark, sf_dir):
+    """J5: data<->images equi-join by stem (reorganize_dataset.py:117-162);
+    small side broadcast."""
+    cats = cat_info_analog(load(spark, sf_dir, "customer"))
+    imgs = _images(spark, sf_dir)
+    joined = F.broadcast(cats).join(
+        imgs,
+        imgs.doc_id == F.concat(F.lit("cat_"), (cats.cat_id % 500).cast("string")),
+        "left",
+    )
+    return joined.groupBy("cat_id").agg(F.count("image_idx").alias("n_images"))
+
+
+# ===========================================================================
+# windows (W1, W2, W3, W5)
+# ===========================================================================
+
+@q(
+    "keep_first_dedup",
+    f"""
+    SELECT doc_id, image_idx, md5 FROM (
+      SELECT doc_id, image_idx, md5,
+             ROW_NUMBER() OVER (PARTITION BY md5 ORDER BY doc_id, image_idx, src_key) AS rn
+      FROM ({IMAGES_ANALOG_SQL})
+    ) t WHERE rn = 1
+    """,
+)
+def q_keep_first_dedup(spark, sf_dir):
+    """W1/A8: cross-group MD5 dedup, keep-first with deterministic order
+    (aggressive_cleaning.py:186-197)."""
+    return dedup.exact_dedup(
+        _images(spark, sf_dir), "md5", ["doc_id", "image_idx", "src_key"]
+    ).select("doc_id", "image_idx", "md5")
+
+
+@q(
+    "duplicate_groups",
+    f"""
+    SELECT md5, COUNT(*) AS n_members
+    FROM ({IMAGES_ANALOG_SQL})
+    GROUP BY md5 HAVING COUNT(*) > 1
+    """,
+)
+def q_duplicate_groups(spark, sf_dir):
+    """A8: duplicate-hash grouping (aggressive_cleaning.py:170-185)."""
+    return (
+        _images(spark, sf_dir)
+        .groupBy("md5")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@q(
+    "ordinal_rename",
+    f"""
+    SELECT doc_id, image_idx,
+           CONCAT('image_', lpad(CAST(ROW_NUMBER() OVER
+             (PARTITION BY doc_id ORDER BY image_idx, src_key) AS VARCHAR), 3, '0'),
+             lower(regexp_extract(filename, '(\\.[A-Za-z0-9]+)$', 1))) AS new_name
+    FROM ({IMAGES_ANALOG_SQL})
+    """,
+)
+def q_ordinal_rename(spark, sf_dir):
+    """W2/P10: per-group ordinal renaming (reorganize_dataset.py:100-105);
+    src_key makes the discovery-order tie-break total."""
+    return reorganize.ordinal_rename(
+        _images(spark, sf_dir), order_col=["image_idx", "src_key"]
+    ).select("doc_id", "image_idx", "new_name")
+
+
+@q(
+    "renumber_groups",
+    f"""
+    SELECT cat_id,
+      CONCAT('cat_', lpad(CAST(ROW_NUMBER() OVER (ORDER BY cat_id) AS VARCHAR), 4, '0'),
+             '_', clean_name) AS new_dir
+    FROM (
+      SELECT cat_id,
+        COALESCE(
+          NULLIF(substr(trim('_' FROM regexp_replace(regexp_replace(resolved_name,
+            '[^a-zA-Z0-9_ 一-鿿぀-ヿ-]', '', 'g'), '[-\\s]+', '_', 'g')), 1, 50), ''),
+          'unknown_cat') AS clean_name
+      FROM (
+        SELECT cat_id,
+          COALESCE(NULLIF(trim(name),''), NULLIF(trim(cat_name),''),
+                   NULLIF(trim(title),''), NULLIF(trim(catch_copy),''),
+                   CONCAT('cat_', CAST(cat_id AS VARCHAR)), 'unknown_cat') AS resolved_name
+        FROM ({CAT_INFO_ANALOG_SQL})
+      ) r
+    ) s
+    """,
+)
+def q_renumber_groups(spark, sf_dir):
+    """W3/P5/P6: global renumbering + name coalesce + filename sanitize
+    (reorganize_dataset.py:28-115)."""
+    cats = cat_info_analog(load(spark, sf_dir, "customer"))
+    return reorganize.renumber_groups(cats).select("cat_id", "new_dir")
+
+
+@q(
+    "resume_watermark",
+    "SELECT COALESCE(MAX(o_orderkey % 1000), 0) + 1 AS start_page FROM orders WHERE o_orderstatus = 'F'",
+)
+def q_resume_watermark(spark, sf_dir):
+    """W5/T2: resume high-watermark (comprehensive_scraper.py:295)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return reorganize.resume_watermark(
+        o.select((F.col("o_orderkey") % 1000).alias("page_now"))
+    )
+
+
+# ===========================================================================
+# filter cascades (P13-P20, P22) + report aggs (A2, A3, A4, A9)
+# ===========================================================================
+
+_ADV_CASCADE_SQL = f"""
+  SELECT *,
+    CASE
+      WHEN size_bytes IN (43,172,281,364,883,1300,1500,1900,3400,4000,4058,4500,5200,5871,6300,6400,6490,6700,6900,7200)
+           OR size_bytes < 5000 THEN CONCAT('File size suspicious: ', CAST(size_bytes AS VARCHAR))
+      WHEN lower(filename) SIMILAR TO '.*(icon|button|banner|logo|avatar|profile|noimage|placeholder|default|empty|loading|spacer|pixel|transparent|blank|sample).*'
+           THEN CONCAT('Filename suspicious: ', lower(filename))
+      WHEN width < 100 OR height < 100 THEN CONCAT('Too small: ', CAST(width AS VARCHAR), 'x', CAST(height AS VARCHAR))
+      WHEN width > 10000 OR height > 10000 THEN CONCAT('Too large: ', CAST(width AS VARCHAR), 'x', CAST(height AS VARCHAR))
+      WHEN width / CAST(height AS DOUBLE) < 0.1 OR width / CAST(height AS DOUBLE) > 10.0
+           THEN CONCAT('Bad aspect ratio: ', CAST(ROUND(width / CAST(height AS DOUBLE), 2) AS VARCHAR))
+      WHEN mode IN ('RGBA','LA') AND alpha_max < 50 THEN 'Mostly transparent'
+    END AS reason,
+    CASE
+      WHEN size_bytes IN (43,172,281,364,883,1300,1500,1900,3400,4000,4058,4500,5200,5871,6300,6400,6490,6700,6900,7200)
+           OR size_bytes < 5000 THEN 'file_size'
+      WHEN lower(filename) SIMILAR TO '.*(icon|button|banner|logo|avatar|profile|noimage|placeholder|default|empty|loading|spacer|pixel|transparent|blank|sample).*'
+           THEN 'pattern'
+      WHEN (width < 100 OR height < 100) OR (width > 10000 OR height > 10000)
+           OR (width / CAST(height AS DOUBLE) < 0.1 OR width / CAST(height AS DOUBLE) > 10.0)
+           OR (mode IN ('RGBA','LA') AND alpha_max < 50) THEN 'dimension'
+    END AS reason_category
+  FROM ({IMAGES_ANALOG_SQL})
+"""
+
+
+@q(
+    "advanced_cascade_stats",
+    f"""
+    SELECT COUNT(*) AS total_groups,
+           SUM(images_before) AS total_images_before,
+           SUM(images_after) AS total_images_after,
+           SUM(removed_count) AS removed_images,
+           SUM(CASE WHEN removed_count > 0 THEN 1 ELSE 0 END) AS groups_with_removals,
+           SUM(CASE WHEN images_after = 0 THEN 1 ELSE 0 END) AS groups_fully_removed
+    FROM (
+      SELECT doc_id, COUNT(*) AS images_before,
+             SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS images_after,
+             SUM(CASE WHEN reason IS NULL THEN 0 ELSE 1 END) AS removed_count
+      FROM ({_ADV_CASCADE_SQL}) c GROUP BY doc_id
+    ) g
+    """,
+)
+def q_advanced_cascade_stats(spark, sf_dir):
+    """P13-P15/P20 + A2/A9: the advanced_cleaning statistics block
+    (advanced_cleaning.py:37-48,128-204) as one rollup."""
+    cascaded = cleaning.advanced_cascade(_images(spark, sf_dir))
+    return cleaning.cleaning_stats(cascaded, "doc_id")
+
+
+@q(
+    "advanced_removal_breakdown",
+    f"""
+    SELECT reason_category, COUNT(*) AS n_removed
+    FROM ({_ADV_CASCADE_SQL}) c
+    WHERE reason IS NOT NULL GROUP BY reason_category
+    """,
+)
+def q_advanced_removal_breakdown(spark, sf_dir):
+    """A3: removals per category (advanced_cleaning.py:134-147)."""
+    return cleaning.removal_breakdown(
+        cleaning.advanced_cascade(_images(spark, sf_dir))
+    )
+
+
+@q(
+    "aggressive_cascade_stats",
+    f"""
+    SELECT COUNT(*) AS total_groups,
+           SUM(images_before) AS total_images_before,
+           SUM(images_after) AS total_images_after,
+           SUM(removed_count) AS removed_images,
+           SUM(CASE WHEN removed_count > 0 THEN 1 ELSE 0 END) AS groups_with_removals,
+           SUM(CASE WHEN images_after = 0 THEN 1 ELSE 0 END) AS groups_fully_removed
+    FROM (
+      SELECT doc_id, COUNT(*) AS images_before,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS images_after,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS removed_count
+      FROM (
+        SELECT doc_id,
+          NOT (size_bytes < 10000 OR size_bytes > 20971520
+            OR size_bytes IN (5276,6490,5871,4058,4560,3480,1964,4634,2713,883,1505,1320,2326,4356)
+            OR width < 300 OR height < 300 OR width > 8000 OR height > 8000
+            OR width / CAST(height AS DOUBLE) < 0.3 OR width / CAST(height AS DOUBLE) > 3.0
+            OR (mode IN ('RGBA','LA') AND alpha_max < 50)
+            OR top_color_ratio > 0.8) AS keep
+        FROM ({IMAGES_ANALOG_SQL})
+      ) c GROUP BY doc_id
+    ) g
+    """,
+)
+def q_aggressive_cascade_stats(spark, sf_dir):
+    """P13/P14/P16 + A2/A9: aggressive_cleaning statistics
+    (aggressive_cleaning.py:37-49,143-255)."""
+    cascaded = cleaning.aggressive_cascade(_images(spark, sf_dir))
+    return cleaning.cleaning_stats(cascaded, "doc_id")
+
+
+@q(
+    "heuristic_keep_scores",
+    f"""
+    SELECT cat_score, keep, COUNT(*) AS n FROM (
+      SELECT
+        (CASE WHEN width / CAST(height AS DOUBLE) BETWEEN 0.5 AND 2.0 THEN 1 ELSE 0 END
+         + CASE WHEN width >= 100 AND height >= 100 THEN 1 ELSE 0 END
+         + CASE WHEN width <= 5000 AND height <= 5000 THEN 1 ELSE 0 END
+         + CASE WHEN warm_ratio > 0.1 THEN 1 ELSE 0 END) AS cat_score,
+        CASE
+          WHEN lower(filename) SIMILAR TO '.*(ad|advertisement|banner|logo|icon|button|thumb|thumbnail|preview|placeholder|dummy|loading|error|404|noimage|default|illustration|drawing|cartoon|anime|manga|graphic|design|art|painting).*' THEN FALSE
+          WHEN lower(filename) SIMILAR TO '.*(cat|foster|pet|animal|kitten|kitty).*' THEN TRUE
+          WHEN (CASE WHEN width / CAST(height AS DOUBLE) BETWEEN 0.5 AND 2.0 THEN 1 ELSE 0 END
+              + CASE WHEN width >= 100 AND height >= 100 THEN 1 ELSE 0 END
+              + CASE WHEN width <= 5000 AND height <= 5000 THEN 1 ELSE 0 END
+              + CASE WHEN warm_ratio > 0.1 THEN 1 ELSE 0 END) >= 3 THEN TRUE
+          WHEN (CASE WHEN width / CAST(height AS DOUBLE) BETWEEN 0.5 AND 2.0 THEN 1 ELSE 0 END
+              + CASE WHEN width >= 100 AND height >= 100 THEN 1 ELSE 0 END
+              + CASE WHEN width <= 5000 AND height <= 5000 THEN 1 ELSE 0 END
+              + CASE WHEN warm_ratio > 0.1 THEN 1 ELSE 0 END) <= 1 THEN FALSE
+          ELSE TRUE
+        END AS keep
+      FROM ({IMAGES_ANALOG_SQL})
+    ) s GROUP BY cat_score, keep
+    """,
+)
+def q_heuristic_keep_scores(spark, sf_dir):
+    """P17/P18: cleanup_dataset.py 0-4 scoring + 3-way filename class."""
+    scored = cleaning.heuristic_keep_score(_images(spark, sf_dir))
+    return scored.groupBy("cat_score", "keep").agg(F.count("*").alias("n"))
+
+
+_DETECTIONS_SQL = f"""
+  SELECT doc_id, image_idx,
+    list_transform(range(1, 1 + CAST(width % 4 AS INTEGER)),
+                   j -> ((width * j * 13) % 100) / 100.0) AS confs
+  FROM ({IMAGES_ANALOG_SQL})
+"""
+
+
+@q(
+    "yolo_detection_filter",
+    f"""
+    SELECT doc_id, image_idx, detection_count,
+           ROUND(total_confidence, 6) AS total_confidence,
+           ROUND(avg_confidence, 6) AS avg_confidence
+    FROM (
+      SELECT doc_id, image_idx,
+        length(list_filter(confs, c -> c >= 0.3)) AS detection_count,
+        COALESCE(list_aggregate(list_filter(confs, c -> c >= 0.3), 'sum'), 0.0) AS total_confidence,
+        CASE WHEN length(list_filter(confs, c -> c >= 0.3)) > 0
+             THEN list_aggregate(list_filter(confs, c -> c >= 0.3), 'sum')
+                  / length(list_filter(confs, c -> c >= 0.3))
+             ELSE 0.0 END AS avg_confidence
+      FROM ({_DETECTIONS_SQL}) d
+    ) x WHERE detection_count > 0
+    """,
+)
+def q_yolo_detection_filter(spark, sf_dir):
+    """P22/F7/A7: batch-inference filter with a deterministic stub
+    classifier (yolo_cat_detector.py:87-130): confidence array from
+    arithmetic; keep rows with >= 1 detection over threshold; per-image
+    aggregates via array HOFs."""
+    imgs = _images(spark, sf_dir)
+    n = (F.col("width") % 4).cast("int")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard n = 0
+    confs = F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: ((F.col("width") * j * 13) % 100) / 100.0,
+    )).otherwise(F.array().cast("array<double>"))
+    with_dets = imgs.withColumn(
+        "detections",
+        F.transform(
+            confs, lambda c: F.struct(c.alias("confidence"), F.array().cast("array<double>").alias("bbox"))
+        ),
+    )
+    filtered = cleaning.yolo_filter(with_dets, 0.3).filter(F.col("keep"))
+    return filtered.select(
+        "doc_id", "image_idx", "detection_count", "total_confidence", "avg_confidence"
+    )
+
+
+# ===========================================================================
+# scalar projections (P3, P7, P8, P9, P21) / scans
+# ===========================================================================
+
+@q(
+    "cat_id_extraction",
+    """
+    SELECT url, CAST(regexp_extract(url, '/foster/([0-9]+)/', 1) AS BIGINT) AS cat_id
+    FROM (SELECT CONCAT('https://mirror-main.test/foster/', CAST(p_partkey AS VARCHAR),
+                 CASE WHEN p_partkey % 4 = 0 THEN '/' ELSE '' END) AS url FROM part) u
+    WHERE regexp_extract(url, '/foster/([0-9]+)/', 1) <> ''
+    """,
+)
+def q_cat_id_extraction(spark, sf_dir):
+    """P3: /foster/(\\d+)/ id extraction (smart_cat_discovery.py:186-191);
+    non-matching URLs dropped (the failed-parse path)."""
+    urls = load(spark, sf_dir, "part").select(
+        F.concat(
+            F.lit("https://mirror-main.test/foster/"),
+            F.col("p_partkey").cast("string"),
+            F.when(F.col("p_partkey") % 4 == 0, "/").otherwise(""),
+        ).alias("url")
+    )
+    return urls.select("url", cat_id_col(F.col("url")).alias("cat_id")).filter(
+        F.col("cat_id").isNotNull()
+    )
+
+
+@q(
+    "url_interest_filter",
+    f"""
+    SELECT url FROM (
+      SELECT CASE
+        WHEN p_partkey % 3 = 0 THEN CONCAT('https://mirror-main.test/img/cat_', CAST(p_partkey AS VARCHAR), '.jpg')
+        WHEN p_partkey % 3 = 1 THEN CONCAT('https://mirror-main.test/static/asset_', CAST(p_partkey AS VARCHAR))
+        ELSE CONCAT('https://mirror-main.test/foster/', CAST(p_partkey AS VARCHAR), '/')
+      END AS url FROM part
+    ) u
+    WHERE lower(url) LIKE '%cat%' OR lower(url) LIKE '%foster%'
+       OR lower(url) LIKE '%.jpg%' OR lower(url) LIKE '%.jpeg%'
+       OR lower(url) LIKE '%.png%' OR lower(url) LIKE '%.webp%'
+    """,
+)
+def q_url_interest_filter(spark, sf_dir):
+    """P2: the URL-interest predicate (comprehensive_scraper.py:184-187)."""
+    pk = F.col("p_partkey")
+    urls = load(spark, sf_dir, "part").select(
+        F.when(
+            pk % 3 == 0,
+            F.concat(F.lit("https://mirror-main.test/img/cat_"), pk.cast("string"), F.lit(".jpg")),
+        )
+        .when(
+            pk % 3 == 1,
+            F.concat(F.lit("https://mirror-main.test/static/asset_"), pk.cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://mirror-main.test/foster/"), pk.cast("string"), F.lit("/"))
+        )
+        .alias("url")
+    )
+    return urls.filter(url_interest_predicate(F.col("url")))
+
+
+@q(
+    "content_type_to_ext",
+    """
+    SELECT ct, CASE
+      WHEN lower(COALESCE(ct,'')) LIKE '%jpeg%' OR lower(COALESCE(ct,'')) LIKE '%jpg%' THEN '.jpg'
+      WHEN lower(COALESCE(ct,'')) LIKE '%png%' THEN '.png'
+      WHEN lower(COALESCE(ct,'')) LIKE '%webp%' THEN '.webp'
+      WHEN lower(COALESCE(ct,'')) LIKE '%gif%' THEN '.gif'
+      ELSE '.jpg' END AS ext,
+      COUNT(*) AS n
+    FROM (
+      SELECT CASE WHEN event_type = 'click' THEN 'image/jpeg'
+                  WHEN event_type = 'view' THEN 'image/png'
+                  WHEN event_type = 'purchase' THEN 'image/webp'
+                  WHEN event_type = 'error' THEN 'text/html'
+                  ELSE NULL END AS ct
+      FROM events
+    ) e GROUP BY ct, ext
+    """,
+)
+def q_content_type_to_ext(spark, sf_dir):
+    """P7: content-type -> extension CASE map
+    (comprehensive_scraper.py:231-240, config.py type map)."""
+    ev = load(spark, sf_dir, "events")
+    ct = (
+        F.when(F.col("event_type") == "click", "image/jpeg")
+        .when(F.col("event_type") == "view", "image/png")
+        .when(F.col("event_type") == "purchase", "image/webp")
+        .when(F.col("event_type") == "error", "text/html")
+    )
+    return (
+        ev.select(ct.alias("ct"))
+        .select("ct", content_type_to_ext(F.col("ct")).alias("ext"))
+        .groupBy("ct", "ext")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "kv_detail_parse",
+    """
+    SELECT lower(trim(string_split(txt, ':')[1])) AS k,
+           trim(substr(txt, strpos(txt, ':') + 1)) AS v,
+           COUNT(*) AS n
+    FROM (SELECT CONCAT(p_brand, ': ', p_type) AS txt FROM part) t
+    WHERE strpos(txt, ':') > 0
+    GROUP BY k, v
+    """,
+)
+def q_kv_detail_parse(spark, sf_dir):
+    """P8: 'key: value' detail parsing (smart_cat_discovery.py:238-243)."""
+    t = load(spark, sf_dir, "part").select(
+        F.concat(F.col("p_brand"), F.lit(": "), F.col("p_type")).alias("txt")
+    )
+    k, v = key_value_map(F.col("txt"))
+    return (
+        t.select(k.alias("k"), v.alias("v"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "retention_filter",
+    """
+    SELECT COUNT(*) AS n_expired, MIN(event_id) AS first_expired
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def q_retention_filter(spark, sf_dir):
+    """P21: age-based retention cutoff (data_manager.py:108-121) with a
+    fixed literal cutoff for determinism."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") < "2024-01-08 00:00:00").agg(
+        F.count("*").alias("n_expired"), F.min("event_id").alias("first_expired")
+    )
+
+
+# ===========================================================================
+# events: sessionization + time rollups (T8 batch analog)
+# ===========================================================================
+
+@q(
+    "sessionize_events",
+    """
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE OR
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+      ) g
+    ) s GROUP BY user_id
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: lag + gap>30min cumulative sum (the batch form of
+    session windows; the crawl epoch loop is the streaming analog)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the driver parquet; route through ltz
+    # (session tz pinned UTC) to get epoch seconds
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
+    "hourly_event_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def q_hourly_event_rollup(spark, sf_dir):
+    """T8 batch analog: tumbling-window aggregation over event time
+    (the streaming wrapper reuses this exact plan via foreachBatch)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+    )
+
+
+# ===========================================================================
+# entry + registry
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the advanced-cleaning cascade + keep-first dedup +
+    per-group report over sf0.001 — the reference's main downstream
+    pipeline (clean -> dedup -> report) in one Catalyst plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    imgs = images_analog(load(spark, sf_dir, "lineitem"))
+    cascaded = cleaning.advanced_cascade(imgs)
+    survivors = dedup.exact_dedup(
+        cascaded.filter(F.col("keep")), "md5", ["doc_id", "image_idx", "src_key"]
+    )
+    return cleaning.before_after_by_group(
+        cascaded.join(
+            survivors.select("doc_id", "image_idx").withColumn("survived", F.lit(True)),
+            ["doc_id", "image_idx"],
+            "left",
+        ).withColumn("keep", F.col("keep") & F.coalesce(F.col("survived"), F.lit(False))),
+        "doc_id",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

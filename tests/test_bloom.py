@@ -1,0 +1,59 @@
+"""Sharded bloom / cuckoo filter correctness (SURVEY.md §7.2: sketches
+are pre-filters only — no false negatives ever; FP paths re-checked)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webscrape_neko_jirushi_spark.crawl.bloom import BloomShards, CuckooShards
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = spark.range(0, 5000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    bloom = BloomShards.build(seen, n_shards=16, expected_per_shard=1000, fpr=0.01)
+    hashes = np.array([r["url_hash"] for r in seen.collect()], dtype=np.int64)
+    assert bloom.might_contain_np(hashes).all()
+
+
+def test_bloom_fpr_bounded(spark):
+    seen = spark.range(0, 5000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    bloom = BloomShards.build(seen, n_shards=16, expected_per_shard=1000, fpr=0.01)
+    fresh = spark.range(100000, 120000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    hashes = np.array([r["url_hash"] for r in fresh.collect()], dtype=np.int64)
+    fpr = bloom.might_contain_np(hashes).mean()
+    assert fpr < 0.05, fpr
+
+
+def test_bloom_prefilter_column(spark):
+    seen = spark.range(0, 1000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    bloom = BloomShards.build(seen, n_shards=4, expected_per_shard=512, fpr=0.01)
+    cand = spark.range(500, 1500).select(
+        F.col("id"), (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    flagged = bloom.prefilter(spark, cand).collect()
+    for r in flagged:
+        if r["id"] < 1000:
+            assert r["bloom_maybe_seen"] is True  # no false negatives
+
+
+def test_cuckoo_insert_contains_delete():
+    ck = CuckooShards.empty(n_shards=4, n_buckets=1 << 12)
+    keys = [hash(("k", i)) for i in range(5000)]
+    for k in keys:
+        assert ck.insert(k)
+    assert all(ck.contains(k) for k in keys)
+    # delete makes a URL re-fetchable (recrawl path)
+    for k in keys[:1000]:
+        assert ck.delete(k)
+    missing = sum(not ck.contains(k) for k in keys[:1000])
+    assert missing >= 990  # rare fp collisions tolerated
+    assert all(ck.contains(k) for k in keys[1000:])

@@ -1,0 +1,241 @@
+"""Deduplication operators (SURVEY.md §2.4 A8 + §2.5 W1, extended to
+the near-dup family a training-data pipeline needs).
+
+The reference's only dedup is exact MD5 grouping with keep-first
+(aggressive_cleaning.py:84-91 hash, :170-197 group + keep paths[0]).
+Here:
+
+- ``exact_dedup``          keep-first by content hash (W1: deterministic
+                           tie-break replaces filesystem scan order)
+- ``minhash_signatures``   shingle -> 60-bit portable hashes -> per-band
+                           min (MinHash), all builtin HOFs — no Python
+- ``lsh_candidate_pairs``  band-bucket self-join -> candidate pairs
+- ``simhash64``            64-bit SimHash from token hashes
+- ``ngram_jaccard_pairs``  exact n-gram Jaccard via shingle explode +
+                           self-join (the verify stage after LSH)
+- ``embedding_near_dups``  cosine >= tau pairs via normalized dot product
+
+Scale notes: shingle explode shuffles O(docs * shingles) rows but each
+row is (hash, doc_id) — 16 bytes; the band join is an equi-join on
+(band, band_hash) so AQE handles bucket skew; exact Jaccard runs only
+on LSH candidates (quadratic blowup contained per bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+
+def exact_dedup(
+    df: DataFrame,
+    hash_col: str,
+    order_cols: list[str],
+    keep: str = "first",
+) -> DataFrame:
+    """Keep-first duplicate elimination (aggressive_cleaning.py:186-197):
+    one survivor per hash group, deterministic order."""
+    w = Window.partitionBy(hash_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, hash_col: str, id_col: str) -> DataFrame:
+    """A8: hash -> member list + count (collect_list bounded: only for
+    reporting at small scale; at 100 TB use exact_dedup directly)."""
+    return df.groupBy(hash_col).agg(
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+        F.count("*").alias("n_members"),
+    )
+
+
+def _normalized(text_col):
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def shingles(text_col, k: int = 5):
+    """Word k-shingles of the normalized text as array<string>."""
+    words = F.split(_normalized(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(F.lit(0), n - k))
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 16, k: int = 5
+) -> DataFrame:
+    """MinHash: signature[i] = min over shingles of h_i(shingle), with
+    h_i = portable_hash64(salt_i || shingle). Pure builtin HOFs
+    (transform/array_min) — stays in codegen, DuckDB-replicable."""
+    sh = shingles(F.col(text_col), k).alias("sh")
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"s{i}|"), s).cast("binary")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash): docs
+    agreeing on ALL rows of any band become candidate pairs (a < b)."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(text_col, k_tokens_hash_bits: int = 60):
+    """SimHash: sign-sum of token-hash bits. Implemented with builtin
+    HOFs: per bit position, count tokens with that bit set vs total;
+    bit set in the result when majority. 60-bit (portable hash width)."""
+    words = F.split(_normalized(text_col), " ")
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    n = F.size(hashes)
+    bits = F.sequence(F.lit(0), F.lit(k_tokens_hash_bits - 1))
+    majority_bits = F.transform(
+        bits,
+        lambda i: F.when(
+            F.size(
+                F.filter(hashes, lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i.cast("int"))) != 0)
+            )
+            * 2
+            > n,
+            F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        majority_bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard: explode distinct shingles, self-join on
+    shingle, |A∩B| per pair, |A|+|B| from per-doc counts. ``candidates``
+    (from LSH) bounds the pair space at scale."""
+    ex = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Cosine >= tau pairs. Brute-force cross join at small scale;
+    at 100 TB pre-bucket with ``similarity.lsh_buckets`` and pass the
+    bucket pairs as ``candidates``."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm.alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if candidates is not None:
+        pairs = pairs.join(
+            candidates.select(
+                F.col("id_a").alias(f"a_{id_col}"), F.col("id_b").alias(f"b_{id_col}")
+            ),
+            (F.col(f"a.{id_col}") == F.col(f"a_{id_col}"))
+            & (F.col(f"b.{id_col}") == F.col(f"b_{id_col}")),
+            "left_semi",
+        )
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )

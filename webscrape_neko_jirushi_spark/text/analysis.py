@@ -1,0 +1,101 @@
+"""Text analysis over the ``documents`` table: language-ID, quality
+scoring, token counting, fingerprinting.
+
+The reference has no text analytics beyond key:value parsing; these are
+the training-data-pipeline operators a 100 TB corpus needs, built as
+pure Column expressions (JVM-side, whole-stage codegen — no Python in
+the hot path). Every operator has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` so results are cross-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count (empty string -> 0)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word chars split into runs of <=4 chars
+    plus punctuation tokens — a deterministic BPE stand-in for sizing."""
+    # count = sum over regex token matches of ceil(len/4) for words, 1 for punct
+    words = F.split(F.trim(text), r"\s+")
+    per_word = F.transform(
+        words, lambda w: F.ceil(F.length(F.regexp_replace(w, r"[^\w]", "")) / 4.0)
+        + F.length(F.regexp_replace(w, r"[\w\s]", ""))
+    )
+    return F.aggregate(per_word, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint"))
+
+
+def non_ascii_ratio(text: Column) -> Column:
+    """Fraction of characters outside ASCII — the language-ID signal for
+    an en/ja corpus (README.md:184 shows non-ASCII names)."""
+    n = F.length(text)
+    ascii_only = F.length(F.regexp_replace(text, r"[^\x00-\x7F]", ""))
+    return F.when(n == 0, 0.0).otherwise((n - ascii_only) / n)
+
+
+def lang_id(text: Column, threshold: float = 0.3) -> Column:
+    """'ja' when the non-ASCII ratio exceeds the threshold, else 'en'."""
+    return F.when(non_ascii_ratio(text) > threshold, "ja").otherwise("en")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    return F.when(n == 0, 0.0).otherwise(punct / n)
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    return F.when(F.size(words) == 0, 0.0).otherwise(stop / F.size(words))
+
+
+def quality_score(text: Column) -> Column:
+    """0-4 indicator sum (the shape of cleanup_dataset.py:75-129's
+    cat-indicator scoring, applied to text): length in [50, 5000],
+    mean word length in [2, 12], punct ratio < 0.1, stopword ratio in
+    [0.05, 0.6]."""
+    n = F.length(text)
+    tokens = token_count(text)
+    mean_wl = F.when(tokens > 0, n / tokens).otherwise(F.lit(0.0))
+    i1 = (n >= 50) & (n <= 5000)
+    i2 = (mean_wl >= 2) & (mean_wl <= 12)
+    i3 = punct_ratio(text) < 0.1
+    i4 = (stopword_ratio(text) >= 0.05) & (stopword_ratio(text) <= 0.6)
+    return i1.cast("int") + i2.cast("int") + i3.cast("int") + i4.cast("int")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit portable hash of the normalized text
+    (lowercase, whitespace collapsed) — exact-dup identity."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return portable_hash64(normalized)
+
+
+def doc_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc: tokens, chars, lang, quality, fingerprint."""
+    t = F.col(text_col)
+    return documents.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_computed"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
