@@ -768,6 +768,424 @@ def q_hourly_event_rollup(spark, sf_dir):
 
 
 # ===========================================================================
+# text analysis (lang-id, quality, tokens, fingerprints)
+# ===========================================================================
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# duplicate-planted corpus: originals + exact copies + near copies
+_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, CONCAT(text, ' extra tail token') AS text
+  FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _corpus(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail token")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@q(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+      CASE WHEN trim(text) = '' THEN 0 ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+      length(text) AS n_chars,
+      ROUND(length(regexp_replace(text, '[.,!?;:]', '', 'g')) * 1.0 / length(text), 6) AS non_punct_ratio
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting + punctuation profile over documents (text
+    pipeline ops; pure Column logic)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        analysis.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(1.0 - analysis.punct_ratio(t), 6).alias("non_punct_ratio"),
+    )
+
+
+@q(
+    "doc_lang_quality",
+    f"""
+    SELECT lang_pred, quality, COUNT(*) AS n FROM (
+      SELECT
+        CASE WHEN (length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))) * 1.0
+                  / length(text) > 0.3 THEN 'ja' ELSE 'en' END AS lang_pred,
+        (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END
+         + CASE WHEN length(regexp_split_to_array(trim(text), '\\s+')) > 0
+                 AND length(text) * 1.0 / length(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 2 AND 12
+                THEN 1 ELSE 0 END
+         + CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) < 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  w -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], w)))
+                 * 1.0 / length(regexp_split_to_array(lower(trim(text)), '\\s+')) BETWEEN 0.05 AND 0.6
+                THEN 1 ELSE 0 END) AS quality
+      FROM documents
+    ) s GROUP BY lang_pred, quality
+    """,
+)
+def q_doc_lang_quality(spark, sf_dir):
+    """Language-ID (non-ASCII-ratio heuristic) + 0-4 quality score
+    histogram (the text twin of the cleanup scoring P18)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select(
+            analysis.lang_id(t).alias("lang_pred"),
+            analysis.quality_score(t).alias("quality"),
+        )
+        .groupBy("lang_pred", "quality")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "fingerprint_dup_groups",
+    f"""
+    SELECT fp, COUNT(*) AS n_members FROM (
+      SELECT {portable_hash64_sql(_NORM)} AS fp FROM ({_CORPUS_SQL})
+    ) t GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def q_fingerprint_dup_groups(spark, sf_dir):
+    """Exact near-identity dedup groups by normalized-text fingerprint
+    (the crawl-corpus twin of A8 md5 grouping)."""
+    c = _corpus(spark, sf_dir)
+    return (
+        c.select(analysis.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@q(
+    "exact_dedup_survivors",
+    f"""
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM (
+        SELECT doc_id, {portable_hash64_sql(_NORM)} AS fp FROM ({_CORPUS_SQL})
+      ) t
+    ) r WHERE rn = 1
+    """,
+)
+def q_exact_dedup_survivors(spark, sf_dir):
+    """W1 on text: keep-first per fingerprint group."""
+    c = _corpus(spark, sf_dir).withColumn(
+        "fp", analysis.fingerprint(F.col("text"))
+    )
+    return dedup.exact_dedup(c, "fp", ["doc_id"]).select("doc_id")
+
+
+# ===========================================================================
+# near-dup family: minhash / LSH / n-gram jaccard / simhash
+# ===========================================================================
+
+_K_SHINGLE = 5
+_N_MINHASH = 16
+_WORDS = f"regexp_split_to_array({_NORM}, ' ')"
+_SHINGLES = f"""(
+  CASE WHEN length({_WORDS}) < {_K_SHINGLE}
+       THEN [array_to_string({_WORDS}, ' ')]
+       ELSE list_transform(range(0, length({_WORDS}) - {_K_SHINGLE} + 1),
+              i -> array_to_string({_WORDS}[i+1:i+{_K_SHINGLE}], ' '))
+  END)"""
+
+
+def _minhash_sql_cols() -> str:
+    cols = []
+    for i in range(_N_MINHASH):
+        h = "CAST(CONCAT('0x', substr(md5(CONCAT('s%d|', s)), 1, 15)) AS BIGINT)" % i
+        cols.append(
+            f"list_aggregate(list_transform({_SHINGLES}, s -> {h}), 'min') AS mh_{i}"
+        )
+    return ",\n      ".join(cols)
+
+
+@q(
+    "minhash_signatures",
+    f"""
+    SELECT doc_id,
+      {_minhash_sql_cols()}
+    FROM documents
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 portable hash functions over word
+    5-shingles) — builtin HOFs only."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_signatures(d, "text", "doc_id", _N_MINHASH, _K_SHINGLE)
+
+
+_MINHASH_CORPUS_SQL = f"""
+    SELECT doc_id,
+      {_minhash_sql_cols()}
+    FROM ({_CORPUS_SQL})
+"""
+
+def _band_sql_values() -> str:
+    rows = []
+    for b in range(4):
+        concat = ", '|', ".join(f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4))
+        rows.append(
+            f"({b}, CAST(CONCAT('0x', substr(md5(CONCAT({concat})), 1, 15)) AS BIGINT))"
+        )
+    return ", ".join(rows)
+
+
+_BAND_SQL = _band_sql_values()
+
+
+@q(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sigs AS ({_MINHASH_CORPUS_SQL}),
+    banded AS (
+      SELECT doc_id, b.band, b.bh
+      FROM sigs, LATERAL (VALUES {_BAND_SQL}) AS b(band, bh)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH: 4 bands x 4 rows; band-hash bucket self-join ->
+    candidate near-dup pairs."""
+    sigs = dedup.minhash_signatures(
+        _corpus(spark, sf_dir), "text", "doc_id", _N_MINHASH, _K_SHINGLE
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", _N_MINHASH, 4)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH ex AS (
+      SELECT DISTINCT doc_id, s.sh
+      FROM ({_CORPUS_SQL}) c, LATERAL UNNEST({_SHINGLES}) AS s(sh)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common,
+           ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-5-gram Jaccard >= 0.5 pairs (the verify stage after
+    LSH): shingle explode + self-join + per-doc set sizes."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "text", "doc_id", _K_SHINGLE, 0.5
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q(
+    "simhash_near_dups",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_aggregate(list_transform(range(0, 60), i ->
+          CASE WHEN 2 * length(list_filter(
+                 list_transform({_WORDS}, w -> CAST(CONCAT('0x', substr(md5(w), 1, 15)) AS BIGINT)),
+                 h -> (h >> i) & 1 = 1))
+               > length({_WORDS})
+               THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
+      FROM ({_CORPUS_SQL})
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs: 60-bit majority signature, hamming <= 6."""
+    c = _corpus(spark, sf_dir).select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ===========================================================================
+# similarity search over embeddings
+# ===========================================================================
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum')"
+)
+_NORM_E = "sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))"
+_NORM_Q = "sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))"
+
+
+@q(
+    "cosine_topk",
+    f"""
+    SELECT e.vec_id, ROUND({_DOT_SQL} / ({_NORM_E} * {_NORM_Q}), 4) AS cosine
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY ROUND({_DOT_SQL} / ({_NORM_E} * {_NORM_Q}), 4) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbours of vec_id 0 (exactness
+    baseline; zip_with+aggregate dot product, TakeOrderedAndProject)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_EMB_CORPUS_SQL = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+@q(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH emb AS ({_EMB_CORPUS_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ROUND(
+        list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * b.embedding[i]), 'sum')
+        / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * a.embedding[i]), 'sum'))
+         * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.embedding[i] * b.embedding[i]), 'sum'))), 4) AS cosine
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * b.embedding[i]), 'sum')
+        / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * a.embedding[i]), 'sum'))
+         * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.embedding[i] * b.embedding[i]), 'sum'))) >= 0.99
+    """,
+)
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.99) over a corpus
+    with planted scaled duplicates (same direction, 2x magnitude)."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    pairs = dedup.embedding_near_dups(base.unionByName(planted), tau=0.99)
+    return pairs.withColumn("cosine", F.round("cosine", 4))
+
+
+@q(
+    "ivf_cells",
+    """
+    WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+        ROUND(
+          list_aggregate(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+          / (sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+           * sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))), 9) AS cos
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT cid AS cell, COUNT(*) AS n_vectors FROM assigned WHERE rn = 1 GROUP BY cid
+    """,
+)
+def q_ivf_cells(spark, sf_dir):
+    """IVF coarse quantization: assign every vector to its nearest of 4
+    seed centroids (vec_id 0-3); cell occupancy counts."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("c_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(dot / (norm(F.col("embedding")) * norm(F.col("c_emb"))), 9).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("cid"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return assigned.groupBy(F.col("cid").alias("cell")).agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

@@ -99,10 +99,9 @@ def lsh_candidate_pairs(
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
-        )
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        bh = portable_hash64(F.concat_ws("|", *cols))
+        bands.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "bb.band", "bb.bh")
@@ -134,21 +133,19 @@ def simhash64(text_col, k_tokens_hash_bits: int = 60):
         ),
     )
     n = F.size(hashes)
-    bits = F.sequence(F.lit(0), F.lit(k_tokens_hash_bits - 1))
-    majority_bits = F.transform(
-        bits,
-        lambda i: F.when(
-            F.size(
-                F.filter(hashes, lambda h: h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i.cast("int"))) != 0)
-            )
-            * 2
-            > n,
-            F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        majority_bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
-    )
+
+    # bit positions unrolled as literal masks (shift amounts must be
+    # plan-time constants); single-arg lambda REQUIRED — a two-arg
+    # lambda would be interpreted as the (element, index) HOF form
+    def bit_pred(mask):
+        return lambda h: h.bitwiseAND(mask) != 0
+
+    out = F.lit(0).cast("long")
+    for i in range(k_tokens_hash_bits):
+        mask = F.lit(1 << i).cast("long")
+        set_count = F.size(F.filter(hashes, bit_pred(mask)))
+        out = out + F.when(set_count * 2 > n, mask).otherwise(F.lit(0).cast("long"))
+    return out
 
 
 def hamming64(a, b):
