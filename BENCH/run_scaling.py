@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence for the north rule (N -> 4N parallelism).
+
+Runs the crawl bench (the full epoch-loop engine over a bench-scale
+synthetic mirror) twice in separate processes — local[8] and local[32]
+— on the SAME input size, and reports throughput at both plus
+efficiency = (T8/T32) / (32/8). Writes BENCH/BASELINE.md.
+
+Usage: python BENCH/run_scaling.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_once(cpus: int, n_pages: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_MIRROR_PAGES=str(n_pages),
+        BENCH_CRAWL_ONLY="1",
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    results = {}
+    for cpus in (8, 32):
+        r = run_once(cpus, n_pages)
+        results[cpus] = r
+        print(f"local[{cpus}]: {r['extra']}")
+
+    t8 = results[8]["extra"]["crawl_sec"]
+    t32 = results[32]["extra"]["crawl_sec"]
+    u8 = results[8]["extra"]["crawl_urls_per_sec"]
+    u32 = results[32]["extra"]["crawl_urls_per_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+
+    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence (north rule)
+
+Generated {stamp} by `python BENCH/run_scaling.py {n_pages}`.
+
+**Job**: the full crawl engine (bloom-prefiltered seen anti-join ->
+budget select -> salted fetch -> vectorized span extraction ->
+discovery dedup -> atomic snapshot commit) run to frontier-drain on a
+deterministic synthetic mirror of {n_pages} listing pages
+(~{n_pages * 22} profile pages + their image/link fan-out), identical
+input at both parallelism levels. Politeness-free budget (the
+compute-bound configuration); the politeness-enforced path is
+correctness-gated in tests/test_crawl_engine.py.
+
+| parallelism | crawl wall s | URLs fetched | URLs/s | pages/s |
+|---|---|---|---|---|
+| local[8]  (N)  | {t8} | {results[8]['extra']['urls_fetched']} | {u8} | {results[8]['extra']['crawl_pages_per_sec']} |
+| local[32] (4N) | {t32} | {results[32]['extra']['urls_fetched']} | {u32} | {results[32]['extra']['crawl_pages_per_sec']} |
+
+**Scaling efficiency (N -> 4N)** = (T_N / T_4N) / 4 = ({t8} / {t32}) / 4
+= **{eff:.3f}** (target >= 0.8).
+
+Reference single-process baseline: <= ~0.2 listing pages/s,
+effectively < 1 URL/s (politeness-bound sequential loop —
+BASELINE.md "implied crawl throughput"). The engine's compute-bound
+throughput above is the same traversal re-expressed as parallel
+epoch waves.
+"""
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

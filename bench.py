@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline operator queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the crawl
+engine end-to-end on a bench-scale synthetic mirror (politeness-free
+budget so throughput is compute-bound, matching BASELINE.json's
+"frontier URLs/sec + pages fetched/sec" metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-seconds of the headline queries (unit sec);
+the crawl throughput appears as queries.crawl_urls_per_sec /
+crawl_pages_per_sec and extra.* fields.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+BENCH_MIRROR_PAGES (listing pages; default scales with sf),
+BENCH_SKIP_CRAWL=1 to skip the crawl stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from webscrape_neko_jirushi_spark import schemas  # noqa: E402
+from webscrape_neko_jirushi_spark.crawl.engine import CrawlEngine, MirrorFetcher  # noqa: E402
+from webscrape_neko_jirushi_spark.crawl.snapshots import SnapshotStore  # noqa: E402
+from webscrape_neko_jirushi_spark.fixtures import mirror as M  # noqa: E402
+from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "advanced_cascade_stats",
+    "aggressive_cascade_stats",
+    "keep_first_dedup",
+    "ordinal_rename",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "sessionize_events",
+    "hourly_event_rollup",
+]
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def run_crawl(spark, n_pages: int, n_cpus: int) -> dict:
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        t0 = time.time()
+        mirror_path = M.spark_bench_mirror(
+            spark, os.path.join(tmp, "mirror"), n_pages=n_pages, rich=True
+        )
+        gen_s = time.time() - t0
+        pages = spark.read.parquet(mirror_path)
+
+        # politeness-free budget => compute-bound throughput; the
+        # politeness-enforced path is covered by correctness tests
+        budget = spark.createDataFrame([], schemas.HOST_BUDGET)
+        store = SnapshotStore(os.path.join(tmp, "state"), spark)
+        eng = CrawlEngine(
+            spark,
+            store,
+            MirrorFetcher(pages),
+            budget,
+            M.BASE_URL,
+            n_salts=max(n_cpus, 4),
+        )
+        seeds = [M.listing_url(p) for p in range(1, n_pages + 1)]
+        t1 = time.time()
+        eng.seed(seeds)
+        stats = eng.run(max_epochs=10)
+        crawl_s = time.time() - t1
+        fetched = sum(s.selected for s in stats)
+        docs = sum(s.documents for s in stats)
+        pages_fetched = docs + n_pages
+        return {
+            "mirror_gen_sec": round(gen_s, 2),
+            "crawl_sec": round(crawl_s, 2),
+            "epochs": len(stats),
+            "urls_fetched": fetched,
+            "documents": docs,
+            "crawl_urls_per_sec": round(fetched / crawl_s, 1),
+            "crawl_pages_per_sec": round(pages_fetched / crawl_s, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark("bench", cores=n_cpus)
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    if os.environ.get("BENCH_CRAWL_ONLY") != "1":
+        for name in HEADLINE:
+            timings[name] = round(run_query(spark, queries[name], sf_dir), 3)
+
+    extra: dict = {}
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        n_pages = int(
+            os.environ.get("BENCH_MIRROR_PAGES", max(200, int(20000 * sf)))
+        )
+        crawl = run_crawl(spark, n_pages, n_cpus)
+        timings["crawl_urls_per_sec"] = crawl["crawl_urls_per_sec"]
+        timings["crawl_pages_per_sec"] = crawl["crawl_pages_per_sec"]
+        extra = crawl
+
+    total = round(sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_plus_crawl_throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": n_cpus,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

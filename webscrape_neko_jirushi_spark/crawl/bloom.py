@@ -91,6 +91,37 @@ class BloomShards:
         bits = {r["shard"]: np.frombuffer(r["bits"], dtype=np.uint8) for r in rows}
         return cls(n_shards, n_bits, k, bits)
 
+    @classmethod
+    def empty(
+        cls, n_shards: int = 16, expected_per_shard: int = 1_000_000, fpr: float = 0.01
+    ) -> "BloomShards":
+        if n_shards & (n_shards - 1):
+            raise ValueError("n_shards must be a power of two")
+        n_bits = max(1024, int(-expected_per_shard * math.log(fpr) / (math.log(2) ** 2)))
+        n_bits = 1 << (n_bits - 1).bit_length()
+        k = max(1, round(n_bits / expected_per_shard * math.log(2))) if expected_per_shard else 7
+        return cls(n_shards, n_bits, min(k, 16), {})
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Driver-side incremental insert (per-epoch delta — avoids a
+        distributed rebuild job every epoch; a full distributed build()
+        runs only on resume)."""
+        if not len(hashes):
+            return
+        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+        for s in np.unique(shards):
+            arr = self.bits.get(int(s))
+            if arr is None:
+                arr = np.zeros(self.n_bits // 8, dtype=np.uint8)
+                self.bits[int(s)] = arr
+            elif not arr.flags.writeable:
+                arr = arr.copy()
+                self.bits[int(s)] = arr
+            pos = _bit_positions(hashes[shards == s], self.n_bits, self.k).ravel()
+            np.bitwise_or.at(
+                arr, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8)
+            )
+
     def might_contain_np(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized probe (driver/executor side)."""
         out = np.zeros(len(hashes), dtype=bool)

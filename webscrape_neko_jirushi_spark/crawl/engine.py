@@ -111,6 +111,7 @@ class CrawlEngine:
         n_salts: int = 4,
         fetch_images: bool = True,
         bloom_fpr: float = 0.01,
+        write_partitions: int | None = 8,
     ):
         self.spark = spark
         self.store = store
@@ -120,6 +121,10 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.fetch_images = fetch_images
         self.bloom_fpr = bloom_fpr
+        self.write_partitions = write_partitions
+        # driver-held incremental bloom over url_seen; rebuilt from the
+        # committed seen table on resume, extended per epoch after that
+        self._bloom: BloomShards | None = None
 
     # -- state --------------------------------------------------------------
     def frontier(self) -> DataFrame:
@@ -154,6 +159,21 @@ class CrawlEngine:
         )
         self.store.commit(0, replaces={"frontier": frontier})
 
+    def _ensure_bloom(self) -> BloomShards | None:
+        """Driver-incremental bloom; distributed rebuild only on resume."""
+        if self._bloom is None:
+            seen = self.url_seen()
+            if self.store.version() > 0:
+                # resume path: one distributed build over the seen table
+                self._bloom = BloomShards.build(
+                    seen, n_shards=16, expected_per_shard=1 << 20, fpr=self.bloom_fpr
+                )
+            else:
+                self._bloom = BloomShards.empty(
+                    n_shards=16, expected_per_shard=1 << 20, fpr=self.bloom_fpr
+                )
+        return self._bloom
+
     # -- one epoch ------------------------------------------------------------
     def run_epoch(self) -> EpochStats:
         epoch = self.store.epoch() + 1
@@ -163,14 +183,8 @@ class CrawlEngine:
         # J1: exact anti-join with sharded-bloom pre-filter. Bloom-negative
         # rows skip the join entirely; positives (incl. FPs) are re-checked
         # exactly, so the seen set stays exact.
-        seen_count = seen.count()
-        if seen_count > 0:
-            bloom = BloomShards.build(
-                seen,
-                n_shards=16,
-                expected_per_shard=max(1024, seen_count // 16 + 1),
-                fpr=self.bloom_fpr,
-            )
+        bloom = self._ensure_bloom()
+        if bloom is not None and bloom.bits:
             flagged = bloom.prefilter(self.spark, pending)
             definite_new = flagged.filter(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
             maybe = (
@@ -189,10 +203,17 @@ class CrawlEngine:
         selected = selected.repartition(
             max(self.spark.sparkContext.defaultParallelism, self.n_salts), "host", "shard"
         )
+        deferred = deferred.persist()
         fetched = self.fetcher.fetch(selected).persist()
-        n_selected = fetched.count()
+        # one combined count job (replaces separate count()s per branch)
+        counts = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("status_code") == 200).cast("long")).alias("ok"),
+        ).collect()[0]
+        n_selected, n_ok = counts["n"], int(counts["ok"] or 0)
         if n_selected == 0:
             fetched.unpersist()
+            deferred.unpersist()
             # nothing fetchable: frontier drained
             return EpochStats(epoch, 0, 0, 0, 0, 0, 0)
 
@@ -308,10 +329,6 @@ class CrawlEngine:
             )
         )
 
-        n_docs = docs.count()
-        n_disc = discoveries.count()
-        n_ok = ok.count()
-        n_pending_after = new_frontier.count()
         self.store.commit(
             epoch,
             appends={
@@ -321,9 +338,19 @@ class CrawlEngine:
                 "lineage": lineage_append,
             },
             replaces={"frontier": new_frontier},
+            write_partitions=self.write_partitions,
         )
+        # post-commit bookkeeping: counts on persisted/parquet-metadata
+        # inputs (cheap jobs) + driver bloom extension with epoch hashes
+        n_docs = docs.count()
+        n_pending_after = self.frontier().count()  # footer-only count
+        n_disc = n_pending_after - deferred.count()
+        new_hashes = fetched.select("url_hash").toPandas()["url_hash"].to_numpy()
+        if self._bloom is not None:
+            self._bloom.add_hashes(new_hashes)
         fetched.unpersist()
         docs_with_meta.unpersist()
+        deferred.unpersist()
         new_frontier.unpersist()
         return EpochStats(
             epoch=epoch,
@@ -339,14 +366,17 @@ class CrawlEngine:
         self, max_epochs: int = 100, target_docs: int | None = None
     ) -> list[EpochStats]:
         stats: list[EpochStats] = []
+        docs_total = self.documents().count() if target_docs is not None else 0
+        pending = self.frontier().count()
         for _ in range(max_epochs):
-            if target_docs is not None:
-                if self.documents().count() >= target_docs:
-                    break
-            if self.frontier().count() == 0:
+            if target_docs is not None and docs_total >= target_docs:
+                break
+            if pending == 0:
                 break
             s = self.run_epoch()
             stats.append(s)
+            docs_total += s.documents
+            pending = s.pending_after
             if s.selected == 0:
                 break
         return stats

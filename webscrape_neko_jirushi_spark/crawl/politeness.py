@@ -47,14 +47,33 @@ def select_budget(
     joined = candidates.join(F.broadcast(host_budget), "host", "left").fillna(
         {"max_per_epoch": 1 << 30, "min_delay_ms": 0}
     )
+    # fast path: a host with no delay and an unbounded budget needs no
+    # sequencing at all — skip the per-host ranking window (which sorts
+    # one hot host inside one partition) and spread by hash. Politeness
+    # semantics are vacuous for such hosts (no delay => no order
+    # constraint), so seq/schedule are pinned to 0.
+    free = joined.filter(
+        (F.col("min_delay_ms") <= 0) & (F.col("max_per_epoch") >= (1 << 30))
+    )
+    polite = joined.filter(
+        ~((F.col("min_delay_ms") <= 0) & (F.col("max_per_epoch") >= (1 << 30)))
+    )
+
     w = Window.partitionBy("host").orderBy("depth", "priority", "url_hash")
-    ranked = joined.withColumn("slot", F.row_number().over(w) - 1)
-    selected = (
+    ranked = polite.withColumn("slot", F.row_number().over(w) - 1)
+    selected_polite = (
         ranked.filter(F.col("slot") < F.col("max_per_epoch"))
         .withColumn("seq_in_host", F.col("slot") + 1)
         .withColumn("scheduled_ms", F.col("slot").cast("long") * F.col("min_delay_ms"))
         .withColumn("shard", F.pmod(F.col("slot"), F.lit(n_salts)).cast("int"))
     )
+    selected_free = (
+        free.withColumn("slot", F.lit(0))
+        .withColumn("seq_in_host", F.lit(0))
+        .withColumn("scheduled_ms", F.lit(0).cast("long"))
+        .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
+    )
+    selected = selected_polite.unionByName(selected_free)
     deferred = ranked.filter(F.col("slot") >= F.col("max_per_epoch")).drop(
         "slot", "max_per_epoch", "min_delay_ms"
     )

@@ -68,23 +68,32 @@ class SnapshotStore:
         epoch: int,
         appends: dict[str, DataFrame] | None = None,
         replaces: dict[str, DataFrame] | None = None,
+        write_partitions: int | None = None,
     ) -> int:
         """Write new data dirs, then atomically publish a new manifest.
 
         ``appends`` add a directory to the table's set; ``replaces``
         swap the whole set (used for the pending frontier, which shrinks).
         A crash before the final ``os.replace`` leaves HEAD untouched.
+        ``write_partitions`` coalesces each write (small-state epochs
+        produce 1-8 files instead of one per shuffle partition; leave
+        None on clusters where wide writes are wanted).
         """
         m = self._head() or {"version": 0, "epoch": 0, "tables": {}}
         tables: dict[str, list[str]] = {k: list(v) for k, v in m["tables"].items()}
 
+        def _write(df: DataFrame, d: str) -> None:
+            if write_partitions:
+                df = df.coalesce(write_partitions)
+            df.write.mode("overwrite").parquet(str(self.root / "data" / d))
+
         for name, df in (replaces or {}).items():
             d = f"{name}-{epoch:06d}-{uuid.uuid4().hex[:8]}"
-            df.write.mode("overwrite").parquet(str(self.root / "data" / d))
+            _write(df, d)
             tables[name] = [d]
         for name, df in (appends or {}).items():
             d = f"{name}-{epoch:06d}-{uuid.uuid4().hex[:8]}"
-            df.write.mode("overwrite").parquet(str(self.root / "data" / d))
+            _write(df, d)
             tables.setdefault(name, []).append(d)
 
         version = m["version"] + 1

@@ -106,10 +106,19 @@ def _listing_body(seed: int, page_num: int, n_pages: int, cats_per_page: int) ->
     )
 
 
-def _profile_body(seed: int, cat_id: int, all_ids: list[int]) -> str:
+def _profile_body(
+    seed: int,
+    cat_id: int,
+    id_lo: int,
+    id_hi: int,
+    rich: bool = False,
+) -> str:
     """HTML exercising the selector cascade. Containers hold only <img>
     tags (flat nesting) so both the DOM oracle and the vectorized regex
-    extractor parse them identically."""
+    extractor parse them identically. Pure function of scalars so page
+    generation itself can run distributed (bench-scale mirrors).
+    ``rich`` fattens the page (more images/links/details) for the
+    scaling bench."""
     r = _rng(seed, "profile", cat_id)
     name = r.choice(CAT_NAMES)
     title_tag = r.choice(["h1", "h2", "h3"])
@@ -125,8 +134,8 @@ def _profile_body(seed: int, cat_id: int, all_ids: list[int]) -> str:
     ]
 
     # detail key:value blocks (smart_cat_discovery.py:238-243)
-    n_details = r.randint(2, 5)
-    keys = r.sample(DETAIL_KEYS, n_details)
+    n_details = r.randint(2, 5) if not rich else r.randint(8, 14)
+    keys = [DETAIL_KEYS[r.randrange(len(DETAIL_KEYS))] for _ in range(n_details)]
     for k in keys:
         v = r.choice(DETAIL_VALUES[k])
         tag = r.choice(["div", "span"])
@@ -137,7 +146,7 @@ def _profile_body(seed: int, cat_id: int, all_ids: list[int]) -> str:
 
     # image mix
     gallery_imgs = []
-    n_gallery = r.randint(1, 4)
+    n_gallery = r.randint(1, 4) if not rich else r.randint(8, 16)
     for i in range(1, n_gallery + 1):
         gallery_imgs.append(f'<img src="/img/cat_{cat_id}_g{i}.jpg" alt="g{i}">')
     if r.random() < 0.5:
@@ -160,13 +169,14 @@ def _profile_body(seed: int, cat_id: int, all_ids: list[int]) -> str:
     parts.append('<img src="/static/site_logo.png" alt="logo">')
     parts.append('<img src="/static/spacer" alt="spacer">')
 
-    # outlinks (/foster/\d+/ regex, smart_cat_discovery.py:138)
-    n_links = r.randint(1, 3)
-    linked = r.sample(all_ids, min(n_links, len(all_ids)))
-    for lid in linked:
+    # outlinks (/foster/\d+/ regex, smart_cat_discovery.py:138) —
+    # targets sampled arithmetically from the id range (pure function)
+    n_links = r.randint(1, 3) if not rich else r.randint(5, 10)
+    for _ in range(n_links):
+        lid = id_lo + r.randrange(max(1, id_hi - id_lo))
         parts.append(f'<a href="/foster/{lid}/">related cat {lid}</a>')
     if r.random() < 0.5:
-        lid = r.choice(all_ids)
+        lid = id_lo + r.randrange(max(1, id_hi - id_lo))
         parts.append(
             '<div class="related-cats">'
             f'<a href="/foster/{lid}/">similar {lid}</a>'
@@ -200,6 +210,7 @@ def build_mirror(
             "body": _listing_body(seed, p, n_pages, cats_per_page),
         }
 
+    id_lo, id_hi = all_ids[0], all_ids[-1] + 1
     for cat_id in all_ids:
         url = f"{BASE_URL}{profile_path(cat_id)}"
         r = _rng(seed, "fail", cat_id)
@@ -217,7 +228,7 @@ def build_mirror(
                 "kind": "profile",
                 "status_code": 200,
                 "content_type": "text/html",
-                "body": _profile_body(seed, cat_id, all_ids),
+                "body": _profile_body(seed, cat_id, id_lo, id_hi),
             }
 
     # every image URL referenced anywhere resolves 200 with a media type
@@ -253,6 +264,74 @@ def lookup_page(mirror: Mirror, url: str) -> dict:
         "content_type": "text/html",
         "body": None,
     }
+
+
+def spark_bench_mirror(
+    spark,
+    out_dir: str,
+    n_pages: int = 2500,
+    cats_per_page: int = 22,
+    seed: int = 42,
+    rich: bool = True,
+):
+    """Bench-scale mirror written as parquet, with page-body generation
+    DISTRIBUTED over executors (mapInPandas over the id range) — the
+    driver never holds the corpus. Listing bodies (tiny) are built
+    driver-side. Returns the parquet path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    listing_rows = [
+        {
+            "url": listing_url(p),
+            "kind": "listing",
+            "status_code": 200,
+            "content_type": "application/json",
+            "body": _listing_body(seed, p, n_pages, cats_per_page),
+        }
+        for p in range(1, n_pages + 1)
+    ]
+    listings = spark.createDataFrame(pd.DataFrame(listing_rows))
+
+    id_lo = 226400
+    id_hi = id_lo + n_pages * cats_per_page
+
+    def _gen(it):
+        for pdf in it:
+            rows = []
+            for cat_id in pdf["id"]:
+                cat_id = int(cat_id)
+                r = _rng(seed, "fail", cat_id)
+                if r.random() < 0.01:
+                    rows.append(
+                        (f"{BASE_URL}{profile_path(cat_id)}", "profile", 404, "text/html", None)
+                    )
+                else:
+                    rows.append(
+                        (
+                            f"{BASE_URL}{profile_path(cat_id)}",
+                            "profile",
+                            200,
+                            "text/html",
+                            _profile_body(seed, cat_id, id_lo, id_hi, rich=rich),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "kind", "status_code", "content_type", "body"]
+            )
+
+    profiles = (
+        spark.range(id_lo, id_hi)
+        .repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+        .mapInPandas(
+            _gen,
+            schema="url string, kind string, status_code int, content_type string, body string",
+        )
+    )
+    listings.select("url", "kind", "status_code", "content_type", "body").unionByName(
+        profiles
+    ).write.mode("overwrite").parquet(out_dir)
+    return out_dir
 
 
 def host_budget_rows(max_per_epoch: int = 200, min_delay_ms: int = 10) -> list[dict]:
