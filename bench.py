@@ -80,7 +80,7 @@ def run_crawl(spark, n_pages: int, n_cpus: int) -> dict:
         eng = CrawlEngine(
             spark,
             store,
-            MirrorFetcher(pages),
+            MirrorFetcher(pages, co_partitions=64),
             budget,
             M.BASE_URL,
             n_salts=max(n_cpus, 4),
@@ -110,7 +110,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    spark = get_spark("bench", cores=n_cpus)
+    # fixed shuffle partitioning: the PLAN is identical at every
+    # parallelism level; only executor threads differ (the scaling axis)
+    spark = get_spark("bench", cores=n_cpus, shuffle_partitions=64)
 
     queries = entry.queries()
     timings: dict[str, float] = {}

@@ -29,7 +29,7 @@ from .. import schemas
 from ..functions.urls import canonicalize_url, host_col, url_hash_col
 from ..operators.spans import extract_spans, parse_listing
 from .bloom import BloomShards
-from .politeness import select_budget
+from .politeness import select_budget_annotated
 from .snapshots import SnapshotStore
 
 # priority encoding: children of a page get parent_priority * FANOUT +
@@ -47,9 +47,23 @@ class MirrorFetcher:
     URL (the scale-shape of a fetch stage — candidates shuffle to the
     data, bodies never move twice). Unknown media-looking URLs resolve
     to synthetic image responses, everything else 404
-    (fixtures.mirror.lookup_page semantics)."""
+    (fixtures.mirror.lookup_page semantics).
 
-    def __init__(self, pages: DataFrame):
+    ``co_partitions`` pre-hash-partitions AND caches the pages table on
+    the join key once, so every epoch's fetch join elides the big-side
+    exchange (only the small candidate side shuffles) and never rescans
+    parquet — the bucketed-table pattern, in-memory.
+
+    ``salted_input = False``: this fetcher joins by url, so the
+    engine's (host, salt) repartition of candidates would be a wasted
+    shuffle (an HTTP fetcher needs it; a join fetcher does not).
+    """
+
+    salted_input = False
+
+    def __init__(self, pages: DataFrame, co_partitions: int | None = None):
+        if co_partitions:
+            pages = pages.repartition(co_partitions, "url").persist()
         self.pages = pages
 
     def fetch(self, selected: DataFrame) -> DataFrame:
@@ -166,11 +180,11 @@ class CrawlEngine:
             if self.store.version() > 0:
                 # resume path: one distributed build over the seen table
                 self._bloom = BloomShards.build(
-                    seen, n_shards=16, expected_per_shard=1 << 20, fpr=self.bloom_fpr
+                    seen, n_shards=16, expected_per_shard=1 << 19, fpr=self.bloom_fpr
                 )
             else:
                 self._bloom = BloomShards.empty(
-                    n_shards=16, expected_per_shard=1 << 20, fpr=self.bloom_fpr
+                    n_shards=16, expected_per_shard=1 << 19, fpr=self.bloom_fpr
                 )
         return self._bloom
 
@@ -196,15 +210,32 @@ class CrawlEngine:
         else:
             candidates = pending
 
-        selected, deferred = select_budget(candidates, self.host_budget, self.n_salts)
-        # salted repartition: spread one host's fetch/parse work across
-        # shards while select_budget's slot arithmetic keeps the per-host
-        # politeness schedule exact (SURVEY §7.2 crux)
-        selected = selected.repartition(
-            max(self.spark.sparkContext.defaultParallelism, self.n_salts), "host", "shard"
+        # ONE cached DataFrame carries the bloom probe + ranking window;
+        # selected/deferred are cheap filters over it (without this the
+        # frontier commit recomputes the whole selection pipeline)
+        annotated = select_budget_annotated(
+            candidates, self.host_budget, self.n_salts
+        ).persist()
+        selected = annotated.filter(F.col("chosen"))
+        deferred = annotated.filter(~F.col("chosen")).drop(
+            "chosen", "slot", "seq_in_host", "scheduled_ms", "shard",
+            "max_per_epoch", "min_delay_ms",
         )
-        deferred = deferred.persist()
-        fetched = self.fetcher.fetch(selected).persist()
+        if getattr(self.fetcher, "salted_input", True):
+            # salted repartition: spread one host's fetch work across
+            # shards while select_budget's slot arithmetic keeps the
+            # per-host politeness schedule exact (SURVEY §7.2 crux).
+            # Join-based fetchers skip this (they reshuffle by url).
+            selected = selected.repartition(
+                max(self.spark.sparkContext.defaultParallelism, self.n_salts),
+                "host",
+                "shard",
+            )
+        fetched_full = self.fetcher.fetch(selected)
+        # persist only body-free columns: bodies are huge and flow ONLY
+        # into span extraction (one streaming pass join -> Arrow -> UDF);
+        # caching them would dominate memory + serialization time
+        fetched = fetched_full.drop("body").persist()
         # one combined count job (replaces separate count()s per branch)
         counts = fetched.agg(
             F.count("*").alias("n"),
@@ -213,14 +244,17 @@ class CrawlEngine:
         n_selected, n_ok = counts["n"], int(counts["ok"] or 0)
         if n_selected == 0:
             fetched.unpersist()
-            deferred.unpersist()
+            annotated.unpersist()
             # nothing fetchable: frontier drained
             return EpochStats(epoch, 0, 0, 0, 0, 0, 0)
 
         ok = fetched.filter(F.col("status_code") == 200)
 
-        # documents from profile pages
-        profiles = ok.filter(F.col("kind") == "profile")
+        # documents from profile pages (bodies stream straight from the
+        # fetch join into the extraction UDF, never cached)
+        profiles = fetched_full.filter(
+            (F.col("status_code") == 200) & (F.col("kind") == "profile")
+        )
         docs_with_meta = extract_spans(
             profiles.select("url", "body", "api_image_1", "depth", "priority"),
             self.base_url,
@@ -229,7 +263,10 @@ class CrawlEngine:
         docs = docs_with_meta.select("doc_id", "spans")
 
         # discoveries -----------------------------------------------------
-        listing_rows = parse_listing(ok.filter(F.col("kind") == "listing")).join(
+        listings_full = fetched_full.filter(
+            (F.col("status_code") == 200) & (F.col("kind") == "listing")
+        )
+        listing_rows = parse_listing(listings_full).join(
             ok.select(F.col("url").alias("listing_url"), "depth", "priority"),
             "listing_url",
         )
@@ -350,7 +387,7 @@ class CrawlEngine:
             self._bloom.add_hashes(new_hashes)
         fetched.unpersist()
         docs_with_meta.unpersist()
-        deferred.unpersist()
+        annotated.unpersist()
         new_frontier.unpersist()
         return EpochStats(
             epoch=epoch,

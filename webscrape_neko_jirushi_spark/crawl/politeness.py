@@ -29,53 +29,60 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def select_budget_annotated(
+    candidates: DataFrame,
+    host_budget: DataFrame,
+    n_salts: int = 4,
+) -> DataFrame:
+    """Annotate pending candidates with this epoch's selection: adds
+    ``chosen`` (fetch now vs defer), ``slot`` (0-based per host),
+    ``seq_in_host`` (1-based), ``scheduled_ms`` (token-bucket schedule),
+    ``shard`` (salt). ONE DataFrame so the caller can cache the bloom
+    probe + ranking window once and derive both branches by filter.
+
+    The window sorts one host's candidates in one partition — the
+    single-site skew point. The shuffle moves only (url, keys), not
+    page bodies, and the heavy fetch/parse work downstream runs on the
+    SALTED key. Hosts with no delay and unbounded budget skip the
+    window entirely (no order constraint to enforce) and spread by
+    hash — politeness semantics are vacuous for them.
+    """
+    joined = candidates.join(F.broadcast(host_budget), "host", "left").fillna(
+        {"max_per_epoch": 1 << 30, "min_delay_ms": 0}
+    )
+    is_free = (F.col("min_delay_ms") <= 0) & (F.col("max_per_epoch") >= (1 << 30))
+    free = joined.filter(is_free)
+    polite = joined.filter(~is_free)
+
+    w = Window.partitionBy("host").orderBy("depth", "priority", "url_hash")
+    ranked = (
+        polite.withColumn("slot", F.row_number().over(w) - 1)
+        .withColumn("chosen", F.col("slot") < F.col("max_per_epoch"))
+        .withColumn("seq_in_host", F.col("slot") + 1)
+        .withColumn("scheduled_ms", F.col("slot").cast("long") * F.col("min_delay_ms"))
+        .withColumn("shard", F.pmod(F.col("slot"), F.lit(n_salts)).cast("int"))
+    )
+    annotated_free = (
+        free.withColumn("slot", F.lit(0))
+        .withColumn("chosen", F.lit(True))
+        .withColumn("seq_in_host", F.lit(0))
+        .withColumn("scheduled_ms", F.lit(0).cast("long"))
+        .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
+    )
+    return ranked.unionByName(annotated_free)
+
+
 def select_budget(
     candidates: DataFrame,
     host_budget: DataFrame,
     n_salts: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
-    """Split pending candidates into (selected, deferred) for this epoch.
-
-    selected gains: slot (0-based per host), seq_in_host (1-based),
-    scheduled_ms, shard (salt), min_delay_ms.
-
-    The window sorts one host's candidates in one partition — the
-    single-site skew point. The shuffle moves only (url, keys), not
-    page bodies, and AQE skew-split handles residual imbalance; the
-    heavy fetch/parse work downstream runs on the SALTED key.
-    """
-    joined = candidates.join(F.broadcast(host_budget), "host", "left").fillna(
-        {"max_per_epoch": 1 << 30, "min_delay_ms": 0}
-    )
-    # fast path: a host with no delay and an unbounded budget needs no
-    # sequencing at all — skip the per-host ranking window (which sorts
-    # one hot host inside one partition) and spread by hash. Politeness
-    # semantics are vacuous for such hosts (no delay => no order
-    # constraint), so seq/schedule are pinned to 0.
-    free = joined.filter(
-        (F.col("min_delay_ms") <= 0) & (F.col("max_per_epoch") >= (1 << 30))
-    )
-    polite = joined.filter(
-        ~((F.col("min_delay_ms") <= 0) & (F.col("max_per_epoch") >= (1 << 30)))
-    )
-
-    w = Window.partitionBy("host").orderBy("depth", "priority", "url_hash")
-    ranked = polite.withColumn("slot", F.row_number().over(w) - 1)
-    selected_polite = (
-        ranked.filter(F.col("slot") < F.col("max_per_epoch"))
-        .withColumn("seq_in_host", F.col("slot") + 1)
-        .withColumn("scheduled_ms", F.col("slot").cast("long") * F.col("min_delay_ms"))
-        .withColumn("shard", F.pmod(F.col("slot"), F.lit(n_salts)).cast("int"))
-    )
-    selected_free = (
-        free.withColumn("slot", F.lit(0))
-        .withColumn("seq_in_host", F.lit(0))
-        .withColumn("scheduled_ms", F.lit(0).cast("long"))
-        .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
-    )
-    selected = selected_polite.unionByName(selected_free)
-    deferred = ranked.filter(F.col("slot") >= F.col("max_per_epoch")).drop(
-        "slot", "max_per_epoch", "min_delay_ms"
+    """(selected, deferred) view of ``select_budget_annotated``."""
+    annotated = select_budget_annotated(candidates, host_budget, n_salts)
+    selected = annotated.filter(F.col("chosen"))
+    deferred = annotated.filter(~F.col("chosen")).drop(
+        "chosen", "slot", "seq_in_host", "scheduled_ms", "shard",
+        "max_per_epoch", "min_delay_ms",
     )
     return selected, deferred
 

@@ -84,7 +84,11 @@ class SnapshotStore:
 
         def _write(df: DataFrame, d: str) -> None:
             if write_partitions:
-                df = df.coalesce(write_partitions)
+                # repartition, NOT coalesce: coalesce would collapse the
+                # upstream stages (extraction, joins) to this parallelism;
+                # a round-robin shuffle of the small output rows keeps
+                # upstream wide and still yields few output files
+                df = df.repartition(write_partitions)
             df.write.mode("overwrite").parquet(str(self.root / "data" / d))
 
         for name, df in (replaces or {}).items():
