@@ -73,6 +73,11 @@ def run_crawl(spark, n_pages: int, n_cpus: int) -> dict:
         gen_s = time.time() - t0
         pages = spark.read.parquet(mirror_path)
 
+        # broadcast-hash builds run serially on the driver; with the
+        # growing seen-set joined every epoch they become the Amdahl
+        # term — prefer parallel shuffle joins for the crawl
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
         # politeness-free budget => compute-bound throughput; the
         # politeness-enforced path is covered by correctness tests
         budget = spark.createDataFrame([], schemas.HOST_BUDGET)
@@ -103,6 +108,7 @@ def run_crawl(spark, n_pages: int, n_cpus: int) -> dict:
             "crawl_pages_per_sec": round(pages_fetched / crawl_s, 1),
         }
     finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         shutil.rmtree(tmp, ignore_errors=True)
 
 

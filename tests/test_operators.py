@@ -1,0 +1,173 @@
+"""Unit tests for analytics operators (beyond the DuckDB oracle gate):
+filter-cascade goldens with planted edge cases (SURVEY.md §5.2 item 5),
+dedup family behavior, text analysis, reorganize windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscrape_neko_jirushi_spark import schemas
+from webscrape_neko_jirushi_spark.operators import cleaning, dedup, reorganize, similarity
+from webscrape_neko_jirushi_spark.text import analysis
+
+
+def _img(doc_id, idx, filename="image_1.jpg", size=20000, w=500, h=500,
+         mode="RGB", alpha=255, top=0.2, warm=0.3, md5="m"):
+    return (doc_id, idx * 1000, idx, f"https://h/{filename}", filename, "image/jpeg",
+            size, w, h, mode, alpha, top, warm, md5)
+
+
+IMG_COLS = ("doc_id string, src_key long, image_idx int, url string, filename string,"
+            " content_type string, size_bytes long, width int, height int, mode string,"
+            " alpha_max int, top_color_ratio double, warm_ratio double, md5 string")
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        _img("cat_1", 1),                                      # clean keeper
+        _img("cat_1", 2, size=43),                             # suspicious exact size (AC:72)
+        _img("cat_1", 3, size=4999),                           # below 5KB min
+        _img("cat_2", 1, filename="site_logo.png"),            # pattern reject
+        _img("cat_2", 2, w=99),                                # below min dim
+        _img("cat_2", 3, w=10001),                             # above max dim
+        _img("cat_3", 1, w=2000, h=150),                       # aspect 13.33 > 10
+        _img("cat_3", 2, mode="RGBA", alpha=30),               # mostly transparent
+        _img("cat_4", 1, size=43),                             # fully-removed group
+        _img("cat_5", 1, md5="dup"), _img("cat_5", 2, md5="dup"),
+        _img("cat_6", 1, md5="dup"),                           # cross-group duplicate
+        _img("cat_7", 1, size=6490),                           # AGG problematic size
+        _img("cat_7", 2, w=299),                               # AGG min dim 300
+        _img("cat_7", 3, top=0.9),                             # uniform color
+    ]
+    return spark.createDataFrame(rows, IMG_COLS)
+
+
+def test_advanced_cascade_reasons(images):
+    out = {(r["doc_id"], r["image_idx"]): r for r in cleaning.advanced_cascade(images).collect()}
+    assert out[("cat_1", 1)]["keep"] is True
+    assert out[("cat_1", 2)]["reason"] == "File size suspicious: 43"
+    assert out[("cat_1", 3)]["reason_category"] == "file_size"
+    assert out[("cat_2", 1)]["reason_category"] == "pattern"
+    assert out[("cat_2", 2)]["reason"] == "Too small: 99x500"
+    assert out[("cat_2", 3)]["reason"] == "Too large: 10001x500"
+    assert out[("cat_3", 1)]["reason"] == "Bad aspect ratio: 13.33"
+    assert out[("cat_3", 2)]["reason"] == "Mostly transparent"
+    # first-match-wins: size beats pattern beats dimension (AC:128-149)
+    assert out[("cat_4", 1)]["reason_category"] == "file_size"
+
+
+def test_cleaning_stats_fully_removed(images):
+    stats = cleaning.cleaning_stats(cleaning.advanced_cascade(images), "doc_id").collect()[0]
+    assert stats["total_groups"] == 7
+    assert stats["total_images_before"] == 15
+    assert stats["groups_fully_removed"] == 3  # cat_2, cat_3, cat_4
+
+
+def test_aggressive_cascade(images):
+    out = {(r["doc_id"], r["image_idx"]): r for r in cleaning.aggressive_cascade(images).collect()}
+    # note: every AG "problematic size" is below the 10KB minimum, so
+    # the size check fires first — faithful to AG:149-160 order
+    assert out[("cat_7", 1)]["reason"] == "File too small: 6490"
+    assert out[("cat_7", 2)]["reason"] == "Too small: 299x500"
+    assert out[("cat_7", 3)]["reason"] == "Too uniform (likely logo/icon)"
+    assert out[("cat_1", 1)]["keep"] is True
+
+
+def test_keep_first_dedup_deterministic(images):
+    survivors = dedup.exact_dedup(images, "md5", ["doc_id", "image_idx", "src_key"])
+    dup_rows = survivors.filter(F.col("md5") == "dup").collect()
+    assert len(dup_rows) == 1
+    assert (dup_rows[0]["doc_id"], dup_rows[0]["image_idx"]) == ("cat_5", 1)
+    groups = {r["md5"]: r for r in dedup.duplicate_groups(images, "md5", "doc_id").collect()}
+    assert groups["dup"]["n_members"] == 3
+
+
+def test_yolo_filter_exists(spark):
+    rows = [
+        ("a", [(0.9, [0.0, 0.0, 1.0, 1.0]), (0.2, [0.0, 0.0, 1.0, 1.0])]),
+        ("b", [(0.1, [0.0, 0.0, 1.0, 1.0])]),
+        ("c", []),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, detections array<struct<confidence double, bbox array<double>>>"
+    )
+    out = {r["doc_id"]: r for r in cleaning.yolo_filter(df, 0.3).collect()}
+    assert out["a"]["keep"] and out["a"]["detection_count"] == 1
+    assert out["a"]["avg_confidence"] == 0.9
+    assert not out["b"]["keep"] and not out["c"]["keep"] and not out["d"]["keep"]
+
+
+def test_minhash_similar_docs_collide(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today?"),
+        (3, "completely different words about spark catalyst tungsten execution engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "text", "doc_id", 16, 5)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    jac = dedup.ngram_jaccard_pairs(df, "text", "doc_id", 5, 0.5).collect()
+    assert len(jac) == 1 and jac[0]["id_a"] == 1 and jac[0]["jaccard"] > 0.7
+
+
+def test_simhash_hamming(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["sh"] for r in df.select("doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()}
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "this is a plain english sentence with enough words to score well for the test"),
+        (2, "猫はとても可愛い動物ですにゃんにゃん"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        analysis.lang_id(F.col("text")).alias("lang"),
+        analysis.token_count(F.col("text")).alias("tokens"),
+        analysis.quality_score(F.col("text")).alias("q"),
+    ).collect()}
+    assert out[1]["lang"] == "en" and out[2]["lang"] == "ja"
+    assert out[1]["tokens"] == 15 and out[3]["tokens"] == 0
+    assert out[1]["q"] >= 3 and out[3]["q"] <= 1
+
+
+def test_renumber_and_ordinal(spark):
+    cats = spark.createDataFrame(
+        [(5, None, "Momo", None, None), (2, "  ", None, None, "copy A"), (9, None, None, None, None)],
+        "cat_id long, name string, cat_name string, title string, catch_copy string",
+    )
+    out = {r["cat_id"]: r["new_dir"] for r in reorganize.renumber_groups(cats).collect()}
+    assert out[2] == "cat_0001_copy_A"
+    assert out[5] == "cat_0002_Momo"
+    assert out[9] == "cat_0003_cat_9"
+
+
+def test_cosine_topk_and_ann_agree(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, query, k=5).collect()]
+    assert exact[0] == 0  # self is nearest
+    approx = [r["vec_id"] for r in similarity.ann_topk_lsh(df, query, k=5, bits=6).collect()]
+    assert approx[0] == 0
+    # ANN recall sanity: at least 2 of exact top-5 in approx top-5
+    assert len(set(exact) & set(approx)) >= 2

@@ -126,6 +126,7 @@ class CrawlEngine:
         fetch_images: bool = True,
         bloom_fpr: float = 0.01,
         write_partitions: int | None = 8,
+        collect_stats: bool = True,
     ):
         self.spark = spark
         self.store = store
@@ -136,6 +137,10 @@ class CrawlEngine:
         self.fetch_images = fetch_images
         self.bloom_fpr = bloom_fpr
         self.write_partitions = write_partitions
+        # False skips the optional per-epoch bookkeeping counts
+        # (documents/discoveries in EpochStats become -1) — fewer
+        # driver-serial jobs on the throughput path
+        self.collect_stats = collect_stats
         # driver-held incremental bloom over url_seen; rebuilt from the
         # committed seen table on resume, extended per epoch after that
         self._bloom: BloomShards | None = None
@@ -379,9 +384,13 @@ class CrawlEngine:
         )
         # post-commit bookkeeping: counts on persisted/parquet-metadata
         # inputs (cheap jobs) + driver bloom extension with epoch hashes
-        n_docs = docs.count()
         n_pending_after = self.frontier().count()  # footer-only count
-        n_disc = n_pending_after - deferred.count()
+        if self.collect_stats:
+            n_docs = docs.count()
+            n_disc = n_pending_after - deferred.count()
+        else:
+            n_docs = -1
+            n_disc = -1
         new_hashes = fetched.select("url_hash").toPandas()["url_hash"].to_numpy()
         if self._bloom is not None:
             self._bloom.add_hashes(new_hashes)
