@@ -1,0 +1,79 @@
+"""Deletion-safe recrawl (north rule: cuckoo-filter variant).
+
+The reference never recrawls: a scraped id stays in ``scraped_cats``
+forever. At frontier scale, freshness requires expiring URLs from the
+seen set after a TTL so they become fetchable again. Blooms cannot
+delete; the cuckoo shards can — so the recrawl path is:
+
+1. pick expired URLs from ``fetch_log`` (fetched more than
+   ``ttl_epochs`` ago, best fetch per URL);
+2. delete their hashes from the driver's cuckoo shards (engine builds
+   them instead of blooms when ``use_cuckoo=True`` — same probe API);
+3. anti-delete from the ``url_seen`` table (rewrite minus expired);
+4. re-queue the expired URLs as pending frontier rows (depth/priority
+   preserved; epoch = current).
+
+One snapshot commit makes 3+4 atomic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import schemas
+from .engine import CrawlEngine
+
+
+def recrawl_expired(engine: CrawlEngine, ttl_epochs: int) -> int:
+    """Expire URLs last fetched more than ttl_epochs ago; returns the
+    number of URLs re-queued."""
+    current = engine.store.epoch()
+    cutoff = current - ttl_epochs
+    if cutoff <= 0:
+        return 0
+
+    log = engine.fetch_log()
+    last_fetch = log.groupBy("url_hash").agg(
+        F.max("epoch").alias("last_epoch"),
+        F.max_by("url", "epoch").alias("url"),
+        F.max_by("host", "epoch").alias("host"),
+    )
+    expired = last_fetch.filter(F.col("last_epoch") <= cutoff).persist()
+    n = expired.count()
+    if n == 0:
+        expired.unpersist()
+        return 0
+
+    seen = engine.url_seen()
+    new_seen = seen.join(expired.select("url_hash"), "url_hash", "left_anti")
+    requeued = expired.select(
+        "url",
+        "url_hash",
+        "host",
+        F.lit(1).alias("depth"),
+        # stable deterministic re-fetch order, small enough that
+        # children's priority encoding (priority * 4096 + idx) can't
+        # overflow a long even several levels deep
+        F.pmod(F.col("url_hash"), F.lit(1 << 20)).cast("long").alias("priority"),
+        F.lit(current).alias("epoch"),
+        F.lit("pending").alias("status"),
+        F.lit(None).cast("string").alias("api_image_1"),
+    ).select([f.name for f in schemas.FRONTIER.fields])
+    frontier = engine.frontier().unionByName(requeued)
+
+    engine.store.commit(
+        current,
+        replaces={"url_seen": new_seen, "frontier": frontier},
+        write_partitions=engine.write_partitions,
+    )
+    # driver-side filter state: cuckoo supports delete; a bloom cannot,
+    # so after expiry the bloom must be rebuilt from the new seen table
+    if engine._bloom is not None:  # noqa: SLF001
+        hashes = [r["url_hash"] for r in expired.select("url_hash").collect()]
+        cuckoo = getattr(engine, "_cuckoo", None)
+        if cuckoo is not None:
+            for h in hashes:
+                cuckoo.delete(h)
+        engine._bloom = None  # force rebuild from the committed seen table
+    expired.unpersist()
+    return n
