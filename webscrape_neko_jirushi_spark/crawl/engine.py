@@ -11,6 +11,13 @@ Each epoch is one batch DataFrame pipeline committed atomically:
       -> single snapshot commit: documents/url_seen/fetch_log/
          lineage appends + frontier replace                      (T2)
 
+Also covers: S11 (state sinks = snapshot commits), T5 (failures become
+fetch_log rows, dead-lettered via anti-join), T6 (stop conditions:
+frontier drain / target cap in ``run``), T7 (url_seen grows
+monotonically across epochs), D2 (stage preconditions = snapshot
+version checks in ``seed``), D3 (config cascade = constructor knobs),
+P11 (lineage ``committed_at`` timestamping).
+
 The reference's analogue is the sequential loop at
 comprehensive_scraper.py:301-336 (page -> profiles -> images, progress
 saved per page); here the same traversal is a parallel wave per epoch

@@ -1,5 +1,9 @@
 """Fetcher implementations (SURVEY.md §2.8 F3, §2.1 S3/S8).
 
+P12 (the reference's ``json.dumps(search_cond)`` POST-body encode,
+CS:121-124) lives in the HTTP fetcher's request construction; the
+listing-page URL scheme of the mirror stands in for it in tests.
+
 The engine is fetcher-agnostic: anything with
 ``fetch(selected: DataFrame) -> DataFrame`` adding (kind, status_code,
 content_type, body) works. Three shapes:

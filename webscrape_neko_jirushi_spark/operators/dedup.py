@@ -1,6 +1,10 @@
 """Deduplication operators (SURVEY.md §2.4 A8 + §2.5 W1, extended to
 the near-dup family a training-data pipeline needs).
 
+F6 (md5 content hashing) is the builtin ``md5``/portable hash below.
+J6 (seed the seen set from already-scraped state) is the engine's
+resume path: the committed url_seen table IS the existing-dir set.
+
 The reference's only dedup is exact MD5 grouping with keep-first
 (aggressive_cleaning.py:84-91 hash, :170-197 group + keep paths[0]).
 Here:

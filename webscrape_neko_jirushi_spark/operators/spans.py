@@ -13,6 +13,10 @@ The span order contract (asserted per-row against the sequential DOM
 oracle in ``crawl/oracle.py``): ``[title?, description?, details...,
 images..., links...]`` with 0-based contiguous ``offset``.
 
+Covers F1 (listing ``from_json`` parse — no UDF), F2 (span extraction),
+J4 (within-page keep-first image dedup, CS:185,198), W4 (span-order
+preservation incl. the image_1-first rule).
+
 Spark side runs this as ``mapInPandas`` — one Arrow batch of page rows
 in, one batch of (doc_id, spans) out; regex parsing over the batch, no
 row-at-a-time Python UDF. Listing pages are parsed with builtin
