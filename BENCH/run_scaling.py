@@ -27,6 +27,10 @@ def run_once(cpus: int, n_pages: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_MIRROR_PAGES=str(n_pages),
         BENCH_CRAWL_ONLY="1",
+        # compute-bound configuration: pages-only crawl (image URLs are
+        # a pure join+write wave — disk-bound on this shared host, so
+        # including them measures the disk, not the engine's scaling)
+        BENCH_FETCH_IMAGES="0",
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -65,11 +69,13 @@ Generated {stamp} by `SCALING_N={n_lo} python BENCH/run_scaling.py {n_pages}`.
 budget select -> salted fetch -> vectorized span extraction ->
 discovery dedup -> atomic snapshot commit) run to frontier-drain on a
 deterministic synthetic mirror of {n_pages} listing pages
-(~{n_pages * 22} profile pages + their image/link fan-out), identical
-input + identical plan (64 shuffle partitions) at both parallelism
-levels — only executor threads differ. Politeness-free budget (the
-compute-bound configuration); the politeness-enforced path is
-correctness-gated in tests/test_crawl_engine.py.
+(~{n_pages * 22} heavyweight profile pages; span extraction + link
+discovery + snapshot commits), identical input + identical plan (64
+shuffle partitions) at both parallelism levels — only executor threads
+differ. Politeness-free budget and pages-only fetch (the compute-bound
+configuration; the politeness-enforced path and the image fan-out are
+correctness-gated in tests/test_crawl_engine.py and exercised in the
+throughput bench).
 
 **Parallelism pair**: local[{n_lo}] vs local[{n_hi}]. The sandbox host
 shares CPUs with external load (a pure-CPU probe shows 32 concurrent

@@ -133,8 +133,10 @@ def _profile_body(
         f'<{desc_tag} class="{desc_cls}">{desc}</{desc_tag}>',
     ]
 
-    # detail key:value blocks (smart_cat_discovery.py:238-243)
-    n_details = r.randint(2, 5) if not rich else r.randint(8, 14)
+    # detail key:value blocks (smart_cat_discovery.py:238-243).
+    # rich mode approximates real page weight (the test default is a
+    # minimal page; production HTML runs 50-200 KB)
+    n_details = r.randint(2, 5) if not rich else r.randint(20, 40)
     keys = [DETAIL_KEYS[r.randrange(len(DETAIL_KEYS))] for _ in range(n_details)]
     for k in keys:
         v = r.choice(DETAIL_VALUES[k])
@@ -146,7 +148,7 @@ def _profile_body(
 
     # image mix
     gallery_imgs = []
-    n_gallery = r.randint(1, 4) if not rich else r.randint(8, 16)
+    n_gallery = r.randint(1, 4) if not rich else r.randint(24, 48)
     for i in range(1, n_gallery + 1):
         gallery_imgs.append(f'<img src="/img/cat_{cat_id}_g{i}.jpg" alt="g{i}">')
     if r.random() < 0.5:
@@ -171,7 +173,7 @@ def _profile_body(
 
     # outlinks (/foster/\d+/ regex, smart_cat_discovery.py:138) —
     # targets sampled arithmetically from the id range (pure function)
-    n_links = r.randint(1, 3) if not rich else r.randint(5, 10)
+    n_links = r.randint(1, 3) if not rich else r.randint(12, 24)
     for _ in range(n_links):
         lid = id_lo + r.randrange(max(1, id_hi - id_lo))
         parts.append(f'<a href="/foster/{lid}/">related cat {lid}</a>')
