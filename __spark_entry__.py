@@ -71,10 +71,10 @@ def _images(spark, sf_dir):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,4)))                       AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4)))                  AS sum_base_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-           COUNT(*)                                                     AS count_order
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)        AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)   AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*)                                                      AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -88,13 +88,14 @@ def q_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_base_price"),
+            # decimal accumulation (engine-exact), plain double out
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(18,4)"
                 )
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -105,7 +106,7 @@ def q_pricing_summary(spark, sf_dir):
     """
     SELECT COALESCE(doc_id, '<ALL>') AS doc_id,
            COUNT(*) AS n_images,
-           SUM(CAST(size_bytes AS DECIMAL(18,0))) AS total_bytes
+           CAST(SUM(CAST(size_bytes AS DECIMAL(18,0))) AS BIGINT) AS total_bytes
     FROM (%s) images
     GROUP BY ROLLUP(doc_id)
     """
@@ -119,7 +120,7 @@ def q_per_group_rollup(spark, sf_dir):
         .rollup("doc_id")
         .agg(
             F.count("*").alias("n_images"),
-            F.sum(F.col("size_bytes").cast("decimal(18,0)")).alias("total_bytes"),
+            F.sum(F.col("size_bytes").cast("decimal(18,0)")).cast("long").alias("total_bytes"),
         )
         .withColumn("doc_id", F.coalesce(F.col("doc_id"), F.lit("<ALL>")))
     )
@@ -756,7 +757,7 @@ def q_sessionize_events(spark, sf_dir):
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
            event_type, COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY hour, event_type
     """,
 )
@@ -769,7 +770,7 @@ def q_hourly_event_rollup(spark, sf_dir):
         "event_type",
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
 
 
@@ -891,6 +892,26 @@ def q_doc_token_stats(spark, sf_dir):
         analysis.token_count(t).alias("n_tokens"),
         F.length(t).alias("n_chars"),
         F.round(1.0 - analysis.punct_ratio(t), 6).alias("non_punct_ratio"),
+    )
+
+
+@q(
+    "bpe_token_counts",
+    f"""
+    SELECT doc_id,
+      CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        w -> CAST(ceil(length(regexp_replace(w, '[^a-zA-Z0-9_]', '', 'g')) / 4.0) AS BIGINT)
+             + length(regexp_replace(w, '[a-zA-Z0-9_\\s]', '', 'g'))), 'sum') AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """Sub-word (BPE-ish) token sizing: per word ceil(len/4) word-char
+    chunks + one token per punctuation char — deterministic stand-in
+    for tokenizer-based corpus sizing."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", analysis.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
     )
 
 
