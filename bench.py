@@ -132,6 +132,11 @@ def main() -> None:
     if os.path.isdir("/dev/shm"):
         local_dir = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
         extra["spark.local.dir"] = local_dir
+    if os.environ.get("BENCH_AQE") == "0":
+        # AQE submits one job per shuffle stage (driver-serial planning
+        # round-trips); with the bench's fixed 64-partition plan and
+        # uniform data it buys nothing — allow turning it off
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark("bench", cores=n_cpus, shuffle_partitions=64, extra_conf=extra)
 
     queries = entry.queries()
