@@ -417,11 +417,11 @@ _ADV_CASCADE_SQL = f"""
     "advanced_cascade_stats",
     f"""
     SELECT COUNT(*) AS total_groups,
-           SUM(images_before) AS total_images_before,
-           SUM(images_after) AS total_images_after,
-           SUM(removed_count) AS removed_images,
-           SUM(CASE WHEN removed_count > 0 THEN 1 ELSE 0 END) AS groups_with_removals,
-           SUM(CASE WHEN images_after = 0 THEN 1 ELSE 0 END) AS groups_fully_removed
+           CAST(SUM(images_before) AS BIGINT) AS total_images_before,
+           CAST(SUM(images_after) AS BIGINT) AS total_images_after,
+           CAST(SUM(removed_count) AS BIGINT) AS removed_images,
+           CAST(SUM(CASE WHEN removed_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS groups_with_removals,
+           CAST(SUM(CASE WHEN images_after = 0 THEN 1 ELSE 0 END) AS BIGINT) AS groups_fully_removed
     FROM (
       SELECT doc_id, COUNT(*) AS images_before,
              SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS images_after,
@@ -456,11 +456,11 @@ def q_advanced_removal_breakdown(spark, sf_dir):
     "aggressive_cascade_stats",
     f"""
     SELECT COUNT(*) AS total_groups,
-           SUM(images_before) AS total_images_before,
-           SUM(images_after) AS total_images_after,
-           SUM(removed_count) AS removed_images,
-           SUM(CASE WHEN removed_count > 0 THEN 1 ELSE 0 END) AS groups_with_removals,
-           SUM(CASE WHEN images_after = 0 THEN 1 ELSE 0 END) AS groups_fully_removed
+           CAST(SUM(images_before) AS BIGINT) AS total_images_before,
+           CAST(SUM(images_after) AS BIGINT) AS total_images_after,
+           CAST(SUM(removed_count) AS BIGINT) AS removed_images,
+           CAST(SUM(CASE WHEN removed_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS groups_with_removals,
+           CAST(SUM(CASE WHEN images_after = 0 THEN 1 ELSE 0 END) AS BIGINT) AS groups_fully_removed
     FROM (
       SELECT doc_id, COUNT(*) AS images_before,
              SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS images_after,
@@ -805,7 +805,7 @@ def q_per_extension_counts(spark, sf_dir):
     "before_after_with_reasons",
     f"""
     SELECT doc_id, COUNT(*) AS images_before,
-           SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS images_after,
+           CAST(SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS images_after,
            COALESCE(string_agg(reason, ';' ORDER BY reason), '') AS reasons
     FROM ({_ADV_CASCADE_SQL}) c GROUP BY doc_id
     """,
