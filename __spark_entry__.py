@@ -1072,7 +1072,17 @@ def q_lsh_candidate_pairs(spark, sf_dir):
 @q(
     "ngram_jaccard_pairs",
     f"""
-    WITH ex AS (
+    WITH sigs AS ({_MINHASH_CORPUS_SQL}),
+    banded AS (
+      SELECT doc_id, b.band, b.bh
+      FROM sigs, LATERAL (VALUES {_BAND_SQL}) AS b(band, bh)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    ex AS (
       SELECT DISTINCT doc_id, s.sh
       FROM ({_CORPUS_SQL}) c, LATERAL UNNEST({_SHINGLES}) AS s(sh)
     ),
@@ -1085,16 +1095,23 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     SELECT id_a, id_b, n_common,
            ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
     FROM inter
+    JOIN cands USING (id_a, id_b)
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """,
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact word-5-gram Jaccard >= 0.5 pairs (the verify stage after
-    LSH): shingle explode + self-join + per-doc set sizes."""
+    """Exact word-5-gram Jaccard >= 0.5 verify RESTRICTED to MinHash-LSH
+    candidates — the scale form: the shingle-intersection join is driven
+    by the candidate pairs (two equi-joins), never the full self-join.
+    Candidate generation is the same 4x4 banding as
+    ``lsh_candidate_pairs``."""
+    c = _corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(c, "text", "doc_id", _N_MINHASH, _K_SHINGLE)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", _N_MINHASH, 4)
     pairs = dedup.ngram_jaccard_pairs(
-        _corpus(spark, sf_dir), "text", "doc_id", _K_SHINGLE, 0.5
+        c, "text", "doc_id", _K_SHINGLE, 0.5, candidates=cands
     )
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
@@ -1119,19 +1136,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """,
 )
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs: 60-bit majority signature, hamming <= 6."""
+    """SimHash near-dup pairs: 60-bit majority signature, hamming <= 6,
+    found via pigeonhole banding (7 bands, equi-join on (band, chunk))
+    — provably the same pair set as the brute-force join the oracle
+    runs, with no cartesian product in the physical plan."""
     c = _corpus(spark, sf_dir).select(
         "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
     )
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 6)
+    return dedup.simhash_banded_pairs(
+        c, "doc_id", "simhash", max_hamming=6, n_bits=60
     )
 
 
@@ -1200,16 +1213,44 @@ _EMB_CORPUS_SQL = """
 """
 
 
+_EMB_LSH_BANDS = 4
+_EMB_LSH_BITS = 8
+
 @q(
     "embedding_near_dup_pairs",
     f"""
-    WITH emb AS ({_EMB_CORPUS_SQL})
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH emb AS ({_EMB_CORPUS_SQL}),
+    planes AS (
+      SELECT CAST(p.p // {_EMB_LSH_BITS} AS INTEGER) AS band,
+             CAST(p.p % {_EMB_LSH_BITS} AS INTEGER) AS bit,
+             CAST(j.dim AS INTEGER) AS dim,
+             CAST(CONCAT('0x', substr(md5(CONCAT(p.p, '|', j.dim)), 1, 15)) AS BIGINT)
+               / 576460752303423488.0 - 1.0 AS w
+      FROM range(0, {_EMB_LSH_BANDS * _EMB_LSH_BITS}) p(p), range(1, 65) j(dim)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.band, pl.bit, SUM(e.embedding[pl.dim] * pl.w) AS s
+      FROM emb e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.band, pl.bit
+    ),
+    buckets AS (
+      SELECT vec_id, band,
+        SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id, band
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
       ROUND(
         list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * b.embedding[i]), 'sum')
         / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * a.embedding[i]), 'sum'))
          * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.embedding[i] * b.embedding[i]), 'sum'))), 4) AS cosine
-    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    FROM cands c
+    JOIN emb a ON a.vec_id = c.id_a
+    JOIN emb b ON b.vec_id = c.id_b
     WHERE list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * b.embedding[i]), 'sum')
         / (sqrt(list_aggregate(list_transform(range(1, 65), i -> a.embedding[i] * a.embedding[i]), 'sum'))
          * sqrt(list_aggregate(list_transform(range(1, 65), i -> b.embedding[i] * b.embedding[i]), 'sum'))) >= 0.99
@@ -1217,7 +1258,10 @@ _EMB_CORPUS_SQL = """
 )
 def q_embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.99) over a corpus
-    with planted scaled duplicates (same direction, 2x magnitude)."""
+    with planted scaled duplicates, via banded hyperplane LSH: candidate
+    pairs from a (band, bucket) equi-join, exact cosine verify on the
+    candidates only — no O(n^2) pair space. The md5-derived hyperplanes
+    are engine-portable, so the oracle regenerates them in SQL."""
     e = load(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -1227,7 +1271,11 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
     )
-    pairs = dedup.embedding_near_dups(base.unionByName(planted), tau=0.99)
+    corpus = base.unionByName(planted)
+    cands = similarity.banded_lsh_candidates(
+        corpus, dim=64, n_bands=_EMB_LSH_BANDS, bits_per_band=_EMB_LSH_BITS
+    )
+    pairs = dedup.embedding_near_dups(corpus, tau=0.99, candidates=cands)
     return pairs.withColumn("cosine", F.round("cosine", 4))
 
 

@@ -47,6 +47,79 @@ def test_cleaning_cascade_is_python_free(spark):
     assert P.codegen_stage_count(q) >= 1
 
 
+def test_near_dup_queries_have_no_cartesian_join(spark):
+    """The near-dup family must stay on the bucketed equi-join paths:
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the
+    physical plans of simhash / ngram-jaccard / embedding near-dups."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "simhash_near_dups",
+        "ngram_jaccard_pairs",
+        "embedding_near_dup_pairs",
+        "lsh_candidate_pairs",
+    ):
+        plan = P.physical_plan(qs[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_simhash_banded_pairs_match_bruteforce(spark):
+    """Pigeonhole banding is exact: same pair set as the brute-force
+    a x b Hamming join on a planted corpus."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    c = docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+    near = c.limit(20).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        # flip 3 low bits: hamming 3 <= 6 from the original
+        F.col("simhash").bitwiseXOR(F.lit(0b111)).alias("simhash"),
+    )
+    corpus = c.unionByName(near).cache()
+    banded = {
+        tuple(r)
+        for r in dedup.simhash_banded_pairs(corpus, "doc_id").collect()
+    }
+    a, b = corpus.alias("a"), corpus.alias("b")
+    brute = {
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    corpus.unpersist()
+    assert banded == brute
+    assert len(banded) >= 20  # the planted pairs are all found
+
+
+def test_banded_lsh_finds_scaled_duplicates(spark):
+    """Exact-direction (scaled) duplicates always share every LSH band
+    bucket, so candidate recall on them is 1.0 by construction."""
+    from webscrape_neko_jirushi_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    cands = similarity.banded_lsh_candidates(
+        base.unionByName(scaled), dim=64, n_bands=4, bits_per_band=8
+    )
+    got = {tuple(r) for r in cands.collect()}
+    want = {(r.vec_id, r.vec_id + 10000) for r in base.select("vec_id").collect()}
+    assert want <= got
+
+
 def test_agg_is_partial_final(spark):
     """Hash aggregation splits map-side partial + final (one shuffle)."""
     li = spark.read.parquet(f"{SF}/lineitem.parquet")

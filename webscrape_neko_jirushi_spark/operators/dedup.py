@@ -172,15 +172,29 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Candidate-driven intersection: two equi-joins keyed by the
+        # candidate pair ids, so the shingle join touches ONLY candidate
+        # pairs — never the full O(n^2) shingle self-join. Catalyst
+        # cannot push a post-hoc semi-join below the self-join, so the
+        # restriction has to be structural.
+        ex_a = ex.select(F.col(id_col).alias("id_a"), "sh")
+        ex_b = ex.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(ex_a, "id_a")
+            .join(ex_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -215,28 +229,105 @@ def embedding_near_dups(
     e = embeddings.select(
         F.col(id_col), F.col(vec_col), norm.alias("nrm")
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if candidates is not None:
-        pairs = pairs.join(
-            candidates.select(
-                F.col("id_a").alias(f"a_{id_col}"), F.col("id_b").alias(f"b_{id_col}")
-            ),
-            (F.col(f"a.{id_col}") == F.col(f"a_{id_col}"))
-            & (F.col(f"b.{id_col}") == F.col(f"b_{id_col}")),
-            "left_semi",
+        # Candidate-driven verify: hydrate both sides of each candidate
+        # pair with two equi-joins — the quadratic pair space never
+        # materializes. (A semi-join after a theta-join would still plan
+        # the theta-join; the restriction must be structural.)
+        ea = e.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_vec_a"),
+            F.col("nrm").alias("_nrm_a"),
         )
+        eb = e.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vec_b"),
+            F.col("nrm").alias("_nrm_b"),
+        )
+        pairs = (
+            candidates.select("id_a", "id_b").join(ea, "id_a").join(eb, "id_b")
+        )
+        va, vb = F.col("_vec_a"), F.col("_vec_b")
+        na, nb = F.col("_nrm_a"), F.col("_nrm_b")
+    else:
+        a = e.alias("a")
+        b = e.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_vec_a"),
+            F.col(f"b.{vec_col}").alias("_vec_b"),
+            F.col("a.nrm").alias("_nrm_a"),
+            F.col("b.nrm").alias("_nrm_b"),
+        )
+        va, vb = F.col("_vec_a"), F.col("_vec_b")
+        na, nb = F.col("_nrm_a"), F.col("_nrm_b")
     dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
         pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+            "id_a",
+            "id_b",
+            (dot / (na * nb)).alias("cosine"),
         )
         .filter(F.col("cosine") >= tau)
+    )
+
+
+def _band_widths(n_bits: int, n_bands: int) -> list[int]:
+    base, extra = divmod(n_bits, n_bands)
+    return [base + (1 if i < extra else 0) for i in range(n_bands)]
+
+
+def simhash_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    max_hamming: int = 6,
+    n_bits: int = 60,
+) -> DataFrame:
+    """Exact Hamming-ball pair search WITHOUT a cartesian product.
+
+    Pigeonhole: split the ``n_bits`` signature into ``max_hamming + 1``
+    contiguous bands — any pair within ``max_hamming`` bit flips agrees
+    exactly on at least one band. Explode (band, chunk), equi-join on it
+    (shuffle-hash/sort-merge, AQE-skew-safe), then verify
+    ``bit_count(xor) <= max_hamming`` on the candidates. The result set
+    is provably identical to the brute-force a x b join.
+    """
+    n_bands = max_hamming + 1
+    widths = _band_widths(n_bits, n_bands)
+    chunks = []
+    off = 0
+    for i, w in enumerate(widths):
+        chunk = F.shiftright(F.col(sim_col), off).bitwiseAND(F.lit((1 << w) - 1))
+        chunks.append(F.struct(F.lit(i).alias("band"), chunk.alias("chunk")))
+        off += w
+    banded = df.select(
+        F.col(id_col), F.col(sim_col), F.explode(F.array(*chunks)).alias("bc")
+    ).select(id_col, sim_col, "bc.band", "bc.chunk")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sim_col}").alias("_sim_a"),
+            F.col(f"b.{sim_col}").alias("_sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("_sim_a"), F.col("_sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -127,6 +127,65 @@ def ann_topk_lsh(
     )
 
 
+def md5_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Engine-portable pseudo-random hyperplanes: component (p, j) is
+    derived from md5(f"{p}|{j}") exactly as a SQL engine would compute
+    ``CAST(CONCAT('0x', substr(md5(CONCAT(p, '|', j)), 1, 15)) AS
+    BIGINT) / 2^59 - 1.0`` — so an oracle can regenerate the identical
+    planes without sharing literals. j is 1-based (SQL array indexing)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(1, dim + 1):
+            h = int(hashlib.md5(f"{p}|{j}".encode()).hexdigest()[:15], 16)
+            row.append(h / float(1 << 59) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def banded_lsh_candidates(
+    embeddings: DataFrame,
+    dim: int,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded random-hyperplane LSH
+    (OR over bands, AND within a band): two vectors are candidates iff
+    ALL ``bits_per_band`` sign bits of at least one band agree. The
+    band join is a pure equi-join on (band, bucket) — no cross join —
+    so the pair space at 100 TB is bounded by bucket occupancy, and
+    AQE's skew-join split handles hot buckets. Sign flips from
+    floating-point summation order are pair-coherent for proportional
+    vectors, so exact-direction duplicates are never lost."""
+    all_planes = md5_hyperplanes(dim, n_bands * bits_per_band)
+    bands = []
+    for b in range(n_bands):
+        planes = all_planes[b * bits_per_band : (b + 1) * bits_per_band]
+        bucket = lsh_bucket_col(F.col(vec_col), planes)
+        bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    banded = embeddings.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],
