@@ -383,6 +383,75 @@ def q_resume_watermark(spark, sf_dir):
     )
 
 
+@q(
+    "id_probe_frontier",
+    """
+    WITH probes AS (
+      SELECT CONCAT('https://mirror-main.test/foster/', CAST(id AS VARCHAR), '/') AS url,
+             id AS priority
+      FROM range(226400, 226900, 5) t(id)
+    ),
+    seen AS (
+      SELECT DISTINCT CONCAT('https://mirror-main.test/foster/',
+               CAST(226400 + (p_partkey % 40) * 5 AS VARCHAR), '/') AS url
+      FROM part WHERE p_partkey % 7 = 0
+    )
+    SELECT p.url, p.priority FROM probes p
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = p.url)
+    """,
+)
+def q_id_probe_frontier(spark, sf_dir):
+    """S6: the ID-range probe source (smart_cat_discovery.py:158-173) —
+    spark.range over the reference's 5 hardcoded ranges, step 5, minus
+    an already-seen set (anti-join), exactly the engine's
+    ``inject_probe_ranges`` path."""
+    from webscrape_neko_jirushi_spark.crawl.probe import id_range_probe
+
+    probes = id_range_probe(spark, "https://mirror-main.test").select(
+        "url", "priority"
+    )
+    seen = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            F.concat(
+                F.lit("https://mirror-main.test/foster/"),
+                (F.lit(226400) + (F.col("p_partkey") % 40) * 5).cast("string"),
+                F.lit("/"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return probes.join(seen, "url", "left_anti")
+
+
+@q(
+    "search_cond_encode",
+    """
+    SELECT CAST(id AS BIGINT) AS page,
+           CAST(to_json(struct_pack(
+             params := 'contents/',
+             p := CAST(id AS VARCHAR),
+             page := CAST(id - 1 AS INTEGER),
+             target_pref_id := '', age_limit := '', sex := '', vaccine := '',
+             spay_and_neuter := '', pattern_no := '', status_id := '',
+             city_id := '', city_name := '', keyword := '', user_id := '',
+             recruiter_pref := 0
+           )) AS VARCHAR) AS search_cond
+    FROM range(1, 51) t(id)
+    """,
+)
+def q_search_cond_encode(spark, sf_dir):
+    """P12: the listing API's POST search_cond JSON encode
+    (comprehensive_scraper.py:103-124) — to_json(struct(...)),
+    byte-identical across engines."""
+    from webscrape_neko_jirushi_spark.crawl.fetchers import search_cond_json
+
+    return spark.range(1, 51).select(
+        F.col("id").alias("page"), search_cond_json(F.col("id")).alias("search_cond")
+    )
+
+
 # ===========================================================================
 # filter cascades (P13-P20, P22) + report aggs (A2, A3, A4, A9)
 # ===========================================================================
@@ -545,9 +614,18 @@ _DETECTIONS_SQL = f"""
 )
 def q_yolo_detection_filter(spark, sf_dir):
     """P22/F7/A7: batch-inference filter with a deterministic stub
-    classifier (yolo_cat_detector.py:87-130): confidence array from
-    arithmetic; keep rows with >= 1 detection over threshold; per-image
+    classifier; keep rows with >= 1 detection over threshold; per-image
     aggregates via array HOFs."""
+    filtered = _yolo_detections(spark, sf_dir).filter(F.col("keep"))
+    return filtered.select(
+        "doc_id", "image_idx", "detection_count", "total_confidence", "avg_confidence"
+    )
+
+
+def _yolo_detections(spark, sf_dir):
+    """Deterministic stub classifier (yolo_cat_detector.py:87-130):
+    confidence array from arithmetic, scored via cleaning.yolo_filter
+    (all rows, keep flag included)."""
     imgs = _images(spark, sf_dir)
     n = (F.col("width") % 4).cast("int")
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard n = 0
@@ -561,9 +639,48 @@ def q_yolo_detection_filter(spark, sf_dir):
             confs, lambda c: F.struct(c.alias("confidence"), F.array().cast("array<double>").alias("bbox"))
         ),
     )
-    filtered = cleaning.yolo_filter(with_dets, 0.3).filter(F.col("keep"))
-    return filtered.select(
-        "doc_id", "image_idx", "detection_count", "total_confidence", "avg_confidence"
+    return cleaning.yolo_filter(with_dets, 0.3)
+
+
+@q(
+    "pipeline_run_report",
+    f"""
+    WITH img AS ({IMAGES_ANALOG_SQL}),
+    y AS (
+      SELECT length(list_filter(confs, c -> c >= 0.3)) AS detection_count,
+        CASE WHEN length(list_filter(confs, c -> c >= 0.3)) > 0
+             THEN list_aggregate(list_filter(confs, c -> c >= 0.3), 'sum')
+                  / length(list_filter(confs, c -> c >= 0.3))
+             ELSE 0.0 END AS avg_confidence
+      FROM ({{_DET}}) d
+    ),
+    base AS (
+      SELECT COUNT(DISTINCT doc_id) AS total_cats, COUNT(*) AS total_images FROM img
+    ),
+    ys AS (
+      SELECT CAST(SUM(CASE WHEN detection_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS images_with_cats,
+             CAST(SUM(CASE WHEN detection_count = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed_images,
+             ROUND(AVG(CASE WHEN detection_count > 0 THEN avg_confidence END), 6) AS avg_confidence
+      FROM y
+    ),
+    es AS (SELECT COUNT(*) AS n_errors FROM img WHERE size_bytes < 5000)
+    SELECT b.total_cats, b.total_images, ys.images_with_cats, ys.removed_images,
+           ys.avg_confidence, es.n_errors,
+           'advanced' AS cascade, CAST(0.3 AS DOUBLE) AS yolo_threshold
+    FROM base b, ys, es
+    """.replace("{_DET}", _DETECTIONS_SQL),
+)
+def q_pipeline_run_report(spark, sf_dir):
+    """D4 + J7: the pipeline completion report
+    (complete_pipeline.py:134-202) as one row — per-stage single-row
+    aggregates merged with broadcast cross joins, config echoed as
+    literal columns."""
+    imgs = _images(spark, sf_dir)
+    return stats.run_report(
+        imgs,
+        yolo=_yolo_detections(spark, sf_dir),
+        errors=imgs.filter(F.col("size_bytes") < 5000),
+        config={"cascade": "advanced", "yolo_threshold": 0.3},
     )
 
 
@@ -1328,6 +1445,63 @@ def q_ivf_cells(spark, sf_dir):
     assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return assigned.groupBy(F.col("cid").alias("cell")).agg(
         F.count("*").alias("n_vectors")
+    )
+
+
+def _ann_planes_values() -> str:
+    """The LCG hyperplanes (similarity._hyperplanes, seed 7, 8 bits,
+    dim 64) as SQL VALUES rows — deliberately oracle-replicable."""
+    planes = similarity._hyperplanes(64, 8, seed=7)
+    return ", ".join(
+        f"({p}, {j + 1}, {w!r})"
+        for p, row in enumerate(planes)
+        for j, w in enumerate(row)
+    )
+
+
+@q(
+    "ann_topk_lsh",
+    f"""
+    WITH planes(p, dim, w) AS (VALUES {_ann_planes_values()}),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT m.vec_id, pl.p, SUM(m.e[pl.dim] * pl.w) AS s
+      FROM emb m CROSS JOIN planes pl GROUP BY m.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    qv AS (SELECT e FROM emb WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id FROM buckets b, qb
+      WHERE bit_count(xor(b.bucket, qb.bucket)) <= 1
+    )
+    SELECT m.vec_id,
+      ROUND(
+        list_aggregate(list_transform(range(1, 65), i -> m.e[i] * q.e[i]), 'sum')
+        / (sqrt(list_aggregate(list_transform(range(1, 65), i -> m.e[i] * m.e[i]), 'sum'))
+         * sqrt(list_aggregate(list_transform(range(1, 65), i -> q.e[i] * q.e[i]), 'sum'))), 6) AS cosine
+    FROM cand c JOIN emb m ON m.vec_id = c.vec_id, qv q
+    ORDER BY cosine DESC, m.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_topk_lsh(spark, sf_dir):
+    """ANN top-10 by hyperplane LSH with multiprobe hamming<=1
+    (similarity.ann_topk_lsh): only vectors whose 8-bit bucket is
+    within one flip of the query's bucket are scored. The LCG planes
+    are regenerated verbatim in the oracle SQL."""
+    e = load(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.ann_topk_lsh(
+        e, query, k=10, bits=8, seed=7, multiprobe_hamming=1
     )
 
 

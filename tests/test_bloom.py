@@ -57,3 +57,23 @@ def test_cuckoo_insert_contains_delete():
     missing = sum(not ck.contains(k) for k in keys[:1000])
     assert missing >= 990  # rare fp collisions tolerated
     assert all(ck.contains(k) for k in keys[1000:])
+
+
+def test_bloom_distributed_delta_matches_full_build(spark):
+    """build_delta + merge_delta (the engine's epoch path) is
+    bit-identical to one full distributed build over the union."""
+    first = spark.range(0, 3000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    second = spark.range(3000, 6000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    incremental = BloomShards.build(first, n_shards=8, expected_per_shard=1000, fpr=0.01)
+    incremental.merge_delta(incremental.build_delta(second))
+    full = BloomShards.build(
+        first.unionByName(second), n_shards=8, expected_per_shard=1000, fpr=0.01
+    )
+    assert incremental.n_bits == full.n_bits and incremental.k == full.k
+    assert set(incremental.bits) == set(full.bits)
+    for s in full.bits:
+        assert np.array_equal(incremental.bits[s], full.bits[s]), s

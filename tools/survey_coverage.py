@@ -1,8 +1,11 @@
 """Static SURVEY.md §2 coverage report: for every operator id in the
-inventory, find where the repo implements/exercises it (module docstring
-mentions + README coverage map + queries()). Prints MISSING ids.
+inventory, find where the repo implements/exercises it. An id counts as
+covered only when it is cited from SOURCE (package modules, entry,
+bench, tests) — README/markdown mentions are excluded so a doc-only
+citation can't masquerade as an implementation. Prints MISSING ids and,
+with -v, the files citing each id.
 
-Usage: python tools/survey_coverage.py
+Usage: python tools/survey_coverage.py [-v]
 """
 
 from __future__ import annotations
@@ -28,20 +31,27 @@ IDS = (
 
 
 def main() -> int:
-    corpus = ""
-    for p in list((REPO / "webscrape_neko_jirushi_spark").rglob("*.py")) + [
-        REPO / "__spark_entry__.py",
-        REPO / "README.md",
-        REPO / "bench.py",
-    ] + list((REPO / "tests").glob("*.py")):
-        corpus += p.read_text()
+    verbose = "-v" in sys.argv
+    files = (
+        list((REPO / "webscrape_neko_jirushi_spark").rglob("*.py"))
+        + [REPO / "__spark_entry__.py", REPO / "bench.py"]
+        + list((REPO / "tests").glob("*.py"))
+    )
+    texts = {p: p.read_text() for p in files}
 
     missing = []
     for op_id in IDS:
         # word-boundary id mention (e.g. "W1", "P13-P20", "A2/A9")
-        if not re.search(rf"\b{op_id}\b", corpus):
+        hits = [
+            p.relative_to(REPO)
+            for p, t in texts.items()
+            if re.search(rf"\b{op_id}\b", t)
+        ]
+        if not hits:
             missing.append(op_id)
-    print(f"{len(IDS) - len(missing)}/{len(IDS)} SURVEY §2 ids referenced in code/docs")
+        elif verbose:
+            print(f"{op_id}: {', '.join(map(str, hits))}")
+    print(f"{len(IDS) - len(missing)}/{len(IDS)} SURVEY §2 ids cited from source")
     if missing:
         print("MISSING:", missing)
     return 1 if missing else 0

@@ -41,6 +41,40 @@ def _bit_positions(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
     ) % np.uint64(n_bits)
 
 
+_SHARD_BITS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("bits", T.BinaryType()),
+    ]
+)
+
+
+def _shard_bits(df: DataFrame, n_shards: int, n_bits: int, k: int, hash_col: str = "url_hash") -> dict[int, np.ndarray]:
+    """Distributed per-shard bitset build: one packed bitset per
+    pmod(hash, n_shards) group via applyInPandas; only the packed bits
+    (n_bits/8 bytes per shard, CONSTANT regardless of row count) travel
+    to the driver."""
+
+    def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(n_bits // 8, dtype=np.uint8)
+        hashes = pdf["url_hash"].to_numpy()
+        if len(hashes):
+            pos = _bit_positions(hashes, n_bits, k).ravel()
+            np.bitwise_or.at(arr, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [arr.tobytes()]})
+
+    rows = (
+        df.select(
+            F.col(hash_col).alias("url_hash"),
+            F.pmod(hash_col, F.lit(n_shards)).cast("int").alias("shard"),
+        )
+        .groupBy("shard")
+        .applyInPandas(_build_shard, schema=_SHARD_BITS_SCHEMA)
+        .collect()
+    )
+    return {r["shard"]: np.frombuffer(r["bits"], dtype=np.uint8) for r in rows}
+
+
 class BloomShards:
     """n_shards independent bloom bitsets keyed by pmod(url_hash, n_shards)."""
 
@@ -66,30 +100,24 @@ class BloomShards:
         n_bits = 1 << (n_bits - 1).bit_length()  # round up to pow2
         k = max(1, round(n_bits / expected_per_shard * math.log(2))) if expected_per_shard else 7
         k = min(k, 16)
-
-        out_schema = T.StructType(
-            [
-                T.StructField("shard", T.IntegerType()),
-                T.StructField("bits", T.BinaryType()),
-            ]
-        )
-
-        def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            arr = np.zeros(n_bits // 8, dtype=np.uint8)
-            hashes = pdf["url_hash"].to_numpy()
-            if len(hashes):
-                pos = _bit_positions(hashes, n_bits, k).ravel()
-                np.bitwise_or.at(arr, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
-            return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [arr.tobytes()]})
-
-        rows = (
-            seen.select("url_hash", F.pmod("url_hash", F.lit(n_shards)).cast("int").alias("shard"))
-            .groupBy("shard")
-            .applyInPandas(_build_shard, schema=out_schema)
-            .collect()
-        )
-        bits = {r["shard"]: np.frombuffer(r["bits"], dtype=np.uint8) for r in rows}
+        bits = _shard_bits(seen, n_shards, n_bits, k)
         return cls(n_shards, n_bits, k, bits)
+
+    def build_delta(self, df: DataFrame, hash_col: str = "url_hash") -> dict[int, np.ndarray]:
+        """Distributed delta build with THIS filter's parameters — the
+        epoch-append path. The executors fold an arbitrarily large
+        hash delta into n_shards packed bitsets; the driver receives a
+        bounded n_shards * n_bits/8 bytes instead of every row."""
+        return _shard_bits(df, self.n_shards, self.n_bits, self.k, hash_col)
+
+    def merge_delta(self, delta: dict[int, np.ndarray]) -> None:
+        """OR a ``build_delta`` result into the held shards."""
+        for s, arr in delta.items():
+            cur = self.bits.get(s)
+            if cur is None:
+                self.bits[s] = arr.copy()
+            else:
+                self.bits[s] = np.bitwise_or(cur, arr)
 
     @classmethod
     def empty(
@@ -103,9 +131,10 @@ class BloomShards:
         return cls(n_shards, n_bits, min(k, 16), {})
 
     def add_hashes(self, hashes: np.ndarray) -> None:
-        """Driver-side incremental insert (per-epoch delta — avoids a
-        distributed rebuild job every epoch; a full distributed build()
-        runs only on resume)."""
+        """Driver-side incremental insert for hashes already held on the
+        driver (tests, tiny seed sets). The engine's epoch path uses
+        ``build_delta`` + ``merge_delta`` instead, which never ships the
+        row stream to the driver."""
         if not len(hashes):
             return
         shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)

@@ -11,12 +11,17 @@ Each epoch is one batch DataFrame pipeline committed atomically:
       -> single snapshot commit: documents/url_seen/fetch_log/
          lineage appends + frontier replace                      (T2)
 
-Also covers: S11 (state sinks = snapshot commits), T5 (failures become
-fetch_log rows, dead-lettered via anti-join), T6 (stop conditions:
-frontier drain / target cap in ``run``), T7 (url_seen grows
-monotonically across epochs), D2 (stage preconditions = snapshot
-version checks in ``seed``), D3 (config cascade = constructor knobs),
-P11 (lineage ``committed_at`` timestamping).
+Also covers: S1 (paginated listing scan: ``next_pages``), S5 (outlink
+scan via span children), S7 (API seed source: ``seed``), S11 (state
+sinks = snapshot commits), T1 (the micro-batch epoch loop itself), T5
+(failures become fetch_log rows, dead-lettered via anti-join), T6 (stop
+conditions: frontier drain / target cap in ``run``), T7 (url_seen grows
+monotonically across epochs), O1 (ascending page order via the priority
+encoding below), O5 (target-count limit in ``run``), D1 (the 3-stage
+discover->fetch->extract DAG chained in one epoch plan), D2 (stage
+preconditions = snapshot version checks in ``seed``), D3 (config
+cascade = constructor knobs), P11 (lineage ``committed_at``
+timestamping).
 
 The reference's analogue is the sequential loop at
 comprehensive_scraper.py:301-336 (page -> profiles -> images, progress
@@ -134,6 +139,7 @@ class CrawlEngine:
         bloom_fpr: float = 0.01,
         write_partitions: int | None = 8,
         collect_stats: bool = True,
+        robots_map: dict[str, list[str]] | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -148,9 +154,26 @@ class CrawlEngine:
         # (documents/discoveries in EpochStats become -1) — fewer
         # driver-serial jobs on the throughput path
         self.collect_stats = collect_stats
+        # T4: robots cache — host -> disallowed path prefixes, applied as
+        # a broadcast-map filter on candidates and on discoveries (north
+        # rule; the reference sends polite headers but never parses
+        # robots, comprehensive_scraper.py:32-42)
+        self.robots_map = robots_map
         # driver-held incremental bloom over url_seen; rebuilt from the
         # committed seen table on resume, extended per epoch after that
         self._bloom: BloomShards | None = None
+
+    def _robots_filter(self, df: DataFrame) -> DataFrame:
+        """Drop robots-disallowed rows (never fetched, never re-queued:
+        a disallowed URL simply leaves the pipeline, like the
+        reference's skip)."""
+        if not self.robots_map:
+            return df
+        from .politeness import robots_allowed
+
+        return df.filter(
+            robots_allowed(F.col("url"), F.col("host"), self.robots_map, self.spark)
+        )
 
     # -- state --------------------------------------------------------------
     def frontier(self) -> DataFrame:
@@ -164,6 +187,9 @@ class CrawlEngine:
 
     def fetch_log(self) -> DataFrame:
         return self.store.read("fetch_log", schemas.FETCH_LOG)
+
+    def media(self) -> DataFrame:
+        return self.store.read("media", schemas.MEDIA)
 
     def lineage(self) -> DataFrame:
         return self.store.read("lineage", schemas.LINEAGE)
@@ -184,6 +210,36 @@ class CrawlEngine:
             .select([f.name for f in schemas.FRONTIER.fields])
         )
         self.store.commit(0, replaces={"frontier": frontier})
+
+    def inject_probe_ranges(
+        self, ranges: list[tuple[int, int]], step: int = 5, depth: int = 0
+    ) -> int:
+        """S6: union an ID-range probe sweep into the frontier
+        (smart_cat_discovery.py:158-173). Probe URLs already seen,
+        already pending, or previously failed (failures live in
+        url_seen) are dropped by anti-join before the commit. Returns
+        the number of injected URLs."""
+        from .probe import id_range_probe
+
+        epoch = self.store.epoch()
+        probes = id_range_probe(
+            self.spark, self.base_url, ranges, step, depth=depth, epoch=epoch
+        )
+        frontier = self.frontier()
+        new = (
+            probes.join(self.url_seen().select("url_hash"), "url_hash", "left_anti")
+            .join(frontier.select("url_hash"), "url_hash", "left_anti")
+            .persist()
+        )
+        n = new.count()
+        if n:
+            self.store.commit(
+                epoch,
+                replaces={"frontier": frontier.unionByName(new)},
+                write_partitions=self.write_partitions,
+            )
+        new.unpersist()
+        return n
 
     def _ensure_bloom(self) -> BloomShards | None:
         """Driver-incremental bloom; distributed rebuild only on resume."""
@@ -221,6 +277,7 @@ class CrawlEngine:
             candidates = definite_new.unionByName(maybe)
         else:
             candidates = pending
+        candidates = self._robots_filter(candidates)  # T4
 
         # ONE cached DataFrame carries the bloom probe + ranking window;
         # selected/deferred are cheap filters over it (without this the
@@ -320,6 +377,10 @@ class CrawlEngine:
         discoveries = (
             discoveries.withColumn("url_hash", url_hash_col(F.col("url")))
             .withColumn("host", host_col(F.col("url")))
+        )
+        discoveries = self._robots_filter(discoveries)  # T4: never enqueued
+        discoveries = (
+            discoveries
             .withColumn("epoch", F.lit(epoch))
             .withColumn("status", F.lit("pending"))
         )
@@ -378,19 +439,41 @@ class CrawlEngine:
             )
         )
 
+        appends = {
+            "url_seen": seen_append,
+            "fetch_log": fetch_log_append,
+            "documents": docs,
+            "lineage": lineage_append,
+        }
+        if self.fetch_images:
+            # S8: downloaded media as binary rows in the same atomic
+            # commit (the reference's per-file disk writes,
+            # comprehensive_scraper.py:233-259). The mirror serves no
+            # real bytes, so the payload is a deterministic md5-of-url
+            # blob — a production fetcher swaps in the response body;
+            # the sink (schema, append, atomic commit) is the real path.
+            appends["media"] = fetched.filter(
+                (F.col("status_code") == 200) & (F.col("kind") == "image")
+            ).select(
+                "url",
+                "url_hash",
+                "content_type",
+                F.lit(16).cast("long").alias("size_bytes"),
+                F.to_binary(F.md5(F.col("url")), F.lit("hex")).alias("content"),
+                F.lit(epoch).alias("epoch"),
+            )
         self.store.commit(
             epoch,
-            appends={
-                "url_seen": seen_append,
-                "fetch_log": fetch_log_append,
-                "documents": docs,
-                "lineage": lineage_append,
-            },
+            appends=appends,
             replaces={"frontier": new_frontier},
             write_partitions=self.write_partitions,
         )
         # post-commit bookkeeping: counts on persisted/parquet-metadata
-        # inputs (cheap jobs) + driver bloom extension with epoch hashes
+        # inputs (cheap jobs) + distributed bloom delta: executors fold
+        # the epoch's hashes into packed per-shard bitsets; the driver
+        # only OR-merges a bounded n_shards * n_bits/8 bytes (never the
+        # row stream — at 10^8 rows/epoch a toPandas() here would be
+        # the driver bottleneck).
         n_pending_after = self.frontier().count()  # footer-only count
         if self.collect_stats:
             n_docs = docs.count()
@@ -398,9 +481,10 @@ class CrawlEngine:
         else:
             n_docs = -1
             n_disc = -1
-        new_hashes = fetched.select("url_hash").toPandas()["url_hash"].to_numpy()
         if self._bloom is not None:
-            self._bloom.add_hashes(new_hashes)
+            self._bloom.merge_delta(
+                self._bloom.build_delta(fetched.select("url_hash"))
+            )
         fetched.unpersist()
         docs_with_meta.unpersist()
         annotated.unpersist()
@@ -428,7 +512,12 @@ class CrawlEngine:
                 break
             s = self.run_epoch()
             stats.append(s)
-            docs_total += s.documents
+            if s.documents >= 0:
+                docs_total += s.documents
+            elif target_docs is not None:
+                # collect_stats=False reports documents=-1; a target cap
+                # still needs a real count (footer-only metadata job)
+                docs_total = self.documents().count()
             pending = s.pending_after
             if s.selected == 0:
                 break

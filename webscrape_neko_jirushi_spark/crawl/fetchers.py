@@ -1,8 +1,10 @@
 """Fetcher implementations (SURVEY.md §2.8 F3, §2.1 S3/S8).
 
 P12 (the reference's ``json.dumps(search_cond)`` POST-body encode,
-CS:121-124) lives in the HTTP fetcher's request construction; the
-listing-page URL scheme of the mirror stands in for it in tests.
+comprehensive_scraper.py:103-124) is ``search_cond_json`` below —
+``to_json(struct(...))``, byte-identical to the reference's dict order —
+used column-side for request construction and row-side by
+``HttpFetcher``'s POST path for the listing API.
 
 The engine is fetcher-agnostic: anything with
 ``fetch(selected: DataFrame) -> DataFrame`` adding (kind, status_code,
@@ -53,6 +55,39 @@ _FETCH_COLS = T.StructType(
 
 _PASSTHROUGH = [f.name for f in _FETCH_COLS.fields[:12]]
 
+# the reference's exact search_cond key order (comprehensive_scraper.py:103-119)
+_SEARCH_COND_EMPTY_KEYS = [
+    "target_pref_id", "age_limit", "sex", "vaccine", "spay_and_neuter",
+    "pattern_no", "status_id", "city_id", "city_name", "keyword", "user_id",
+]
+
+
+def search_cond_json(page_col):
+    """P12: the listing API's POST ``search_cond`` field
+    (comprehensive_scraper.py:103-124) as ``to_json(struct(...))`` —
+    pure Column, whole-stage-codegen, byte-identical to the reference's
+    ``json.dumps`` of the same dict (compact separators, same key
+    order). ``page_col`` is the 1-based page number."""
+    from pyspark.sql import functions as F
+
+    return F.to_json(
+        F.struct(
+            F.lit("contents/").alias("params"),
+            page_col.cast("string").alias("p"),
+            (page_col - 1).cast("int").alias("page"),
+            *[F.lit("").alias(k) for k in _SEARCH_COND_EMPTY_KEYS],
+            F.lit(0).alias("recruiter_pref"),
+        )
+    )
+
+
+def search_cond_dict(page_num: int) -> dict:
+    """Row-side twin of ``search_cond_json`` for the in-UDF POST path."""
+    d = {"params": "contents/", "p": str(page_num), "page": page_num - 1}
+    d.update({k: "" for k in _SEARCH_COND_EMPTY_KEYS})
+    d["recruiter_pref"] = 0
+    return d
+
 
 class PandasMirrorFetcher:
     """mapInPandas fetch against a broadcast in-memory mirror.
@@ -79,17 +114,25 @@ class PandasMirrorFetcher:
 
         def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             mirror = bc.value
-            t0 = time.monotonic()
+            # per-HOST schedule baseline: a partition holds several
+            # hosts; a shared t0 would let every host after the first
+            # fetch with zero inter-fetch delay (its deadlines already
+            # past). Each host's clock starts at its own first fetch.
+            host_t0: dict[str, float] = {}
             for pdf in it:
                 # within a partition fetch in schedule order (the
                 # per-host sequential invariant, T3)
                 pdf = pdf.sort_values(["host", "scheduled_ms", "seq_in_host"])
                 kinds, statuses, cts, bodies = [], [], [], []
-                for url, sched in zip(pdf["url"], pdf["scheduled_ms"]):
-                    if enforce and sched > 0:
-                        wait = sched / 1000.0 - (time.monotonic() - t0)
-                        if wait > 0:
-                            time.sleep(wait)
+                for url, host, sched in zip(
+                    pdf["url"], pdf["host"], pdf["scheduled_ms"]
+                ):
+                    if enforce:
+                        t0 = host_t0.setdefault(host, time.monotonic())
+                        if sched and sched > 0:
+                            wait = sched / 1000.0 - (time.monotonic() - t0)
+                            if wait > 0:
+                                time.sleep(wait)
                     page = lookup(mirror, url)
                     kinds.append(page["kind"])
                     statuses.append(page["status_code"])
@@ -140,24 +183,48 @@ class HttpFetcher:
         headers, timeout, retries = self.headers, self.timeout, self.retries
 
         def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+            import json
             import random
+            import re
 
             import requests
 
             session = requests.Session()
             session.headers.update(headers)
-            t0 = time.monotonic()
+            # per-host baseline (see PandasMirrorFetcher note): the
+            # min_delay invariant is per host, not per partition
+            host_t0: dict[str, float] = {}
             for pdf in it:
                 pdf = pdf.sort_values(["host", "scheduled_ms", "seq_in_host"])
                 kinds, statuses, cts, bodies = [], [], [], []
-                for url, sched in zip(pdf["url"], pdf["scheduled_ms"]):
-                    wait = sched / 1000.0 - (time.monotonic() - t0)
-                    if wait > 0:
-                        time.sleep(wait)
+                for url, host, sched in zip(
+                    pdf["url"], pdf["host"], pdf["scheduled_ms"]
+                ):
+                    t0 = host_t0.setdefault(host, time.monotonic())
+                    if sched and sched > 0:
+                        wait = sched / 1000.0 - (time.monotonic() - t0)
+                        if wait > 0:
+                            time.sleep(wait)
                     status, ct, body = None, None, None
+                    # P12: listing-API pages go through the POST form
+                    # body with the JSON-encoded search_cond
+                    # (comprehensive_scraper.py:121-131)
+                    page_m = re.search(r"[?&]p=(\d+)", url) if "ajax" in url else None
                     for attempt in range(retries):
                         try:
-                            resp = session.get(url, timeout=timeout)
+                            if page_m:
+                                resp = session.post(
+                                    url.split("?")[0],
+                                    data={
+                                        "search_cond": json.dumps(
+                                            search_cond_dict(int(page_m.group(1)))
+                                        ),
+                                        "spMode": 0,
+                                    },
+                                    timeout=timeout,
+                                )
+                            else:
+                                resp = session.get(url, timeout=timeout)
                             status = resp.status_code
                             ct = resp.headers.get("content-type")
                             body = resp.text if status == 200 else None

@@ -25,14 +25,17 @@ Robots rules ride along as a broadcast map host -> disallow prefixes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def select_budget_annotated(
     candidates: DataFrame,
     host_budget: DataFrame,
     n_salts: int = 4,
+    prune_salts: int = 32,
 ) -> DataFrame:
     """Annotate pending candidates with this epoch's selection: adds
     ``chosen`` (fetch now vs defer), ``slot`` (0-based per host),
@@ -40,12 +43,23 @@ def select_budget_annotated(
     ``shard`` (salt). ONE DataFrame so the caller can cache the bloom
     probe + ranking window once and derive both branches by filter.
 
-    The window sorts one host's candidates in one partition — the
-    single-site skew point. The shuffle moves only (url, keys), not
-    page bodies, and the heavy fetch/parse work downstream runs on the
-    SALTED key. Hosts with no delay and unbounded budget skip the
-    window entirely (no order constraint to enforce) and spread by
-    hash — politeness semantics are vacuous for them.
+    Two-phase selection kills the single-host serial point: a frontier
+    dominated by one host would otherwise rank ALL its candidates in
+    one window task. Phase 1 ranks within (host, url_hash % prune_salts)
+    groups — ``prune_salts`` parallel sorts — and keeps only each
+    group's top ``max_per_epoch``: a row ranked below the budget inside
+    its own salt group is below it globally too, so the prune is exact.
+    Phase 2 runs the global per-host window over the survivors,
+    ≤ prune_salts * budget rows per host. Pruned rows are deferred
+    outright (their slot/schedule is never needed — they return to the
+    frontier).
+
+    The shuffle moves only (url, keys), not page bodies, and the heavy
+    fetch/parse work downstream runs on the SALTED key. Hosts with no
+    delay and unbounded budget skip the windows entirely (politeness
+    semantics are vacuous for them) and spread by hash;
+    their ``seq_in_host``/``slot`` are NULL/-1 sentinels — per-host
+    order is only defined (and oracle-checked) for budgeted hosts.
     """
     joined = candidates.join(F.broadcast(host_budget), "host", "left").fillna(
         {"max_per_epoch": 1 << 30, "min_delay_ms": 0}
@@ -54,22 +68,44 @@ def select_budget_annotated(
     free = joined.filter(is_free)
     polite = joined.filter(~is_free)
 
+    # phase 1: exact local prune per (host, salt)
+    w_local = Window.partitionBy("host", "_psalt").orderBy(
+        "depth", "priority", "url_hash"
+    )
+    pre = polite.withColumn(
+        "_psalt", F.pmod("url_hash", F.lit(prune_salts)).cast("int")
+    ).withColumn("_lrn", F.row_number().over(w_local))
+    contenders = pre.filter(F.col("_lrn") <= F.col("max_per_epoch"))
+    pruned = pre.filter(F.col("_lrn") > F.col("max_per_epoch"))
+
+    # phase 2: global per-host rank over the bounded survivor set
     w = Window.partitionBy("host").orderBy("depth", "priority", "url_hash")
     ranked = (
-        polite.withColumn("slot", F.row_number().over(w) - 1)
+        contenders.withColumn("slot", F.row_number().over(w) - 1)
         .withColumn("chosen", F.col("slot") < F.col("max_per_epoch"))
         .withColumn("seq_in_host", F.col("slot") + 1)
         .withColumn("scheduled_ms", F.col("slot").cast("long") * F.col("min_delay_ms"))
         .withColumn("shard", F.pmod(F.col("slot"), F.lit(n_salts)).cast("int"))
     )
+    deferred_pruned = (
+        pruned.withColumn("slot", F.lit(-1))
+        .withColumn("chosen", F.lit(False))
+        .withColumn("seq_in_host", F.lit(None).cast("integer"))
+        .withColumn("scheduled_ms", F.lit(None).cast("long"))
+        .withColumn("shard", F.lit(-1).cast("int"))
+    )
     annotated_free = (
-        free.withColumn("slot", F.lit(0))
+        free.withColumn("slot", F.lit(-1))
         .withColumn("chosen", F.lit(True))
-        .withColumn("seq_in_host", F.lit(0))
+        .withColumn("seq_in_host", F.lit(None).cast("integer"))
         .withColumn("scheduled_ms", F.lit(0).cast("long"))
         .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int"))
     )
-    return ranked.unionByName(annotated_free)
+    return (
+        ranked.unionByName(deferred_pruned)
+        .drop("_psalt", "_lrn")
+        .unionByName(annotated_free)
+    )
 
 
 def select_budget(
@@ -92,10 +128,6 @@ def robots_allowed(url: Column, host: Column, robots_map: dict[str, list[str]], 
     disallowed prefix for its host (north-rule robots cache; the
     reference sends polite headers but never parses robots —
     comprehensive_scraper.py:32-42)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
     bc = spark.sparkContext.broadcast(robots_map)
 
     @F.pandas_udf(T.BooleanType())

@@ -10,8 +10,13 @@ delete; the cuckoo shards can — so the recrawl path is:
 2. delete their hashes from the driver's cuckoo shards (engine builds
    them instead of blooms when ``use_cuckoo=True`` — same probe API);
 3. anti-delete from the ``url_seen`` table (rewrite minus expired);
-4. re-queue the expired URLs as pending frontier rows (depth/priority
-   preserved; epoch = current).
+4. re-queue the expired URLs as pending frontier rows with a
+   deterministic re-fetch order (depth = 1, priority = hash-derived —
+   the original depth/priority left the frontier when the URL was
+   fetched and are not persisted in fetch_log); epoch = current.
+   Rows already pending in the frontier are anti-joined away first,
+   so calling recrawl twice (or while an expired URL is re-queued but
+   not yet fetched) never inserts duplicates.
 
 One snapshot commit makes 3+4 atomic.
 """
@@ -38,7 +43,15 @@ def recrawl_expired(engine: CrawlEngine, ttl_epochs: int) -> int:
         F.max_by("url", "epoch").alias("url"),
         F.max_by("host", "epoch").alias("host"),
     )
-    expired = last_fetch.filter(F.col("last_epoch") <= cutoff).persist()
+    frontier_now = engine.frontier()
+    expired = (
+        last_fetch.filter(F.col("last_epoch") <= cutoff)
+        # idempotence: skip anything already pending (re-queued by an
+        # earlier recrawl call and not yet fetched) — the engine has no
+        # within-frontier dedup, so a duplicate here would double-fetch
+        .join(frontier_now.select("url_hash"), "url_hash", "left_anti")
+        .persist()
+    )
     n = expired.count()
     if n == 0:
         expired.unpersist()

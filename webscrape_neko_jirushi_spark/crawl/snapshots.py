@@ -1,4 +1,5 @@
-"""Atomic multi-table snapshot store (SURVEY.md §2.9 T2).
+"""Atomic multi-table snapshot store (SURVEY.md §2.9 T2; S10/S11 —
+the JSON-state read/write sinks become manifest+parquet snapshots).
 
 The reference checkpoints by rewriting two JSON files non-atomically
 (comprehensive_scraper.py:82-96,317-326) — a crash between the writes

@@ -2,12 +2,12 @@
 
 Semantics transcribed from the reference's extraction passes:
 
-- image selector cascade, src/data-src fallback, relative->absolute,
+- S4 image selector cascade, src/data-src fallback, relative->absolute,
   keep-first within-page dedup, interest filter, API ``image_1``
   prepended at position 0: comprehensive_scraper.py:163-203;
 - title / description / key:value detail extraction:
   smart_cat_discovery.py:218-243;
-- ``/foster/\\d+/`` outlink scan: smart_cat_discovery.py:138-143.
+- S5 ``/foster/\\d+/`` outlink scan: smart_cat_discovery.py:138-143.
 
 The span order contract (asserted per-row against the sequential DOM
 oracle in ``crawl/oracle.py``): ``[title?, description?, details...,

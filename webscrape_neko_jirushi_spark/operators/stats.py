@@ -33,6 +33,48 @@ def per_extension_counts(images: DataFrame) -> DataFrame:
     return images.groupBy(ext.alias("ext")).agg(F.count("*").alias("n"))
 
 
+def run_report(
+    images: DataFrame,
+    yolo: DataFrame | None = None,
+    errors: DataFrame | None = None,
+    config: dict | None = None,
+) -> DataFrame:
+    """D4 (+J7): the pipeline completion report
+    (complete_pipeline.py:134-202) as ONE relational row.
+
+    Each stage contributes a single-row aggregate; the merge is a chain
+    of broadcast cross joins of 1-row tables (J7's report lookup-join
+    shape — the 'join' moves one row, never reshuffles the inputs), and
+    the config echo is literal columns. At 100 TB each input aggregate
+    is one partial+final pass over its table; the report assembly cost
+    is constant.
+    """
+    report = images.agg(
+        F.countDistinct("doc_id").alias("total_cats"),
+        F.count("*").alias("total_images"),
+    )
+    if yolo is not None:
+        y = yolo.agg(
+            F.sum((F.col("detection_count") > 0).cast("long")).alias(
+                "images_with_cats"
+            ),
+            F.sum((F.col("detection_count") == 0).cast("long")).alias(
+                "removed_images"
+            ),
+            F.round(
+                F.avg(F.when(F.col("detection_count") > 0, F.col("avg_confidence"))),
+                6,
+            ).alias("avg_confidence"),
+        )
+        report = report.crossJoin(F.broadcast(y))
+    if errors is not None:
+        e = errors.agg(F.count("*").alias("n_errors"))
+        report = report.crossJoin(F.broadcast(e))
+    for k, v in (config or {}).items():
+        report = report.withColumn(k, F.lit(v))
+    return report
+
+
 def list_snapshots(store: SnapshotStore) -> list[dict]:
     """O4: backups newest-first (data_manager.py:169-170) — snapshot
     versions from the manifest directory, newest first."""

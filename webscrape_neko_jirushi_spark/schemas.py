@@ -126,6 +126,21 @@ IMAGES = T.StructType(
     ]
 )
 
+# S8: downloaded media blobs as an opaque-binary column with typed
+# metadata (the reference writes image files to disk,
+# comprehensive_scraper.py:233-259; here the 'directory of images' is a
+# committed columnar table the multimodal operators read directly)
+MEDIA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("size_bytes", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("epoch", T.IntegerType(), False),
+    ]
+)
+
 CAT_INFO = T.StructType(
     [
         T.StructField("cat_id", T.LongType(), False),
