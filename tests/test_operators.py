@@ -171,3 +171,45 @@ def test_cosine_topk_and_ann_agree(spark):
     assert approx[0] == 0
     # ANN recall sanity: at least 2 of exact top-5 in approx top-5
     assert len(set(exact) & set(approx)) >= 2
+
+
+def test_global_sequence_matches_single_window(spark):
+    """W3 scale path: bucketed two-phase global sequence == the direct
+    single-partition row_number, and no single global sort remains."""
+    from pyspark.sql import Window
+
+    from webscrape_neko_jirushi_spark.operators.reorganize import global_sequence
+
+    df = spark.range(0, 5000).select(
+        (F.xxhash64(F.col("id").cast("string")) % 100000).alias("key"),
+        F.col("id").alias("payload"),
+    ).filter(F.col("key").isNotNull()).dropDuplicates(["key"])
+    got = {
+        (r["key"], r["seq"]) for r in global_sequence(df, "key", buckets=16).collect()
+    }
+    w = Window.orderBy("key")
+    want = {
+        (r["key"], r["seq"])
+        for r in df.withColumn("seq", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_renumber_groups_bucketed_equals_default(spark):
+    from webscrape_neko_jirushi_spark.operators import reorganize
+    from webscrape_neko_jirushi_spark.sources.analog import cat_info_analog
+
+    cats = cat_info_analog(
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    )
+    a = {
+        (r["cat_id"], r["new_dir"])
+        for r in reorganize.renumber_groups(cats).select("cat_id", "new_dir").collect()
+    }
+    b = {
+        (r["cat_id"], r["new_dir"])
+        for r in reorganize.renumber_groups(cats, buckets=8)
+        .select("cat_id", "new_dir")
+        .collect()
+    }
+    assert a == b

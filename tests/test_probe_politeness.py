@@ -261,5 +261,49 @@ def test_media_binary_sink(spark, tmp_path):
     import hashlib
 
     for r in media[:10]:
-        assert r["content"] == hashlib.md5(r["url"].encode()).digest()
-        assert r["size_bytes"] == 16
+        n = r["size_bytes"] // 16
+        assert r["content"] == hashlib.md5(r["url"].encode()).digest() * n
+        assert len(r["content"]) == r["size_bytes"]
+
+
+def test_complete_pipeline_orchestrator(spark, tmp_path):
+    """D1-D4: crawl -> probe -> clean -> dedup -> one-row report, with
+    stage flags and preconditions."""
+    from webscrape_neko_jirushi_spark.plans.pipeline import CompletePipeline
+
+    mirror = M.build_mirror(seed=7, n_pages=1, cats_per_page=8, fail_rate=0.0)
+    pages = spark.createDataFrame(mirror.rows(), schemas.PAGES)
+    budget = spark.createDataFrame(M.host_budget_rows(200, 0), schemas.HOST_BUDGET)
+    eng = CrawlEngine(
+        spark, SnapshotStore(tmp_path, spark), MirrorFetcher(pages), budget,
+        M.BASE_URL, fetch_images=True,
+    )
+    eng.seed([M.listing_url(1)])
+    result = CompletePipeline(eng, cascade="advanced", max_epochs=10).run()
+    assert result.stages_completed == {
+        "scraping": True, "cleaning": True, "dedup": True,
+    }
+    assert result.errors == []
+    row = result.report.collect()[0]
+    assert row["total_images"] > 0
+    assert 0 < row["surviving_images"] <= row["total_images"]
+    assert row["scraping_completed"] and row["cleaning_completed"]
+    # dedup really deduplicates: survivor md5s unique
+    surv = result.survivors
+    assert surv.count() == surv.select("md5").distinct().count()
+
+
+def test_complete_pipeline_precondition_failure(spark, tmp_path):
+    from webscrape_neko_jirushi_spark.plans.pipeline import CompletePipeline
+
+    mirror = M.build_mirror(seed=7, n_pages=1, cats_per_page=4, fail_rate=0.0)
+    pages = spark.createDataFrame(mirror.rows(), schemas.PAGES)
+    budget = spark.createDataFrame(M.host_budget_rows(200, 0), schemas.HOST_BUDGET)
+    eng = CrawlEngine(
+        spark, SnapshotStore(tmp_path, spark), MirrorFetcher(pages), budget,
+        M.BASE_URL,
+    )
+    # never seeded: stage-1 precondition fails, report still emitted
+    result = CompletePipeline(eng, max_epochs=2).run()
+    assert result.stages_completed["scraping"] is False
+    assert result.errors and "precondition" in result.errors[0]

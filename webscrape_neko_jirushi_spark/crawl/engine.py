@@ -449,17 +449,22 @@ class CrawlEngine:
             # S8: downloaded media as binary rows in the same atomic
             # commit (the reference's per-file disk writes,
             # comprehensive_scraper.py:233-259). The mirror serves no
-            # real bytes, so the payload is a deterministic md5-of-url
-            # blob — a production fetcher swaps in the response body;
-            # the sink (schema, append, atomic commit) is the real path.
+            # real bytes, so the payload is the url's md5 digest tiled
+            # to a deterministic pseudo-realistic size (~1-49 KB, so the
+            # downstream size-based cascades see a plausible mix) — a
+            # production fetcher swaps in the response body; the sink
+            # (schema, append, atomic commit) is the real path.
+            n_rep = (F.pmod("url_hash", F.lit(3000)) + F.lit(63)).cast("int")
             appends["media"] = fetched.filter(
                 (F.col("status_code") == 200) & (F.col("kind") == "image")
             ).select(
                 "url",
                 "url_hash",
                 "content_type",
-                F.lit(16).cast("long").alias("size_bytes"),
-                F.to_binary(F.md5(F.col("url")), F.lit("hex")).alias("content"),
+                (n_rep * 16).cast("long").alias("size_bytes"),
+                F.to_binary(
+                    F.repeat(F.md5(F.col("url")), n_rep), F.lit("hex")
+                ).alias("content"),
                 F.lit(epoch).alias("epoch"),
             )
         self.store.commit(

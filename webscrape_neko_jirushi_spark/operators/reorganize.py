@@ -31,12 +31,59 @@ def ordinal_rename(
     )
 
 
-def renumber_groups(cats: DataFrame, cat_id_col: str = "cat_id") -> DataFrame:
+def global_sequence(
+    df: DataFrame, order_col: str, buckets: int = 32, out_col: str = "seq"
+) -> DataFrame:
+    """W3 scale path: 1-based global sequence in ``order_col`` order
+    WITHOUT a single-partition window (the zipWithIndex pattern, kept
+    in the DataFrame API). Three phases:
+
+    1. approx-quantile range boundaries for ``order_col`` (one sketch
+       job; boundaries become plan literals);
+    2. per-bucket ``row_number`` windows — ``buckets`` parallel sorts
+       instead of one global one;
+    3. bucket counts -> cumulative offsets (<= ``buckets`` rows via the
+       driver) broadcast-joined back: seq = offset + local row number.
+
+    Deterministic for unique order keys (ties within a key are
+    window-nondeterministic, exactly as with the single window).
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    w_local = Window.partitionBy("_gs_bucket").orderBy(order_col)
+    with_rn = df.withColumn("_gs_bucket", bucket).withColumn(
+        "_gs_rn", F.row_number().over(w_local)
+    )
+    counts = sorted(
+        with_rn.groupBy("_gs_bucket").count().collect(),
+        key=lambda r: r["_gs_bucket"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_gs_bucket"], acc))
+        acc += r["count"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_gs_bucket int, _gs_off long"
+    )
+    return (
+        with_rn.join(F.broadcast(off_df), "_gs_bucket")
+        .withColumn(out_col, F.col("_gs_off") + F.col("_gs_rn"))
+        .drop("_gs_bucket", "_gs_rn", "_gs_off")
+    )
+
+
+def renumber_groups(
+    cats: DataFrame, cat_id_col: str = "cat_id", buckets: int | None = None
+) -> DataFrame:
     """W3/P5/P6: cat_{seq:04d}_{clean_name} with the global counter in
     sorted-id order (deterministic stand-in for dir-iteration order,
-    reorganize_dataset.py:28,87). Single-partition window is acceptable:
-    one row per group; at larger scale swap for zipWithIndex-style
-    sequence assignment."""
+    reorganize_dataset.py:28,87). Default: single-partition window (one
+    row per group — fine up to ~10^7 groups). Pass ``buckets`` to use
+    ``global_sequence``'s bucketed two-phase ranking at scale; output
+    is identical for unique ids."""
     name = coalesce_name(
         F.col("name"),
         F.col("cat_name"),
@@ -44,15 +91,18 @@ def renumber_groups(cats: DataFrame, cat_id_col: str = "cat_id") -> DataFrame:
         F.col("catch_copy"),
         cat_id=F.col(cat_id_col),
     )
-    w = Window.orderBy(F.col(cat_id_col))
-    return cats.withColumn("resolved_name", name).withColumn(
+    named = cats.withColumn("resolved_name", name).withColumn(
         "clean_name", sanitize_filename(F.col("resolved_name"))
-    ).withColumn(
-        "new_dir",
-        F.format_string(
-            "cat_%04d_%s", F.row_number().over(w), F.col("clean_name")
-        ),
     )
+    if buckets:
+        seqd = global_sequence(named, cat_id_col, buckets=buckets, out_col="_seq")
+    else:
+        w = Window.orderBy(F.col(cat_id_col))
+        seqd = named.withColumn("_seq", F.row_number().over(w))
+    return seqd.withColumn(
+        "new_dir",
+        F.format_string("cat_%04d_%s", F.col("_seq").cast("int"), F.col("clean_name")),
+    ).drop("_seq")
 
 
 def resume_watermark(frontier_log: DataFrame, page_col: str = "page_now") -> DataFrame:
