@@ -1121,13 +1121,18 @@ _SHINGLES = f"""(
 
 
 def _minhash_sql_cols() -> str:
-    cols = []
-    for i in range(_N_MINHASH):
-        h = "CAST(CONCAT('0x', substr(md5(CONCAT('s%d|', s)), 1, 15)) AS BIGINT)" % i
-        cols.append(
-            f"list_aggregate(list_transform({_SHINGLES}, s -> {h}), 'min') AS mh_{i}"
-        )
+    """Kirsch-Mitzenmacher MinHash twin of dedup.minhash_signatures:
+    one md5 per shingle, h_i = h1 + i*h2 over its 48-bit halves."""
+    cols = [
+        f"list_aggregate(list_transform(hs, h -> h.h1 + {i} * h.h2), 'min') AS mh_{i}"
+        for i in range(_N_MINHASH)
+    ]
     return ",\n      ".join(cols)
+
+
+_MINHASH_HS_SQL = f"""list_transform({_SHINGLES}, s -> struct_pack(
+        h1 := CAST(CONCAT('0x', substr(md5(s), 1, 12)) AS BIGINT),
+        h2 := CAST(CONCAT('0x', substr(md5(s), 13, 12)) AS BIGINT) | 1)) AS hs"""
 
 
 @q(
@@ -1135,7 +1140,7 @@ def _minhash_sql_cols() -> str:
     f"""
     SELECT doc_id,
       {_minhash_sql_cols()}
-    FROM documents
+    FROM (SELECT doc_id, {_MINHASH_HS_SQL} FROM documents) t
     """,
 )
 def q_minhash_signatures(spark, sf_dir):
@@ -1148,7 +1153,7 @@ def q_minhash_signatures(spark, sf_dir):
 _MINHASH_CORPUS_SQL = f"""
     SELECT doc_id,
       {_minhash_sql_cols()}
-    FROM ({_CORPUS_SQL})
+    FROM (SELECT doc_id, {_MINHASH_HS_SQL} FROM ({_CORPUS_SQL}) c) t
 """
 
 def _band_sql_values() -> str:
@@ -1253,13 +1258,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """,
 )
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs: 60-bit majority signature, hamming <= 6,
-    found via pigeonhole banding (7 bands, equi-join on (band, chunk))
-    — provably the same pair set as the brute-force join the oracle
-    runs, with no cartesian product in the physical plan."""
-    c = _corpus(spark, sf_dir).select(
-        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
-    )
+    """SimHash near-dup pairs: 60-bit majority signature (one-pass
+    relational form), hamming <= 6, found via pigeonhole banding
+    (7 bands, equi-join on (band, chunk)) — provably the same pair set
+    as the brute-force join the oracle runs, with no cartesian product
+    in the physical plan."""
+    c = dedup.simhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
     return dedup.simhash_banded_pairs(
         c, "doc_id", "simhash", max_hamming=6, n_bits=60
     )

@@ -49,8 +49,10 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "simhash_near_dups",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "ann_topk_lsh",
     "sessionize_events",
     "hourly_event_rollup",
 ]

@@ -213,3 +213,22 @@ def test_renumber_groups_bucketed_equals_default(spark):
         .collect()
     }
     assert a == b
+
+
+def test_simhash_signatures_equal_hof_form(spark):
+    """The one-pass relational SimHash returns identical signatures to
+    the HOF column form."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    rel = {
+        (r["doc_id"], r["simhash"])
+        for r in dedup.simhash_signatures(docs, "text", "doc_id").collect()
+    }
+    hof = {
+        (r["doc_id"], r["simhash"])
+        for r in docs.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    assert rel == hof

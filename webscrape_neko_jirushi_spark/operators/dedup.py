@@ -76,23 +76,36 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 16, k: int = 5
 ) -> DataFrame:
     """MinHash: signature[i] = min over shingles of h_i(shingle), with
-    h_i = portable_hash64(salt_i || shingle). Pure builtin HOFs
-    (transform/array_min) — stays in codegen, DuckDB-replicable."""
+    the Kirsch-Mitzenmacher family h_i = h1 + i*h2 derived from ONE md5
+    per shingle (h1/h2 = 48-bit halves of the digest; h1 + 15*h2 < 2^53,
+    so the arithmetic is overflow-free and engine-exact). One digest per
+    shingle instead of n_hashes — the signature pass is ~n_hashes x
+    cheaper. Pure builtin HOFs (transform/array_min) — stays in
+    codegen, DuckDB-replicable."""
     sh = shingles(F.col(text_col), k).alias("sh")
+
+    def _h12(s):
+        m = F.md5(s.cast("binary"))
+        return F.struct(
+            F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 13, 12), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+            .alias("h2"),
+        )
+
+    hs = F.transform(F.col("sh"), _h12).alias("hs")
     sig_cols = [
         F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"s{i}|"), s).cast("binary")), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
-            )
+            F.transform(F.col("hs"), lambda h: h["h1"] + F.lit(i) * h["h2"])
         ).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    return df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+    return (
+        df.select(F.col(id_col), sh)
+        .select(F.col(id_col), hs)
+        .select(F.col(id_col), *sig_cols)
+    )
 
 
 def lsh_candidate_pairs(
@@ -154,6 +167,36 @@ def simhash64(text_col, k_tokens_hash_bits: int = 60):
 
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 60
+) -> DataFrame:
+    """Relational one-pass SimHash (same signature values as
+    ``simhash64``): explode tokens (one md5 per token), then all
+    ``n_bits`` majority counters in a SINGLE partial+final hash
+    aggregate. The HOF form (``simhash64``) scans the token-hash array
+    once per bit — 60 array traversals per doc and a giant expression
+    tree recomputed on each side of a self-join; this form does one
+    scan, one shuffle by doc, and the aggregate output is reusable."""
+    words = F.split(_normalized(F.col(text_col)), " ")
+    tok_hash = F.conv(
+        F.substring(F.md5(F.col("_tok").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    ex = df.select(F.col(id_col), F.explode(words).alias("_tok")).select(
+        F.col(id_col), tok_hash.alias("_h")
+    )
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(n_bits)
+    ]
+    counted = ex.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(n_bits):
+        sim = sim + F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counted.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
