@@ -1452,6 +1452,60 @@ def q_ivf_cells(spark, sf_dir):
     )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {a}[i]), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform(range(1, 65), i -> {b}[i] * {b}[i]), 'sum'))))"
+    )
+
+
+@q(
+    "ivf_topk_probe",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cn AS (SELECT vec_id AS cid, e FROM emb WHERE vec_id < 4),
+    qv AS (SELECT e FROM emb WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY ROUND({_cos_sql('c.e', 'q.e')}, 9) DESC, c.cid) AS rn
+        FROM cn c, qv q
+      ) r WHERE rn <= 2
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT m.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                 ORDER BY ROUND({_cos_sql('m.e', 'c.e')}, 9) DESC, c.cid) AS rn
+        FROM emb m, cn c
+      ) a WHERE rn = 1
+    )
+    SELECT m.vec_id, ROUND({_cos_sql('m.e', 'q.e')}, 6) AS cosine
+    FROM assigned a
+    JOIN probe p ON a.cid = p.cid
+    JOIN emb m ON m.vec_id = a.vec_id, qv q
+    ORDER BY cosine DESC, m.vec_id
+    LIMIT 10
+    """,
+)
+def q_ivf_topk_probe(spark, sf_dir):
+    """IVF probe search: assign every vector to its nearest of 4 seed
+    centroids, score only the query's 2 nearest cells, exact cosine
+    top-10 on the pruned set (similarity.ivf_topk)."""
+    e = load(spark, sf_dir, "embeddings")
+    small = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+    centroids = [small[i] for i in sorted(small)]
+    query = small[0]
+    return similarity.ivf_topk(e, query, centroids, k=10, nprobe=2)
+
+
 def _ann_planes_values() -> str:
     """The LCG hyperplanes (similarity._hyperplanes, seed 7, 8 bits,
     dim 64) as SQL VALUES rows — deliberately oracle-replicable."""

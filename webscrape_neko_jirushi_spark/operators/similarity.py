@@ -208,3 +208,40 @@ def ivf_assign(
         "cell",
         F.expr("array_position(scores, array_max(scores))").cast("int") - 1,
     ).drop("scores")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only vectors assigned to the ``nprobe`` cells
+    whose centroids are nearest the query (computed driver-side over
+    the tiny centroid list — plan literals, no extra job). With the
+    cell column persisted as a partition key at scale, this prunes the
+    scan to nprobe/C of the corpus before the exact cosine top-k."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (-round(cos(query, centroids[i]), 9), i),
+    )[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    pruned = assigned.filter(F.col("cell").isin([int(p) for p in probe]))
+    return (
+        pruned.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

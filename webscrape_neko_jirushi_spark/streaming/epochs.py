@@ -11,12 +11,23 @@ operators a Structured Streaming face where a deployment wants one:
   foreachBatch's at-least-once contract (T2).
 - ``windowed_fetch_metrics``: the monitoring aggregation (A1 counters)
   as a watermarked tumbling-window streaming agg over fetch_log rows.
+- ``host_health_tracker``: custom stateful operator
+  (``applyInPandasWithState``) keeping per-host counters + a
+  consecutive-failure backoff flag across micro-batches — the
+  streaming twin of the reference's in-loop failure handling
+  (comprehensive_scraper.py:126-137 retries, smart_cat_discovery.py
+  failed_urls set).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..crawl.engine import CrawlEngine
 from ..functions.urls import canonicalize_url, host_col, url_hash_col
@@ -54,6 +65,64 @@ def frontier_stream_writer(engine: CrawlEngine, seed_stream: DataFrame):
     return (
         seed_stream.writeStream.outputMode("append")
         .foreachBatch(lambda df, eid: seed_batch_to_frontier(engine, df, eid))
+    )
+
+
+_HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_fetches", T.LongType()),
+        T.StructField("n_failures", T.LongType()),
+        T.StructField("consec_failures", T.LongType()),
+    ]
+)
+_HOST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("n_fetches", T.LongType()),
+        T.StructField("n_failures", T.LongType()),
+        T.StructField("consec_failures", T.LongType()),
+        T.StructField("throttled", T.BooleanType()),
+    ]
+)
+
+
+def _track_host(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    n, f, c = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        # deterministic in-batch order: the engine's schedule order
+        pdf = pdf.sort_values(["epoch", "seq_in_host"], na_position="last")
+        for status in pdf["status_code"]:
+            n += 1
+            if status != 200:
+                f += 1
+                c += 1
+            else:
+                c = 0
+    state.update((int(n), int(f), int(c)))
+    yield pd.DataFrame(
+        {
+            "host": [key[0]],
+            "n_fetches": [n],
+            "n_failures": [f],
+            "consec_failures": [c],
+            "throttled": [c >= 3],
+        }
+    )
+
+
+def host_health_tracker(fetch_log_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (T7's cross-batch state as a
+    first-class stream op): per-host running fetch/failure counters and
+    a ``throttled`` flag after 3 consecutive failures, maintained with
+    ``applyInPandasWithState``. Arrow-batched; state is 3 longs per
+    host — at 10^6 hosts the state store holds ~24 MB per executor
+    slice, partitioned by the group key."""
+    return fetch_log_stream.groupBy("host").applyInPandasWithState(
+        _track_host,
+        outputStructType=_HOST_OUT_SCHEMA,
+        stateStructType=_HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
