@@ -120,6 +120,17 @@ def test_banded_lsh_finds_scaled_duplicates(spark):
     assert want <= got
 
 
+def test_no_cartesian_product_in_any_query_plan(spark):
+    """Every registered query must avoid a non-broadcast cartesian
+    product. (BroadcastNestedLoopJoin against a 1-row aggregate is the
+    intended shape for scalar-join queries and is allowed.)"""
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        plan = P.physical_plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
 def test_agg_is_partial_final(spark):
     """Hash aggregation splits map-side partial + final (one shuffle)."""
     li = spark.read.parquet(f"{SF}/lineitem.parquet")

@@ -123,6 +123,46 @@ def select_budget(
     return selected, deferred
 
 
+def parse_robots(text: str, user_agent: str = "*") -> list[str]:
+    """Minimal robots.txt parse -> disallowed path prefixes for the
+    given agent. Groups are 'User-agent:' lines followed by
+    'Disallow:' lines; the most specific matching group wins (exact
+    agent match over '*'); empty Disallow means allow-all. Feeds the
+    broadcast robots cache (T4) — one parsed entry per host, fetched
+    once and cached for the crawl's lifetime."""
+    groups: dict[str, list[str]] = {}
+    agents: list[str] = []
+    last_was_agent = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                agents = []
+            agents.append(val.lower())
+            for a in agents:
+                groups.setdefault(a, [])
+            last_was_agent = True
+        elif key == "disallow":
+            last_was_agent = False
+            if val:
+                for a in agents:
+                    groups.setdefault(a, []).append(val)
+        else:
+            last_was_agent = False
+    ua = user_agent.lower()
+    if ua in groups:
+        return groups[ua]
+    for agent, rules in groups.items():
+        if agent != "*" and agent in ua:
+            return rules
+    return groups.get("*", [])
+
+
 def robots_allowed(url: Column, host: Column, robots_map: dict[str, list[str]], spark) -> Column:
     """Broadcast robots.txt cache probe: URL path must not start with a
     disallowed prefix for its host (north-rule robots cache; the

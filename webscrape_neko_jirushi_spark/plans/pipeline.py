@@ -48,11 +48,19 @@ class CompletePipeline:
         cascade: str = "advanced",
         max_epochs: int = 50,
         target_docs: int | None = None,
+        config=None,
     ):
+        """``config`` (a ``crawl.config.CrawlConfig``) supplies
+        max_epochs/target_docs via the D3 cascade and is echoed into
+        the run report; explicit kwargs still win (most-specific layer)."""
         if cascade not in ("advanced", "aggressive"):
             raise ValueError(f"unknown cascade {cascade!r}")
         self.engine = engine
         self.cascade = cascade
+        self.config = config
+        if config is not None:
+            max_epochs = config.max_epochs if max_epochs == 50 else max_epochs
+            target_docs = config.target_docs if target_docs is None else target_docs
         self.max_epochs = max_epochs
         self.target_docs = target_docs
 
@@ -144,7 +152,7 @@ class CompletePipeline:
         return PipelineResult(report, survivors, flags, errors)
 
     def _config_echo(self, flags: dict, errors: list[str]) -> dict:
-        return {
+        echo = {
             "cascade": self.cascade,
             "max_epochs": self.max_epochs,
             "scraping_completed": flags["scraping"],
@@ -152,3 +160,9 @@ class CompletePipeline:
             "dedup_completed": flags["dedup"],
             "n_errors": len(errors),
         }
+        if self.config is not None:
+            # D3 -> D4: the resolved cascade, echoed verbatim
+            # (reference: configuration block of the completion report)
+            for k, v in self.config.echo().items():
+                echo.setdefault(k, v)
+        return echo
