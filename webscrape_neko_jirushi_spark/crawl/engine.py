@@ -449,11 +449,13 @@ class CrawlEngine:
             # S8: downloaded media as binary rows in the same atomic
             # commit (the reference's per-file disk writes,
             # comprehensive_scraper.py:233-259). The mirror serves no
-            # real bytes, so the payload is the url's md5 digest tiled
-            # to a deterministic pseudo-realistic size (~1-49 KB, so the
-            # downstream size-based cascades see a plausible mix) — a
-            # production fetcher swaps in the response body; the sink
-            # (schema, append, atomic commit) is the real path.
+            # real bytes, so the payload is a 16-byte md5-of-url stub
+            # while size_bytes carries a deterministic pseudo-realistic
+            # value (~1-49 KB) so downstream size-based cascades see a
+            # plausible mix WITHOUT writing gigabytes of filler — a
+            # production fetcher swaps in the response body (and then
+            # len(content) == size_bytes); the sink (schema, append,
+            # atomic commit) is the real path either way.
             n_rep = (F.pmod("url_hash", F.lit(3000)) + F.lit(63)).cast("int")
             appends["media"] = fetched.filter(
                 (F.col("status_code") == 200) & (F.col("kind") == "image")
@@ -462,9 +464,7 @@ class CrawlEngine:
                 "url_hash",
                 "content_type",
                 (n_rep * 16).cast("long").alias("size_bytes"),
-                F.to_binary(
-                    F.repeat(F.md5(F.col("url")), n_rep), F.lit("hex")
-                ).alias("content"),
+                F.to_binary(F.md5(F.col("url")), F.lit("hex")).alias("content"),
                 F.lit(epoch).alias("epoch"),
             )
         self.store.commit(

@@ -95,11 +95,17 @@ class CompletePipeline:
         else:
             probed = multimodal.probe_images(
                 media.select(F.col("url").alias("path"), "content")
-            )
+            ).drop("size_bytes")  # media.size_bytes is authoritative
+            # (the sandbox payload is a 16-byte stub; a real fetcher's
+            # len(content) equals it)
             imgs = (
                 probed.join(
                     media.select(
-                        F.col("url").alias("path"), "url", "content_type", "content"
+                        F.col("url").alias("path"),
+                        "url",
+                        "content_type",
+                        "content",
+                        "size_bytes",
                     ),
                     "path",
                 )
