@@ -328,8 +328,8 @@ def q_duplicate_groups(spark, sf_dir):
     "ordinal_rename",
     f"""
     SELECT doc_id, image_idx,
-           CONCAT('image_', lpad(CAST(ROW_NUMBER() OVER
-             (PARTITION BY doc_id ORDER BY image_idx, src_key) AS VARCHAR), 3, '0'),
+           CONCAT(printf('image_%03d', ROW_NUMBER() OVER
+             (PARTITION BY doc_id ORDER BY image_idx, src_key)),
              lower(regexp_extract(filename, '(\\.[A-Za-z0-9]+)$', 1))) AS new_name
     FROM ({IMAGES_ANALOG_SQL})
     """,
@@ -346,7 +346,7 @@ def q_ordinal_rename(spark, sf_dir):
     "renumber_groups",
     f"""
     SELECT cat_id,
-      CONCAT('cat_', lpad(CAST(ROW_NUMBER() OVER (ORDER BY cat_id) AS VARCHAR), 4, '0'),
+      CONCAT(printf('cat_%04d', ROW_NUMBER() OVER (ORDER BY cat_id)),
              '_', clean_name) AS new_dir
     FROM (
       SELECT cat_id,
