@@ -1191,9 +1191,7 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(sigs, "doc_id", _N_MINHASH, 4)
 
 
-@q(
-    "ngram_jaccard_pairs",
-    f"""
+_NGRAM_PAIRS_SQL = f"""
     WITH sigs AS ({_MINHASH_CORPUS_SQL}),
     banded AS (
       SELECT doc_id, b.band, b.bh
@@ -1221,21 +1219,58 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-    """,
-)
+"""
+
+
+def _ngram_pairs(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(c, "text", "doc_id", _N_MINHASH, _K_SHINGLE)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", _N_MINHASH, 4)
+    return dedup.ngram_jaccard_pairs(
+        c, "text", "doc_id", _K_SHINGLE, 0.5, candidates=cands
+    )
+
+
+@q("ngram_jaccard_pairs", _NGRAM_PAIRS_SQL)
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact word-5-gram Jaccard >= 0.5 verify RESTRICTED to MinHash-LSH
     candidates — the scale form: the shingle-intersection join is driven
     by the candidate pairs (two equi-joins), never the full self-join.
     Candidate generation is the same 4x4 banding as
     ``lsh_candidate_pairs``."""
-    c = _corpus(spark, sf_dir)
-    sigs = dedup.minhash_signatures(c, "text", "doc_id", _N_MINHASH, _K_SHINGLE)
-    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", _N_MINHASH, 4)
-    pairs = dedup.ngram_jaccard_pairs(
-        c, "text", "doc_id", _K_SHINGLE, 0.5, candidates=cands
+    return _ngram_pairs(spark, sf_dir).withColumn(
+        "jaccard", F.round("jaccard", 6)
     )
-    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_NGRAM_PAIRS_SQL}) p),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id AS node, id AS label FROM nodes
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_near_dup_clusters(spark, sf_dir):
+    """Cluster assignment: connected components (min-label propagation)
+    over the LSH-verified jaccard>=0.5 pair set — the step that turns
+    pair evidence into duplicate groups for keep-one-per-cluster dedup.
+    Oracle: recursive-CTE min-reachable-id over the same edges."""
+    pairs = _ngram_pairs(spark, sf_dir)
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
 
 
 @q(

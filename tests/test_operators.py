@@ -232,3 +232,24 @@ def test_simhash_signatures_equal_hof_form(spark):
         ).collect()
     }
     assert rel == hof
+
+
+def test_connected_components_chain_and_star(spark):
+    """Min-label propagation handles a 4-node chain (diameter > 1) and
+    a star, and leaves separate components separate."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (10, 12), (10, 13),    # star at 10
+         (20, 21)],                       # pair
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10), (13, 10),
+            (20, 20), (21, 20)}
+    assert got == want

@@ -320,6 +320,53 @@ def embedding_near_dups(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment over near-dup candidate pairs: connected
+    components by min-label propagation (the step that turns pair
+    evidence into duplicate GROUPS at scale). Pure DataFrame joins —
+    each round is one equi-join + one min-aggregate, converging in
+    O(component diameter) rounds (near-dup clusters are star-like, so
+    2-4 in practice). ``localCheckpoint`` truncates the iterative
+    lineage so the plan stays O(1) per round instead of compounding.
+
+    Returns (id, cluster_id) where cluster_id = min member id.
+    """
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def _band_widths(n_bits: int, n_bands: int) -> list[int]:
     base, extra = divmod(n_bits, n_bands)
     return [base + (1 if i < extra else 0) for i in range(n_bands)]
