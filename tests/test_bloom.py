@@ -77,3 +77,47 @@ def test_bloom_distributed_delta_matches_full_build(spark):
     assert set(incremental.bits) == set(full.bits)
     for s in full.bits:
         assert np.array_equal(incremental.bits[s], full.bits[s]), s
+
+
+def test_cuckoo_distributed_build_and_probe(spark):
+    """Distributed cuckoo build: no false negatives, vectorized probe,
+    deletes make keys definitively absent."""
+    seen = spark.range(0, 4000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    ck = CuckooShards.build(seen, n_shards=8, n_buckets=1 << 12)
+    hashes = np.array([r["url_hash"] for r in seen.collect()], dtype=np.int64)
+    assert ck.might_contain_np(hashes).all()
+    fresh = spark.range(50000, 60000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    )
+    fh = np.array([r["url_hash"] for r in fresh.collect()], dtype=np.int64)
+    assert ck.might_contain_np(fh).mean() < 0.02
+    for h in hashes[:500]:
+        ck.delete(int(h))
+    assert ck.might_contain_np(hashes[:500]).mean() < 0.05  # rare fp collisions
+    assert ck.might_contain_np(hashes[500:]).all()
+
+
+def test_cuckoo_engine_crawl_equals_bloom_engine(spark, tmp_path):
+    """use_cuckoo=True crawls to the identical seen set (the filter is
+    a pre-filter only; exactness comes from the anti-join)."""
+    from webscrape_neko_jirushi_spark import schemas
+    from webscrape_neko_jirushi_spark.crawl.engine import CrawlEngine, MirrorFetcher
+    from webscrape_neko_jirushi_spark.crawl.snapshots import SnapshotStore
+    from webscrape_neko_jirushi_spark.fixtures import mirror as M
+
+    mirror = M.build_mirror(seed=11, n_pages=2, cats_per_page=8, fail_rate=0.0)
+    pages = spark.createDataFrame(mirror.rows(), schemas.PAGES)
+    budget = spark.createDataFrame(M.host_budget_rows(100, 5), schemas.HOST_BUDGET)
+
+    def crawl(name, use_cuckoo):
+        eng = CrawlEngine(
+            spark, SnapshotStore(tmp_path / name, spark), MirrorFetcher(pages),
+            budget, M.BASE_URL, fetch_images=False, use_cuckoo=use_cuckoo,
+        )
+        eng.seed([M.listing_url(1)])
+        eng.run(max_epochs=20)
+        return {r["url_hash"] for r in eng.url_seen().collect()}
+
+    assert crawl("ck", True) == crawl("bl", False)

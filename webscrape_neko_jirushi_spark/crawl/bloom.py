@@ -171,13 +171,19 @@ class BloomShards:
     def prefilter(self, spark: SparkSession, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
         """Adds ``bloom_maybe_seen``: False => definitely NOT seen
         (skip the exact anti-join for these rows)."""
-        bc = spark.sparkContext.broadcast(self)
+        return _prefilter(self, spark, df, hash_col)
 
-        @F.pandas_udf(T.BooleanType())
-        def _probe(h: pd.Series) -> pd.Series:
-            return pd.Series(bc.value.might_contain_np(h.to_numpy()))
 
-        return df.withColumn("bloom_maybe_seen", _probe(F.col(hash_col)))
+def _prefilter(filt, spark: SparkSession, df: DataFrame, hash_col: str) -> DataFrame:
+    """Shared broadcast-probe column: works for any filter exposing
+    ``might_contain_np`` (bloom and cuckoo shards)."""
+    bc = spark.sparkContext.broadcast(filt)
+
+    @F.pandas_udf(T.BooleanType())
+    def _probe(h: pd.Series) -> pd.Series:
+        return pd.Series(bc.value.might_contain_np(h.to_numpy()))
+
+    return df.withColumn("bloom_maybe_seen", _probe(F.col(hash_col)))
 
 
 class CuckooShards:
@@ -199,6 +205,73 @@ class CuckooShards:
     def empty(cls, n_shards: int = 4, n_buckets: int = 1 << 14) -> "CuckooShards":
         return cls(n_shards, n_buckets, {})
 
+    @classmethod
+    def build(
+        cls,
+        seen: DataFrame,
+        n_shards: int = 16,
+        n_buckets: int = 1 << 16,
+    ) -> "CuckooShards":
+        """Distributed build: one fingerprint table per shard via
+        applyInPandas (rows insert sequentially WITHIN a shard group —
+        eviction chains are shard-local); only the packed tables
+        (n_buckets * SLOTS * 2 bytes each) travel to the driver."""
+        slots = cls.SLOTS
+
+        def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            ck = cls(1, n_buckets, {})
+            t = ck._table(0)
+            for h in pdf["url_hash"].to_numpy():
+                ck._insert_into(t, int(h) & ((1 << 64) - 1))
+            return pd.DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "bits": [t.tobytes()]}
+            )
+
+        rows = (
+            seen.select(
+                "url_hash",
+                F.pmod("url_hash", F.lit(n_shards)).cast("int").alias("shard"),
+            )
+            .groupBy("shard")
+            .applyInPandas(_build_shard, schema=_SHARD_BITS_SCHEMA)
+            .collect()
+        )
+        tables = {
+            r["shard"]: np.frombuffer(r["bits"], dtype=np.uint16)
+            .reshape(n_buckets, slots)
+            .copy()
+            for r in rows
+        }
+        return cls(n_shards, n_buckets, tables)
+
+    def might_contain_np(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized probe (same contract as BloomShards): True may be
+        a false positive, False is definite — shared ``prefilter``."""
+        out = np.zeros(len(hashes), dtype=bool)
+        if not len(hashes):
+            return out
+        h = hashes.astype(np.uint64)
+        shards = (h % np.uint64(self.n_shards)).astype(np.int64)
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        b1 = ((h >> np.uint64(16)) % np.uint64(self.n_buckets)).astype(np.int64)
+        b2 = (
+            (b1.astype(np.uint64) ^ (fp.astype(np.uint64) * np.uint64(0x5BD1E995)))
+            % np.uint64(self.n_buckets)
+        ).astype(np.int64)
+        for s in np.unique(shards):
+            t = self.tables.get(int(s))
+            mask = shards == s
+            if t is None:
+                continue
+            hit1 = (t[b1[mask]] == fp[mask, None]).any(axis=1)
+            hit2 = (t[b2[mask]] == fp[mask, None]).any(axis=1)
+            out[mask] = hit1 | hit2
+        return out
+
+    def prefilter(self, spark: SparkSession, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
+        return _prefilter(self, spark, df, hash_col)
+
     def _fp_and_buckets(self, h: int) -> tuple[int, int, int]:
         fp = (h >> 48) & 0xFFFF or 1
         b1 = (h >> 16) % self.n_buckets
@@ -212,8 +285,10 @@ class CuckooShards:
 
     def insert(self, h: int, max_kicks: int = 200) -> bool:
         h &= (1 << 64) - 1
-        shard = h % self.n_shards
-        t = self._table(shard)
+        t = self._table(h % self.n_shards)
+        return self._insert_into(t, h, max_kicks)
+
+    def _insert_into(self, t: np.ndarray, h: int, max_kicks: int = 200) -> bool:
         fp, b1, b2 = self._fp_and_buckets(h)
         for b in (b1, b2):
             empt = np.where(t[b] == 0)[0]

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from .. import schemas
 from ..functions.urls import canonicalize_url, host_col, url_hash_col
 from ..operators.spans import extract_spans, parse_listing
-from .bloom import BloomShards
+from .bloom import BloomShards, CuckooShards
 from .politeness import select_budget_annotated
 from .snapshots import SnapshotStore
 
@@ -140,6 +140,7 @@ class CrawlEngine:
         write_partitions: int | None = 8,
         collect_stats: bool = True,
         robots_map: dict[str, list[str]] | None = None,
+        use_cuckoo: bool = False,
     ):
         self.spark = spark
         self.store = store
@@ -160,8 +161,13 @@ class CrawlEngine:
         # robots, comprehensive_scraper.py:32-42)
         self.robots_map = robots_map
         # driver-held incremental bloom over url_seen; rebuilt from the
-        # committed seen table on resume, extended per epoch after that
-        self._bloom: BloomShards | None = None
+        # committed seen table on resume, extended per epoch after that.
+        # use_cuckoo swaps in deletion-capable cuckoo shards (recrawl
+        # expiry deletes instead of forcing a rebuild); their per-epoch
+        # maintenance inserts run driver-side (eviction chains are not
+        # OR-mergeable), so bloom remains the 10^10-frontier default.
+        self.use_cuckoo = use_cuckoo
+        self._bloom: BloomShards | CuckooShards | None = None
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         """Drop robots-disallowed rows (never fetched, never re-queued:
@@ -241,11 +247,17 @@ class CrawlEngine:
         new.unpersist()
         return n
 
-    def _ensure_bloom(self) -> BloomShards | None:
-        """Driver-incremental bloom; distributed rebuild only on resume."""
+    def _ensure_bloom(self) -> BloomShards | CuckooShards | None:
+        """Driver-incremental bloom/cuckoo; distributed rebuild only on
+        resume (both filters build per-shard via applyInPandas)."""
         if self._bloom is None:
             seen = self.url_seen()
-            if self.store.version() > 0:
+            if self.use_cuckoo:
+                if self.store.version() > 0:
+                    self._bloom = CuckooShards.build(seen, n_shards=16)
+                else:
+                    self._bloom = CuckooShards.empty(n_shards=16, n_buckets=1 << 16)
+            elif self.store.version() > 0:
                 # resume path: one distributed build over the seen table
                 self._bloom = BloomShards.build(
                     seen, n_shards=16, expected_per_shard=1 << 19, fpr=self.bloom_fpr
@@ -266,7 +278,8 @@ class CrawlEngine:
         # rows skip the join entirely; positives (incl. FPs) are re-checked
         # exactly, so the seen set stays exact.
         bloom = self._ensure_bloom()
-        if bloom is not None and bloom.bits:
+        filt_state = getattr(bloom, "bits", None) or getattr(bloom, "tables", None)
+        if bloom is not None and filt_state:
             flagged = bloom.prefilter(self.spark, pending)
             definite_new = flagged.filter(~F.col("bloom_maybe_seen")).drop("bloom_maybe_seen")
             maybe = (
@@ -487,9 +500,17 @@ class CrawlEngine:
             n_docs = -1
             n_disc = -1
         if self._bloom is not None:
-            self._bloom.merge_delta(
-                self._bloom.build_delta(fetched.select("url_hash"))
-            )
+            if hasattr(self._bloom, "merge_delta"):
+                self._bloom.merge_delta(
+                    self._bloom.build_delta(fetched.select("url_hash"))
+                )
+            else:
+                # cuckoo: eviction chains are not OR-mergeable, so the
+                # epoch delta inserts driver-side (the price of delete
+                # support; bounded by the epoch budget, and the resume
+                # rebuild stays distributed)
+                for h in fetched.select("url_hash").toPandas()["url_hash"]:
+                    self._bloom.insert(int(h))
         fetched.unpersist()
         docs_with_meta.unpersist()
         annotated.unpersist()

@@ -79,14 +79,15 @@ def recrawl_expired(engine: CrawlEngine, ttl_epochs: int) -> int:
         replaces={"url_seen": new_seen, "frontier": frontier},
         write_partitions=engine.write_partitions,
     )
-    # driver-side filter state: cuckoo supports delete; a bloom cannot,
-    # so after expiry the bloom must be rebuilt from the new seen table
+    # driver-side filter state: cuckoo shards (engine use_cuckoo=True)
+    # support delete — expired hashes are removed in place (bounded by
+    # the expiry set); a bloom cannot delete, so it is dropped and
+    # rebuilt distributed from the committed seen table on next epoch
     if engine._bloom is not None:  # noqa: SLF001
-        hashes = [r["url_hash"] for r in expired.select("url_hash").collect()]
-        cuckoo = getattr(engine, "_cuckoo", None)
-        if cuckoo is not None:
-            for h in hashes:
-                cuckoo.delete(h)
-        engine._bloom = None  # force rebuild from the committed seen table
+        if hasattr(engine._bloom, "delete"):  # noqa: SLF001
+            for r in expired.select("url_hash").collect():
+                engine._bloom.delete(int(r["url_hash"]))  # noqa: SLF001
+        else:
+            engine._bloom = None  # force rebuild from committed seen
     expired.unpersist()
     return n
