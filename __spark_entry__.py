@@ -1032,6 +1032,76 @@ def q_bpe_token_counts(spark, sf_dir):
     )
 
 
+_TOKENS_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE length(regexp_split_to_array(trim(text), '\\s+')) END"
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are']"
+
+
+@q(
+    "training_text_filter",
+    f"""
+    SELECT doc_id, reason, reason IS NULL AS keep FROM (
+      SELECT doc_id,
+        CASE
+          WHEN n < 50 THEN 'too_short'
+          WHEN n > 5000 THEN 'too_long'
+          WHEN mean_wl < 2 OR mean_wl > 12 THEN 'word_length'
+          WHEN punct >= 0.1 THEN 'punctuation'
+          WHEN stopr < 0.05 OR stopr > 0.6 THEN 'stopwords'
+        END AS reason
+      FROM (
+        SELECT doc_id, length(text) AS n,
+          CASE WHEN {_TOKENS_SQL} > 0
+               THEN length(text) * 1.0 / ({_TOKENS_SQL}) ELSE 0.0 END AS mean_wl,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END AS punct,
+          CASE WHEN length(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+               ELSE length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      w -> list_contains({_STOPWORDS_SQL}, w))) * 1.0
+                    / length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopr
+        FROM documents
+      ) m
+    ) r
+    """,
+)
+def q_training_text_filter(spark, sf_dir):
+    """Training-set admission cascade over documents: first-match-wins
+    reject reason (length / word-length / punctuation / stopword-band),
+    NULL = keep — the text twin of the image cascades (P18/P20)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return analysis.training_filter(d).select("doc_id", "reason", "keep")
+
+
+@q(
+    "doc_chunking",
+    """
+    SELECT doc_id, CAST(u.x.idx AS INTEGER) AS chunk_idx,
+           CAST(length(regexp_split_to_array(u.x.chunk, '\\s+')) AS INTEGER) AS n_chunk_tokens,
+           md5(u.x.chunk) AS chunk_md5
+    FROM (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE list_transform(range(0, length(regexp_split_to_array(trim(text), '\\s+')), 112),
+                    s -> struct_pack(idx := s // 112,
+                           chunk := array_to_string(regexp_split_to_array(trim(text), '\\s+')[s+1:s+128], ' ')))
+        END AS chunks
+      FROM documents
+    ) c, LATERAL UNNEST(c.chunks) AS u(x)
+    """,
+)
+def q_doc_chunking(spark, sf_dir):
+    """Pre-training chunk sharding: 128-token windows, 16-token overlap
+    (stride 112), one row per chunk; compared by chunk md5 + token
+    count. Map-side posexplode — no shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = analysis.chunk_spans(d, chunk_tokens=128, overlap=16)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 @q(
     "doc_lang_quality",
     f"""

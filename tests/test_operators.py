@@ -253,3 +253,52 @@ def test_connected_components_chain_and_star(spark):
             (10, 10), (11, 10), (12, 10), (13, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_chunk_spans_overlap_semantics(spark):
+    """Multi-chunk documents: stride = chunk-overlap, overlapping token
+    windows, short final chunk, empty doc yields no chunks."""
+    from webscrape_neko_jirushi_spark.text import analysis
+
+    long_text = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [("d1", long_text), ("d2", "only three words"), ("d3", "  ")],
+        "doc_id string, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in analysis.chunk_spans(df, chunk_tokens=128, overlap=16).collect()
+    }
+    # d1: starts 0,112,224 -> 3 chunks of 128,128,76 tokens
+    assert {k for k in rows if k[0] == "d1"} == {("d1", 0), ("d1", 1), ("d1", 2)}
+    assert rows[("d1", 0)]["n_chunk_tokens"] == 128
+    assert rows[("d1", 1)]["n_chunk_tokens"] == 128
+    assert rows[("d1", 2)]["n_chunk_tokens"] == 300 - 224
+    # overlap: chunk 1 starts at token 112 (chunk 0 covered 0..127)
+    assert rows[("d1", 1)]["chunk_text"].split()[0] == "w112"
+    assert rows[("d1", 0)]["chunk_text"].split()[-1] == "w127"
+    # d2: one short chunk; d3: none
+    assert rows[("d2", 0)]["n_chunk_tokens"] == 3
+    assert not any(k[0] == "d3" for k in rows)
+
+
+def test_training_filter_reasons(spark):
+    from webscrape_neko_jirushi_spark.text import analysis
+
+    ok = "the quick brown fox jumps over the lazy dog and runs to the barn " * 2
+    docs = spark.createDataFrame(
+        [
+            ("keep", ok),
+            ("short", "tiny"),
+            ("long", "word " * 1500),
+            ("punct", "a, b, c! d? e; f: " + "g.,!? " * 20),
+            ("wl", "x" * 100 + " " + "y" * 100),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reason"]) for r in analysis.training_filter(docs).collect()}
+    assert got["keep"] == (True, None)
+    assert got["short"] == (False, "too_short")
+    assert got["long"] == (False, "too_long")
+    assert got["punct"][1] == "punctuation"
+    assert got["wl"][1] == "word_length"

@@ -88,6 +88,61 @@ def fingerprint(text: Column) -> Column:
     return portable_hash64(normalized)
 
 
+def training_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-set admission cascade (the text twin of the image
+    cleaning cascades P18/P20): first-match-wins reject reason, NULL
+    reason = keep. Pure Column logic — identical shape to
+    cleaning.advanced_cascade so rejects stay queryable as data."""
+    t = F.col(text_col)
+    n = F.length(t)
+    tokens = token_count(t)
+    mean_wl = F.when(tokens > 0, n / tokens).otherwise(F.lit(0.0))
+    reason = (
+        F.when(n < 50, "too_short")
+        .when(n > 5000, "too_long")
+        .when((mean_wl < 2) | (mean_wl > 12), "word_length")
+        .when(punct_ratio(t) >= 0.1, "punctuation")
+        .when(
+            (stopword_ratio(t) < 0.05) | (stopword_ratio(t) > 0.6), "stopwords"
+        )
+    )
+    return documents.withColumn("reason", reason).withColumn(
+        "keep", reason.isNull()
+    )
+
+
+def chunk_spans(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-training sharding step. Builtin HOFs only: chunk
+    starts are a ``sequence`` with stride (chunk_tokens - overlap),
+    each chunk a ``slice`` of the word array; ``posexplode`` fans out
+    to one row per chunk. Map-side (no shuffle) — at 100 TB this runs
+    inside the scan stage."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    starts = F.when(
+        (n > 0) & (F.trim(F.col(text_col)) != ""),
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens))
+    )
+    return documents.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+    )
+
+
 def doc_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per doc: tokens, chars, lang, quality, fingerprint."""
     t = F.col(text_col)
