@@ -116,3 +116,54 @@ def test_host_health_tracker_stateful(spark, tmp_path):
         ) == (5, 3, 3, True)
     finally:
         q.stop()
+
+
+def test_frontier_stream_writer_drives_epochs(spark, tmp_path):
+    """T1 streaming face: seed URLs arriving as a stream are merged
+    into the frontier and crawled one epoch per micro-batch."""
+    from webscrape_neko_jirushi_spark import schemas
+    from webscrape_neko_jirushi_spark.crawl.engine import CrawlEngine, MirrorFetcher
+    from webscrape_neko_jirushi_spark.crawl.snapshots import SnapshotStore
+    from webscrape_neko_jirushi_spark.fixtures import mirror as M
+    from webscrape_neko_jirushi_spark.streaming.epochs import frontier_stream_writer
+
+    mirror = M.build_mirror(seed=5, n_pages=2, cats_per_page=6, fail_rate=0.0)
+    pages = spark.createDataFrame(mirror.rows(), schemas.PAGES)
+    budget = spark.createDataFrame(M.host_budget_rows(200, 0), schemas.HOST_BUDGET)
+    eng = CrawlEngine(
+        spark, SnapshotStore(tmp_path / "stream_crawl", spark),
+        MirrorFetcher(pages), budget, M.BASE_URL, fetch_images=False,
+    )
+    eng.seed([])
+
+    src = tmp_path / "seed_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(M.listing_url(1),)], "url string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema("url string").parquet(str(src / "*"))
+    q = frontier_stream_writer(eng, stream).start()
+    try:
+        q.processAllAvailable()
+        seen_after_b0 = eng.url_seen().count()
+        assert seen_after_b0 >= 1  # at least the listing page fetched
+        # second batch: another seed; already-seen URLs are not re-added
+        spark.createDataFrame(
+            [(M.listing_url(2),), (M.listing_url(1),)], "url string"
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        q.processAllAvailable()
+        assert eng.url_seen().count() > seen_after_b0
+    finally:
+        q.stop()
+    # drain the rest in batch mode: final state equals a plain crawl
+    eng.run(max_epochs=30)
+    want = CrawlEngine(
+        spark, SnapshotStore(tmp_path / "batch_crawl", spark),
+        MirrorFetcher(pages), budget, M.BASE_URL, fetch_images=False,
+    )
+    want.seed([M.listing_url(1), M.listing_url(2)])
+    want.run(max_epochs=30)
+    got = {r["url_hash"] for r in eng.url_seen().collect()}
+    exp = {r["url_hash"] for r in want.url_seen().collect()}
+    assert got == exp
