@@ -120,6 +120,26 @@ def test_banded_lsh_finds_scaled_duplicates(spark):
     assert want <= got
 
 
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Writing state partitioned by a filter key (the 100-TB layout for
+    fetch_log/url_seen shards) must prune at the scan: the plan's
+    PartitionFilters carries the predicate and only matching partition
+    directories are read."""
+    out = str(tmp_path / "partitioned_log")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", (F.col("l_orderkey") % 8).alias("shard")
+    )
+    li.write.partitionBy("shard").mode("overwrite").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("shard") == 3).select("l_orderkey")
+    plan = P.physical_plan(q)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "shard" in m.group(1), plan[:2000]
+    # and the non-partition column filter still prunes data files
+    assert q.count() == li.filter(F.col("shard") == 3).count()
+
+
 def test_no_cartesian_product_in_any_query_plan(spark):
     """Every registered query must avoid a non-broadcast cartesian
     product. (BroadcastNestedLoopJoin against a 1-row aggregate is the
