@@ -109,3 +109,29 @@ def export_table(store: SnapshotStore, table: str, schema, out_path: str) -> Non
     """S12 archive analog: materialize a table's committed state into a
     single standalone parquet directory (the 'zip the dataset' op)."""
     store.read(table, schema).write.mode("overwrite").parquet(out_path)
+
+
+def archive_snapshot(store: SnapshotStore, out_zip: str) -> str:
+    """S12, the literal form (data_manager.py:80-106 zip backup): one
+    zip of the CURRENT manifest's data files + the manifest itself —
+    a consistent, self-contained snapshot (orphan dirs from killed runs
+    are never included because they are not in the manifest). At real
+    scale the parquet+manifest pair IS the archive; this exists for the
+    reference's take-a-zip-offline workflow."""
+    import json
+    import zipfile
+    from pathlib import Path
+
+    m = store._head()  # noqa: SLF001
+    if m is None:
+        raise ValueError("nothing committed yet")
+    out = Path(out_zip)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("manifest.json", json.dumps(m))
+        for dirs in m["tables"].values():
+            for d in dirs:
+                base = store.root / "data" / d
+                for f in sorted(base.rglob("*")):
+                    if f.is_file() and not f.name.startswith("."):
+                        z.write(f, f"data/{d}/{f.name}")
+    return str(out)
