@@ -1080,7 +1080,9 @@ def q_training_text_filter(spark, sf_dir):
     FROM (
       SELECT doc_id,
         CASE WHEN trim(text) = '' THEN []
-             ELSE list_transform(range(0, length(regexp_split_to_array(trim(text), '\\s+')), 112),
+             ELSE list_transform(
+                    list_filter(range(0, length(regexp_split_to_array(trim(text), '\\s+')), 112),
+                      s -> s = 0 OR s + 16 < length(regexp_split_to_array(trim(text), '\\s+'))),
                     s -> struct_pack(idx := s // 112,
                            chunk := array_to_string(regexp_split_to_array(trim(text), '\\s+')[s+1:s+128], ' ')))
         END AS chunks

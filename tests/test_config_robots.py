@@ -106,3 +106,16 @@ def test_pipeline_consumes_config(spark, tmp_path):
     assert pipe.max_epochs == 9
     row = pipe.run().report.collect()[0]
     assert row["user_agent"] == "t/1" and row["max_epochs"] == 9
+
+
+def test_parse_robots_longest_match_wins():
+    text = """
+User-agent: web
+Disallow: /w
+
+User-agent: webscrape-neko
+Disallow: /n
+"""
+    # both tokens substring-match; RFC 9309: longest wins
+    assert parse_robots(text, "webscrape-neko-jirushi/0.1") == ["/n"]
+    assert parse_robots(text, "webby/2") == ["/w"]

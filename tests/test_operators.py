@@ -261,8 +261,14 @@ def test_chunk_spans_overlap_semantics(spark):
     from webscrape_neko_jirushi_spark.text import analysis
 
     long_text = " ".join(f"w{i}" for i in range(300))
+    contained_tail = " ".join(f"w{i}" for i in range(230))
     df = spark.createDataFrame(
-        [("d1", long_text), ("d2", "only three words"), ("d3", "  ")],
+        [
+            ("d1", long_text),
+            ("d2", "only three words"),
+            ("d3", "  "),
+            ("d4", contained_tail),
+        ],
         "doc_id string, text string",
     )
     rows = {
@@ -280,6 +286,10 @@ def test_chunk_spans_overlap_semantics(spark):
     # d2: one short chunk; d3: none
     assert rows[("d2", 0)]["n_chunk_tokens"] == 3
     assert not any(k[0] == "d3" for k in rows)
+    # d4 (230 tokens): the start at 224 would be fully contained in the
+    # chunk at 112 (tokens 113-230) — it must NOT be emitted
+    assert {k for k in rows if k[0] == "d4"} == {("d4", 0), ("d4", 1)}
+    assert rows[("d4", 1)]["n_chunk_tokens"] == 230 - 112
 
 
 def test_training_filter_reasons(spark):

@@ -222,7 +222,14 @@ class CuckooShards:
             ck = cls(1, n_buckets, {})
             t = ck._table(0)
             for h in pdf["url_hash"].to_numpy():
-                ck._insert_into(t, int(h) & ((1 << 64) - 1))
+                if not ck._insert_into(t, int(h) & ((1 << 64) - 1)):
+                    # a silently-dropped fingerprint would later read as
+                    # 'definitely unseen' and skip the exact anti-join —
+                    # duplicating fetches. Fail loudly instead.
+                    raise ValueError(
+                        f"cuckoo shard full at n_buckets={n_buckets} "
+                        f"({len(pdf)} keys); increase n_buckets"
+                    )
             return pd.DataFrame(
                 {"shard": [int(pdf["shard"].iloc[0])], "bits": [t.tobytes()]}
             )

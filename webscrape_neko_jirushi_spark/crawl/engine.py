@@ -160,6 +160,10 @@ class CrawlEngine:
         # rule; the reference sends polite headers but never parses
         # robots, comprehensive_scraper.py:32-42)
         self.robots_map = robots_map
+        # one broadcast for the crawl's lifetime (the map is immutable)
+        self._robots_bc = (
+            spark.sparkContext.broadcast(robots_map) if robots_map else None
+        )
         # driver-held incremental bloom over url_seen; rebuilt from the
         # committed seen table on resume, extended per epoch after that.
         # use_cuckoo swaps in deletion-capable cuckoo shards (recrawl
@@ -175,10 +179,10 @@ class CrawlEngine:
         reference's skip)."""
         if not self.robots_map:
             return df
-        from .politeness import robots_allowed
+        from .politeness import robots_allowed_bc
 
         return df.filter(
-            robots_allowed(F.col("url"), F.col("host"), self.robots_map, self.spark)
+            robots_allowed_bc(F.col("url"), F.col("host"), self._robots_bc)
         )
 
     # -- state --------------------------------------------------------------
@@ -254,7 +258,16 @@ class CrawlEngine:
             seen = self.url_seen()
             if self.use_cuckoo:
                 if self.store.version() > 0:
-                    self._bloom = CuckooShards.build(seen, n_shards=16)
+                    # size shards for the seen count at ~80% target load
+                    # (insert failure raises rather than dropping keys)
+                    n = seen.count()
+                    per_shard = max(1, (n // 16) + 1)
+                    buckets = 1 << max(
+                        16, (int(per_shard / (CuckooShards.SLOTS * 0.8)) - 1).bit_length()
+                    )
+                    self._bloom = CuckooShards.build(
+                        seen, n_shards=16, n_buckets=buckets
+                    )
                 else:
                     self._bloom = CuckooShards.empty(n_shards=16, n_buckets=1 << 16)
             elif self.store.version() > 0:
@@ -508,9 +521,15 @@ class CrawlEngine:
                 # cuckoo: eviction chains are not OR-mergeable, so the
                 # epoch delta inserts driver-side (the price of delete
                 # support; bounded by the epoch budget, and the resume
-                # rebuild stays distributed)
+                # rebuild stays distributed). A full shard must raise:
+                # a dropped fingerprint would read 'definitely unseen'
+                # and duplicate fetches.
                 for h in fetched.select("url_hash").toPandas()["url_hash"]:
-                    self._bloom.insert(int(h))
+                    if not self._bloom.insert(int(h)):
+                        raise RuntimeError(
+                            "cuckoo shard full; restart with larger "
+                            "n_buckets (or use_cuckoo=False)"
+                        )
         fetched.unpersist()
         docs_with_meta.unpersist()
         annotated.unpersist()

@@ -216,8 +216,11 @@ class HttpFetcher:
                                 resp = session.post(
                                     url.split("?")[0],
                                     data={
+                                        # compact separators: byte-identical
+                                        # to the search_cond_json column twin
                                         "search_cond": json.dumps(
-                                            search_cond_dict(int(page_m.group(1)))
+                                            search_cond_dict(int(page_m.group(1))),
+                                            separators=(",", ":"),
                                         ),
                                         "spMode": 0,
                                     },

@@ -157,18 +157,21 @@ def parse_robots(text: str, user_agent: str = "*") -> list[str]:
     ua = user_agent.lower()
     if ua in groups:
         return groups[ua]
-    for agent, rules in groups.items():
-        if agent != "*" and agent in ua:
-            return rules
+    # RFC 9309: among partially-matching agent tokens the LONGEST match
+    # wins, not the first-declared one
+    matches = [a for a in groups if a != "*" and a in ua]
+    if matches:
+        return groups[max(matches, key=len)]
     return groups.get("*", [])
 
 
-def robots_allowed(url: Column, host: Column, robots_map: dict[str, list[str]], spark) -> Column:
-    """Broadcast robots.txt cache probe: URL path must not start with a
-    disallowed prefix for its host (north-rule robots cache; the
-    reference sends polite headers but never parses robots —
-    comprehensive_scraper.py:32-42)."""
-    bc = spark.sparkContext.broadcast(robots_map)
+def robots_allowed_bc(url: Column, host: Column, bc) -> Column:
+    """Broadcast robots.txt cache probe against an EXISTING broadcast
+    handle (broadcast once per crawl, reused every epoch — a fresh
+    broadcast per call would accumulate two live broadcasts per epoch).
+    URL path must not start with a disallowed prefix for its host
+    (north-rule robots cache; the reference sends polite headers but
+    never parses robots — comprehensive_scraper.py:32-42)."""
 
     @F.pandas_udf(T.BooleanType())
     def _allowed(urls: pd.Series, hosts: pd.Series) -> pd.Series:
@@ -181,3 +184,9 @@ def robots_allowed(url: Column, host: Column, robots_map: dict[str, list[str]], 
         return pd.Series(out)
 
     return _allowed(url, host)
+
+
+def robots_allowed(url: Column, host: Column, robots_map: dict[str, list[str]], spark) -> Column:
+    """One-shot form of ``robots_allowed_bc`` (broadcasts per call —
+    fine for tests/ad hoc use; the engine holds one broadcast)."""
+    return robots_allowed_bc(url, host, spark.sparkContext.broadcast(robots_map))

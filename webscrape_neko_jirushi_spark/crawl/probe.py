@@ -53,6 +53,10 @@ def id_range_probe(
     for start, end in ranges:
         part = spark.range(start, end, step).select(F.col("id"))
         ids = part if ids is None else ids.unionByName(part)
+    # overlapping ranges (the reference's lists do overlap in spirit)
+    # must not enqueue an id twice — the frontier has no within-commit
+    # dedup, so a duplicate here would double-fetch
+    ids = ids.distinct()
     url = canonicalize_url(
         F.concat(F.lit(base_url + "/foster/"), F.col("id").cast("string"), F.lit("/"))
     )

@@ -344,6 +344,7 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
@@ -363,7 +364,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent partial result would split one duplicate cluster into
+        # several ids and leak duplicates downstream — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

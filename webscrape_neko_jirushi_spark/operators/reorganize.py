@@ -53,6 +53,10 @@ def global_sequence(
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    # NULL keys sort first under Window.orderBy (NULLS FIRST) — give
+    # them their own lowest bucket instead of a NULL bucket (which
+    # would crash the offset sort and vanish from the equi-join)
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(bucket)
     w_local = Window.partitionBy("_gs_bucket").orderBy(order_col)
     with_rn = df.withColumn("_gs_bucket", bucket).withColumn(
         "_gs_rn", F.row_number().over(w_local)

@@ -133,5 +133,8 @@ def archive_snapshot(store: SnapshotStore, out_zip: str) -> str:
                 base = store.root / "data" / d
                 for f in sorted(base.rglob("*")):
                     if f.is_file() and not f.name.startswith("."):
-                        z.write(f, f"data/{d}/{f.name}")
+                        # keep subdirectory structure (partitionBy
+                        # layouts) — flattening to f.name would collide
+                        # identically-named part files across partitions
+                        z.write(f, f"data/{d}/{f.relative_to(base)}")
     return str(out)

@@ -46,21 +46,23 @@ class CompletePipeline:
         self,
         engine,
         cascade: str = "advanced",
-        max_epochs: int = 50,
+        max_epochs: int | None = None,
         target_docs: int | None = None,
         config=None,
     ):
         """``config`` (a ``crawl.config.CrawlConfig``) supplies
         max_epochs/target_docs via the D3 cascade and is echoed into
-        the run report; explicit kwargs still win (most-specific layer)."""
+        the run report; explicit kwargs still win (most-specific layer,
+        None = not set — an explicit value is never overridden)."""
         if cascade not in ("advanced", "aggressive"):
             raise ValueError(f"unknown cascade {cascade!r}")
         self.engine = engine
         self.cascade = cascade
         self.config = config
-        if config is not None:
-            max_epochs = config.max_epochs if max_epochs == 50 else max_epochs
-            target_docs = config.target_docs if target_docs is None else target_docs
+        if max_epochs is None:
+            max_epochs = config.max_epochs if config is not None else 50
+        if target_docs is None and config is not None:
+            target_docs = config.target_docs
         self.max_epochs = max_epochs
         self.target_docs = target_docs
 

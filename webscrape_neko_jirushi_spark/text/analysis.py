@@ -131,7 +131,13 @@ def chunk_spans(
     n = F.size(words)
     starts = F.when(
         (n > 0) & (F.trim(F.col(text_col)) != ""),
-        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        # a start s > 0 only contributes tokens beyond the previous
+        # chunk when s + overlap < n; otherwise its content is fully
+        # contained in the previous window (redundant training text)
+        F.filter(
+            F.sequence(F.lit(0), n - 1, F.lit(step)),
+            lambda s: (s == 0) | (s + overlap < n),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, chunk_tokens))
