@@ -831,6 +831,57 @@ def q_retention_filter(spark, sf_dir):
 # ===========================================================================
 
 @q(
+    "asof_click_view",
+    """
+    WITH v0 AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    ),
+    views AS (SELECT user_id, ts, value FROM v0 WHERE rn = 1),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id,
+           v.value AS asof_value,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS asof_lag_us
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_asof_click_view(spark, sf_dir):
+    """Backward as-of join (a builtin Spark lacks): every click gets
+    the latest prior-or-equal view of the same user — union + running
+    last(ignorenulls) window, one shuffle, no range-join explosion.
+    Oracle: DuckDB's NATIVE ASOF LEFT JOIN (independent semantics)."""
+    from webscrape_neko_jirushi_spark.operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(clicks, views, on="user_id", value_cols=("value",))
+    return j.select(
+        "event_id",
+        "user_id",
+        "asof_value",
+        # parquet ts is TIMESTAMP_NTZ; the session runs UTC so the cast
+        # to TIMESTAMP is identity and unix_micros applies
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("asof_lag_us"),
+    )
+
+
+@q(
     "sessionize_events",
     """
     SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events

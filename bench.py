@@ -53,6 +53,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_near_dup_pairs",
     "ann_topk_lsh",
+    "asof_click_view",
     "sessionize_events",
     "hourly_event_rollup",
 ]

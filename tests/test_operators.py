@@ -312,3 +312,29 @@ def test_training_filter_reasons(spark):
     assert got["long"] == (False, "too_long")
     assert got["punct"][1] == "punctuation"
     assert got["wl"][1] == "word_length"
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right <= left time, exact ties match,
+    no prior right -> NULL, keys never cross."""
+    from webscrape_neko_jirushi_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 15), (5, "c", 9)],
+        "event_id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 18, 2.0), ("b", 1, 3.0), ("b", 15, 4.0)],
+        "k string, t long, v double",
+    )
+    got = {
+        r["event_id"]: (r["asof_v"], r["asof_t"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", value_cols=("v",)
+        ).collect()
+    }
+    assert got[1] == (1.0, 10)   # exact tie matches
+    assert got[2] == (2.0, 18)   # latest prior
+    assert got[3] == (None, None)  # nothing at or before t=5
+    assert got[4] == (4.0, 15)   # key b, tie
+    assert got[5] == (None, None)  # key c has no right rows

@@ -1,0 +1,79 @@
+"""Temporal joins Spark lacks as builtins (build-brief custom-operator
+family: "as-of join, range join" re-expressed with existing DataFrame
+ops).
+
+``asof_join``: for every left row, attach the latest right row of the
+same key with right_time <= left_time (backward as-of, exact matches
+allowed) — the time-series enrichment join. No range-join explosion
+and no per-key collect: both sides union into ONE stream sorted by
+(key, time, side) and a ``last(ignorenulls)`` running window carries
+the most recent right values forward into the left rows. One shuffle
+on the key; within a partition the sort is the only extra cost, so at
+100 TB this behaves like any other single-window op (skewed keys →
+AQE or pre-salting, same as every windowed operator here).
+
+Tie rule: right rows sort BEFORE left rows at the same timestamp, so a
+right row exactly at left_time matches (DuckDB/pandas ``merge_asof``
+backward semantics). Right-side duplicates at the same (key, time)
+must be resolved by the caller (e.g. keep-max event id) — the window
+would otherwise pick the last in sort order, which is not total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join; left rows with no prior right row keep
+    NULLs (left-join semantics). Returns all left columns plus
+    ``{prefix}{col}`` for each value col and ``{prefix}{right_time}``."""
+    out_vals = [f"{prefix}{c}" for c in value_cols] + [f"{prefix}{right_time}"]
+    r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.col(right_time).alias(f"{prefix}{right_time}"),
+    )
+    left_cols = left.columns
+    l = left.select(  # noqa: E741
+        "*",
+        F.col(left_time).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+    )
+    for c in out_vals:
+        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    u = l.select(
+        on, "_asof_t", "_asof_side", *out_vals,
+        F.struct(*left_cols).alias("_asof_left"),
+    ).unionByName(
+        r.withColumn(
+            "_asof_left",
+            F.lit(None).cast(
+                l.select(F.struct(*left_cols).alias("s")).schema["s"].dataType
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_asof_t", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "_asof_side",
+        "_asof_left",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_vals],
+    )
+    return filled.filter(F.col("_asof_side") == 1).select(
+        *[F.col(f"_asof_left.{c}").alias(c) for c in left_cols], *out_vals
+    )
