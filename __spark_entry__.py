@@ -1093,7 +1093,7 @@ _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on'
     SELECT doc_id, reason, reason IS NULL AS keep FROM (
       SELECT doc_id,
         CASE
-          WHEN n < 50 THEN 'too_short'
+          WHEN n IS NULL OR n < 50 THEN 'too_short'
           WHEN n > 5000 THEN 'too_long'
           WHEN mean_wl < 2 OR mean_wl > 12 THEN 'word_length'
           WHEN punct >= 0.1 THEN 'punctuation'

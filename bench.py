@@ -146,8 +146,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     if os.environ.get("BENCH_CRAWL_ONLY") != "1":
         # one untimed warmup pass: JVM JIT + codegen + parquet footer
-        # caches, so the first timed query doesn't absorb startup cost
-        run_query(spark, queries["pricing_summary"], sf_dir)
+        # caches, so the first timed query doesn't absorb startup cost.
+        # Must NOT be a headline query — warming one of them would give
+        # it a warm exact-repeat while the others run cold.
+        assert "per_group_rollup" not in HEADLINE
+        run_query(spark, queries["per_group_rollup"], sf_dir)
         for name in HEADLINE:
             timings[name] = round(run_query(spark, queries[name], sf_dir), 3)
 

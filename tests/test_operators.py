@@ -338,3 +338,26 @@ def test_asof_join_semantics(spark):
     assert got[3] == (None, None)  # nothing at or before t=5
     assert got[4] == (4.0, 15)   # key b, tie
     assert got[5] == (None, None)  # key c has no right rows
+
+
+def test_asof_join_null_values_do_not_splice(spark):
+    """A NULL value column in the matched right row must come through
+    as NULL — not be back-filled from an OLDER right row (the match is
+    atomic per right row); NULL right_time rows never match."""
+    from webscrape_neko_jirushi_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "a", 12), (2, "a", 7)], "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 10, None), ("a", None, 99.0)],
+        "k string, t long, v double",
+    )
+    got = {
+        r["event_id"]: (r["asof_v"], r["asof_t"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", value_cols=("v",)
+        ).collect()
+    }
+    assert got[1] == (None, 10)  # latest prior row, its NULL v intact
+    assert got[2] == (1.0, 5)
+    # the NULL-time row (v=99.0) never matched anything
+    assert all(v != 99.0 for v, _ in got.values())

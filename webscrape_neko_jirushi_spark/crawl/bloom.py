@@ -110,8 +110,13 @@ class BloomShards:
         bounded n_shards * n_bits/8 bytes instead of every row."""
         return _shard_bits(df, self.n_shards, self.n_bits, self.k, hash_col)
 
+    def _snapshot(self) -> "BloomShards":
+        """State-only clone for broadcasting (no broadcast handle)."""
+        return BloomShards(self.n_shards, self.n_bits, self.k, dict(self.bits))
+
     def merge_delta(self, delta: dict[int, np.ndarray]) -> None:
         """OR a ``build_delta`` result into the held shards."""
+        _invalidate_bc(self)
         for s, arr in delta.items():
             cur = self.bits.get(s)
             if cur is None:
@@ -137,6 +142,7 @@ class BloomShards:
         row stream to the driver."""
         if not len(hashes):
             return
+        _invalidate_bc(self)
         shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
         for s in np.unique(shards):
             arr = self.bits.get(int(s))
@@ -176,14 +182,32 @@ class BloomShards:
 
 def _prefilter(filt, spark: SparkSession, df: DataFrame, hash_col: str) -> DataFrame:
     """Shared broadcast-probe column: works for any filter exposing
-    ``might_contain_np`` (bloom and cuckoo shards)."""
-    bc = spark.sparkContext.broadcast(filt)
+    ``might_contain_np`` (bloom and cuckoo shards). The broadcast is
+    CACHED on the filter and only rebuilt after a mutation invalidates
+    it (see ``_invalidate_bc``) — re-broadcasting hundreds of MB of
+    shards every epoch would accumulate live broadcasts; the stale one
+    is unpersisted when replaced. A state-only snapshot (never the
+    object holding the broadcast handle itself) is what ships."""
+    bc = getattr(filt, "_bc", None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(filt._snapshot())
+        filt._bc = bc
 
     @F.pandas_udf(T.BooleanType())
     def _probe(h: pd.Series) -> pd.Series:
         return pd.Series(bc.value.might_contain_np(h.to_numpy()))
 
     return df.withColumn("bloom_maybe_seen", _probe(F.col(hash_col)))
+
+
+def _invalidate_bc(filt) -> None:
+    old = getattr(filt, "_bc", None)
+    if old is not None:
+        filt._bc = None
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — cleanup best-effort
+            pass
 
 
 class CuckooShards:
@@ -197,6 +221,15 @@ class CuckooShards:
     SLOTS = 4
 
     def __init__(self, n_shards: int, n_buckets: int, tables: dict[int, np.ndarray]):
+        if n_shards & (n_shards - 1):
+            # build shards by signed F.pmod while probes shard by
+            # unsigned h % n_shards — these agree only for powers of two
+            raise ValueError("n_shards must be a power of two")
+        if n_buckets & (n_buckets - 1):
+            # the XOR-then-mod alternate-bucket mapping is an involution
+            # only when n_buckets is a power of two; otherwise evicted
+            # fingerprints land in buckets the probe never checks
+            raise ValueError("n_buckets must be a power of two")
         self.n_shards = n_shards
         self.n_buckets = n_buckets
         self.tables = tables  # shard -> (n_buckets, SLOTS) uint16, 0 = empty
@@ -290,7 +323,12 @@ class CuckooShards:
             self.tables[shard] = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
         return self.tables[shard]
 
+    def _snapshot(self) -> "CuckooShards":
+        """State-only clone for broadcasting (no broadcast handle)."""
+        return CuckooShards(self.n_shards, self.n_buckets, dict(self.tables))
+
     def insert(self, h: int, max_kicks: int = 200) -> bool:
+        _invalidate_bc(self)
         h &= (1 << 64) - 1
         t = self._table(h % self.n_shards)
         return self._insert_into(t, h, max_kicks)
@@ -323,6 +361,7 @@ class CuckooShards:
         return bool((t[b1] == fp).any() or (t[b2] == fp).any())
 
     def delete(self, h: int) -> bool:
+        _invalidate_bc(self)
         h &= (1 << 64) - 1
         t = self.tables.get(h % self.n_shards)
         if t is None:

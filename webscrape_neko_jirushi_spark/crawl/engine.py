@@ -176,8 +176,11 @@ class CrawlEngine:
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         """Drop robots-disallowed rows (never fetched, never re-queued:
         a disallowed URL simply leaves the pipeline, like the
-        reference's skip)."""
-        if not self.robots_map:
+        reference's skip). robots_map is immutable for the crawl's
+        lifetime (one broadcast at construction) — guard on the
+        broadcast itself so a post-init mutation can't silently filter
+        against stale rules or probe a missing broadcast."""
+        if self._robots_bc is None:
             return df
         from .politeness import robots_allowed_bc
 

@@ -345,7 +345,10 @@ def connected_components(
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iter):
+    # max_iter propagation rounds PLUS one verification round: a graph
+    # whose final labels settle exactly on round max_iter still needs a
+    # zero-change pass to be observed as converged
+    for _ in range(max_iter + 1):
         msgs = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         )

@@ -38,29 +38,35 @@ def asof_join(
     NULLs (left-join semantics). Returns all left columns plus
     ``{prefix}{col}`` for each value col and ``{prefix}{right_time}``."""
     out_vals = [f"{prefix}{c}" for c in value_cols] + [f"{prefix}{right_time}"]
-    r = right.select(
-        F.col(on),
-        F.col(right_time).alias("_asof_t"),
-        F.lit(0).alias("_asof_side"),
+    # ONE struct payload per right row, filled by ONE last(ignorenulls)
+    # window: the match is atomic — per-column fills would splice values
+    # from DIFFERENT right rows whenever a value column is NULL. Rows
+    # with NULL right_time can never match (t >= NULL is never true in
+    # the reference ASOF semantics) and are dropped up front.
+    payload = F.struct(
         *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
         F.col(right_time).alias(f"{prefix}{right_time}"),
     )
+    r = right.filter(F.col(right_time).isNotNull()).select(
+        F.col(on),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        payload.alias("_asof_payload"),
+    )
     left_cols = left.columns
+    payload_type = r.schema["_asof_payload"].dataType
     l = left.select(  # noqa: E741
-        "*",
+        on,
         F.col(left_time).alias("_asof_t"),
         F.lit(1).alias("_asof_side"),
-    )
-    for c in out_vals:
-        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    u = l.select(
-        on, "_asof_t", "_asof_side", *out_vals,
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
         F.struct(*left_cols).alias("_asof_left"),
-    ).unionByName(
+    )
+    u = l.unionByName(
         r.withColumn(
             "_asof_left",
             F.lit(None).cast(
-                l.select(F.struct(*left_cols).alias("s")).schema["s"].dataType
+                l.select(F.col("_asof_left").alias("s")).schema["s"].dataType
             ),
         )
     )
@@ -72,8 +78,9 @@ def asof_join(
     filled = u.select(
         "_asof_side",
         "_asof_left",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_vals],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_payload"),
     )
     return filled.filter(F.col("_asof_side") == 1).select(
-        *[F.col(f"_asof_left.{c}").alias(c) for c in left_cols], *out_vals
+        *[F.col(f"_asof_left.{c}").alias(c) for c in left_cols],
+        *[F.col(f"_asof_payload.{c}").alias(c) for c in out_vals],
     )

@@ -98,7 +98,9 @@ def training_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
     tokens = token_count(t)
     mean_wl = F.when(tokens > 0, n / tokens).otherwise(F.lit(0.0))
     reason = (
-        F.when(n < 50, "too_short")
+        # NULL text must not slip through NULL-propagating predicates:
+        # absent content is rejected a fortiori
+        F.when(t.isNull() | (n < 50), "too_short")
         .when(n > 5000, "too_long")
         .when((mean_wl < 2) | (mean_wl > 12), "word_length")
         .when(punct_ratio(t) >= 0.1, "punctuation")
