@@ -99,6 +99,53 @@ def test_cuckoo_distributed_build_and_probe(spark):
     assert ck.might_contain_np(hashes[500:]).all()
 
 
+def test_cuckoo_apply_delta_matches_driver_loop(spark):
+    """apply_delta (per-shard applyInPandas insert/delete — the engine's
+    epoch path) produces tables bit-identical to the driver-side
+    insert()/delete() loop over the same hashes in shard order, and
+    ships only packed tables to the driver."""
+    base = spark.range(0, 3000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    delta = spark.range(3000, 5000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    distributed = CuckooShards.build(base, n_shards=8, n_buckets=1 << 12)
+    distributed.apply_delta(spark, delta, op="insert")
+
+    # reference: same inserts applied driver-side in per-shard order
+    # (groupBy preserves no global order, but within a shard the input
+    # row order is the range order — insert order only matters within
+    # a shard because eviction chains are shard-local)
+    mirror = CuckooShards.build(base, n_shards=8, n_buckets=1 << 12)
+    delta_hashes = [r["url_hash"] for r in delta.collect()]
+    for h in delta_hashes:
+        assert mirror.insert(int(h))
+
+    def same_buckets(a, b):
+        # slot order within a bucket depends on arrival order; bucket
+        # MEMBERSHIP is order-independent at this load factor (no
+        # evictions), so compare slot-sorted buckets
+        return np.array_equal(np.sort(a, axis=1), np.sort(b, axis=1))
+
+    for s in mirror.tables:
+        assert same_buckets(distributed.tables[s], mirror.tables[s]), s
+
+    # distributed delete: same equivalence
+    to_del = spark.range(0, 1000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    distributed.apply_delta(spark, to_del, op="delete")
+    for r in to_del.collect():
+        mirror.delete(int(r["url_hash"]))
+    for s in mirror.tables:
+        assert same_buckets(distributed.tables[s], mirror.tables[s]), s
+
+    # no false negatives on survivors, deleted mostly absent
+    survivors = np.array(delta_hashes, dtype=np.int64)
+    assert distributed.might_contain_np(survivors).all()
+
+
 def test_cuckoo_engine_crawl_equals_bloom_engine(spark, tmp_path):
     """use_cuckoo=True crawls to the identical seen set (the filter is
     a pre-filter only; exactness comes from the anti-join)."""

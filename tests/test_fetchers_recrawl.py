@@ -107,3 +107,39 @@ def test_recrawl_with_cuckoo_deletes_in_place(spark, tmp_path):
     eng.run(max_epochs=20)
     assert eng.url_seen().count() == seen_before
     assert eng.frontier().count() == 0
+
+
+def test_pandas_fetcher_enforces_wall_clock_schedule(spark):
+    """T3's virtual->real schedule contract: with enforce_wall_clock,
+    each row is slept to its token-bucket scheduled_ms relative to the
+    host's first fetch, so a partition's wall time is bounded BELOW by
+    the host's last deadline (observed mean inter-fetch gap >= the
+    min_delay that produced the schedule). Only a lower bound is
+    asserted — upper bounds flake on loaded machines."""
+    import time as _time
+
+    mirror = M.build_mirror(seed=7, n_pages=1, cats_per_page=4)
+    url = M.listing_url(1)
+    delay_ms = 150
+    rows = [
+        (url, i, M.MAIN_HOST, 0, 0, 1, "new", None, i, i, i * delay_ms, 0)
+        for i in range(4)  # deadlines 0, 150, 300, 450 ms
+    ]
+    selected = spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, depth int, priority long, "
+        "epoch int, status string, api_image_1 string, slot int, "
+        "seq_in_host int, scheduled_ms long, shard int",
+    ).coalesce(1)
+
+    fetcher = PandasMirrorFetcher(spark, mirror, enforce_wall_clock=True)
+    t0 = _time.monotonic()
+    out = fetcher.fetch(selected).collect()
+    elapsed = _time.monotonic() - t0
+    assert len(out) == 4 and all(r["status_code"] == 200 for r in out)
+    # last deadline is 450 ms after the host's first fetch
+    assert elapsed >= 0.45, f"schedule not enforced: {elapsed:.3f}s"
+
+    # virtual schedule (default): same rows, no timing contract
+    virt = PandasMirrorFetcher(spark, mirror).fetch(selected).collect()
+    assert {r["url"] for r in virt} == {r["url"] for r in out}

@@ -284,6 +284,71 @@ class CuckooShards:
         }
         return cls(n_shards, n_buckets, tables)
 
+    def apply_delta(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        hash_col: str = "url_hash",
+        op: str = "insert",
+    ) -> None:
+        """Distributed shard maintenance (insert or delete): group the
+        delta's hashes by ``pmod(hash, n_shards)``, ship each shard's
+        CURRENT packed table to its group via broadcast, mutate inside
+        ``applyInPandas`` (eviction chains are sequential WITHIN a
+        shard — which is exactly the group), and collect only the
+        packed updated tables (n_buckets * SLOTS * 2 bytes per touched
+        shard, CONSTANT in the delta's row count). This is the same
+        bounded-driver-bytes contract as ``BloomShards.build_delta`` +
+        ``merge_delta`` — no row stream ever reaches the driver."""
+        if op not in ("insert", "delete"):
+            raise ValueError(f"op must be 'insert' or 'delete', got {op!r}")
+        bc = getattr(self, "_bc", None)
+        if bc is None:
+            bc = spark.sparkContext.broadcast(self._snapshot())
+            self._bc = bc
+        n_shards, n_buckets, slots = self.n_shards, self.n_buckets, self.SLOTS
+        insert = op == "insert"
+
+        def _apply_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            base = bc.value.tables.get(shard)
+            t = (
+                base.copy()
+                if base is not None
+                else np.zeros((n_buckets, slots), dtype=np.uint16)
+            )
+            # single-shard view: h % 1 == 0 routes every key to table 0
+            tmp = CuckooShards(1, n_buckets, {0: t})
+            for h in pdf["url_hash"].to_numpy():
+                if insert:
+                    if not tmp.insert(int(h)):
+                        # a dropped fingerprint would later read as
+                        # 'definitely unseen' and duplicate fetches
+                        raise ValueError(
+                            f"cuckoo shard {shard} full at "
+                            f"n_buckets={n_buckets}; increase n_buckets"
+                        )
+                else:
+                    tmp.delete(int(h))
+            return pd.DataFrame({"shard": [shard], "bits": [t.tobytes()]})
+
+        rows = (
+            df.select(
+                F.col(hash_col).alias("url_hash"),
+                F.pmod(hash_col, F.lit(n_shards)).cast("int").alias("shard"),
+            )
+            .groupBy("shard")
+            .applyInPandas(_apply_shard, schema=_SHARD_BITS_SCHEMA)
+            .collect()
+        )
+        _invalidate_bc(self)  # the probe broadcast is stale once we mutate
+        for r in rows:
+            self.tables[r["shard"]] = (
+                np.frombuffer(r["bits"], dtype=np.uint16)
+                .reshape(n_buckets, slots)
+                .copy()
+            )
+
     def might_contain_np(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized probe (same contract as BloomShards): True may be
         a false positive, False is definite — shared ``prefilter``."""

@@ -521,18 +521,16 @@ class CrawlEngine:
                     self._bloom.build_delta(fetched.select("url_hash"))
                 )
             else:
-                # cuckoo: eviction chains are not OR-mergeable, so the
-                # epoch delta inserts driver-side (the price of delete
-                # support; bounded by the epoch budget, and the resume
-                # rebuild stays distributed). A full shard must raise:
-                # a dropped fingerprint would read 'definitely unseen'
+                # cuckoo: eviction chains are not OR-mergeable, but they
+                # ARE shard-local — the delta inserts run per-shard in
+                # applyInPandas (group = shard) and only the packed
+                # tables come back (bounded bytes, same contract as the
+                # bloom merge). A full shard raises inside the task: a
+                # dropped fingerprint would read 'definitely unseen'
                 # and duplicate fetches.
-                for h in fetched.select("url_hash").toPandas()["url_hash"]:
-                    if not self._bloom.insert(int(h)):
-                        raise RuntimeError(
-                            "cuckoo shard full; restart with larger "
-                            "n_buckets (or use_cuckoo=False)"
-                        )
+                self._bloom.apply_delta(
+                    self.spark, fetched.select("url_hash"), op="insert"
+                )
         fetched.unpersist()
         docs_with_meta.unpersist()
         annotated.unpersist()

@@ -79,14 +79,16 @@ def recrawl_expired(engine: CrawlEngine, ttl_epochs: int) -> int:
         replaces={"url_seen": new_seen, "frontier": frontier},
         write_partitions=engine.write_partitions,
     )
-    # driver-side filter state: cuckoo shards (engine use_cuckoo=True)
-    # support delete — expired hashes are removed in place (bounded by
-    # the expiry set); a bloom cannot delete, so it is dropped and
-    # rebuilt distributed from the committed seen table on next epoch
+    # filter state: cuckoo shards (engine use_cuckoo=True) support
+    # delete — expired hashes are removed per-shard in applyInPandas
+    # (only packed shard tables travel to the driver, never the row
+    # stream); a bloom cannot delete, so it is dropped and rebuilt
+    # distributed from the committed seen table on next epoch
     if engine._bloom is not None:  # noqa: SLF001
-        if hasattr(engine._bloom, "delete"):  # noqa: SLF001
-            for r in expired.select("url_hash").collect():
-                engine._bloom.delete(int(r["url_hash"]))  # noqa: SLF001
+        if hasattr(engine._bloom, "apply_delta"):  # noqa: SLF001
+            engine._bloom.apply_delta(  # noqa: SLF001
+                engine.spark, expired.select("url_hash"), op="delete"
+            )
         else:
             engine._bloom = None  # force rebuild from committed seen
     expired.unpersist()
