@@ -65,12 +65,14 @@ Disallow:
 
 
 def test_parse_robots_star_group():
-    assert parse_robots(ROBOTS, "randombot/1.0") == ["/private/", "/tmp/"]
+    assert parse_robots(ROBOTS, "randombot/1.0") == [
+        ("/private/", False), ("/tmp/", False)
+    ]
 
 
 def test_parse_robots_specific_group_and_stacked_agents():
-    assert parse_robots(ROBOTS, "neko-bot") == ["/foster/"]
-    assert parse_robots(ROBOTS, "Other-Bot/2.1") == ["/foster/"]
+    assert parse_robots(ROBOTS, "neko-bot") == [("/foster/", False)]
+    assert parse_robots(ROBOTS, "Other-Bot/2.1") == [("/foster/", False)]
 
 
 def test_parse_robots_empty_disallow_means_allow_all():
@@ -117,5 +119,33 @@ User-agent: webscrape-neko
 Disallow: /n
 """
     # both tokens substring-match; RFC 9309: longest wins
-    assert parse_robots(text, "webscrape-neko-jirushi/0.1") == ["/n"]
-    assert parse_robots(text, "webby/2") == ["/w"]
+    assert parse_robots(text, "webscrape-neko-jirushi/0.1") == [("/n", False)]
+    assert parse_robots(text, "webby/2") == [("/w", False)]
+
+
+def test_parse_robots_allow_longest_prefix_wins():
+    """RFC 9309 path resolution: Allow exceptions under a broad
+    Disallow; the LONGEST matching prefix decides, Allow wins ties."""
+    from webscrape_neko_jirushi_spark.crawl.politeness import _rules_allow
+
+    text = """
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Allow: /ok
+Disallow: /ok
+"""
+    rules = parse_robots(text, "anybot")
+    assert rules == [
+        ("/private/", False),
+        ("/private/public/", True),
+        ("/ok", True),
+        ("/ok", False),
+    ]
+    assert not _rules_allow("/private/x.html", rules)
+    assert _rules_allow("/private/public/x.html", rules)  # longer Allow wins
+    assert _rules_allow("/ok/page", rules)                # tie -> Allow wins
+    assert _rules_allow("/elsewhere", rules)              # no match -> allowed
+    # legacy plain-string rules still read as Disallow prefixes
+    assert not _rules_allow("/tmp/x", ["/tmp/"])
+    assert _rules_allow("/fine", ["/tmp/"])

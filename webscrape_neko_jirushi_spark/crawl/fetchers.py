@@ -208,13 +208,24 @@ class HttpFetcher:
                     status, ct, body = None, None, None
                     # P12: listing-API pages go through the POST form
                     # body with the JSON-encoded search_cond
-                    # (comprehensive_scraper.py:121-131)
-                    page_m = re.search(r"[?&]p=(\d+)", url) if "ajax" in url else None
+                    # (comprehensive_scraper.py:100, :121-131). Match
+                    # the SPECIFIC endpoint, not any ajax-ish URL, so
+                    # other URLs carrying a p= param stay GETs; keep
+                    # non-p query params on the POST target.
+                    is_listing = "/ajax_getFosterList.php" in url.split("?")[0]
+                    page_m = re.search(r"[?&]p=(\d+)", url) if is_listing else None
+                    if page_m:
+                        base, _, qs = url.partition("?")
+                        extra = "&".join(
+                            kv for kv in qs.split("&")
+                            if kv and not re.fullmatch(r"p=\d+", kv)
+                        )
+                        post_url = base + ("?" + extra if extra else "")
                     for attempt in range(retries):
                         try:
                             if page_m:
                                 resp = session.post(
-                                    url.split("?")[0],
+                                    post_url,
                                     data={
                                         # compact separators: byte-identical
                                         # to the search_cond_json column twin
@@ -238,7 +249,7 @@ class HttpFetcher:
                             else:
                                 status = -1  # terminal network failure
                     kinds.append(
-                        "listing" if "ajax" in url else
+                        "listing" if is_listing else
                         ("image" if (ct or "").startswith("image/") else "profile")
                     )
                     statuses.append(status)

@@ -123,14 +123,17 @@ def select_budget(
     return selected, deferred
 
 
-def parse_robots(text: str, user_agent: str = "*") -> list[str]:
-    """Minimal robots.txt parse -> disallowed path prefixes for the
-    given agent. Groups are 'User-agent:' lines followed by
-    'Disallow:' lines; the most specific matching group wins (exact
-    agent match over '*'); empty Disallow means allow-all. Feeds the
-    broadcast robots cache (T4) — one parsed entry per host, fetched
-    once and cached for the crawl's lifetime."""
-    groups: dict[str, list[str]] = {}
+def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
+    """Minimal robots.txt parse -> ``(path_prefix, allowed)`` rules for
+    the given agent, in file order. Groups are 'User-agent:' lines
+    followed by 'Allow:'/'Disallow:' lines; the most specific matching
+    group wins (exact agent match over '*'); empty Disallow means
+    allow-all (no rule emitted). Resolution against a URL is RFC 9309
+    longest-prefix-wins with Allow beating Disallow on ties (see
+    ``_rules_allow``). Feeds the broadcast robots cache (T4) — one
+    parsed entry per host, fetched once and cached for the crawl's
+    lifetime."""
+    groups: dict[str, list[tuple[str, bool]]] = {}
     agents: list[str] = []
     last_was_agent = False
     for raw in (text or "").splitlines():
@@ -147,11 +150,11 @@ def parse_robots(text: str, user_agent: str = "*") -> list[str]:
             for a in agents:
                 groups.setdefault(a, [])
             last_was_agent = True
-        elif key == "disallow":
+        elif key in ("disallow", "allow"):
             last_was_agent = False
             if val:
                 for a in agents:
-                    groups.setdefault(a, []).append(val)
+                    groups.setdefault(a, []).append((val, key == "allow"))
         else:
             last_was_agent = False
     ua = user_agent.lower()
@@ -163,6 +166,20 @@ def parse_robots(text: str, user_agent: str = "*") -> list[str]:
     if matches:
         return groups[max(matches, key=len)]
     return groups.get("*", [])
+
+
+def _rules_allow(path: str, rules) -> bool:
+    """RFC 9309 resolution: the longest-prefix matching rule decides;
+    on equal length Allow wins; no matching rule -> allowed. Plain
+    string rules (legacy maps) are treated as Disallow prefixes."""
+    best_len, best_allow = -1, True
+    for rule in rules:
+        prefix, allowed = (rule, False) if isinstance(rule, str) else rule
+        if path.startswith(prefix):
+            n = len(prefix)
+            if n > best_len or (n == best_len and allowed):
+                best_len, best_allow = n, allowed
+    return best_allow
 
 
 def robots_allowed_bc(url: Column, host: Column, bc) -> Column:
@@ -178,9 +195,9 @@ def robots_allowed_bc(url: Column, host: Column, bc) -> Column:
         rules = bc.value
         out = []
         for u, h in zip(urls, hosts):
-            prefixes = rules.get(h, ())
+            host_rules = rules.get(h, ())
             path = u.split("/", 3)[-1] if u.count("/") >= 3 else ""
-            out.append(not any(("/" + path).startswith(p) for p in prefixes))
+            out.append(_rules_allow("/" + path, host_rules))
         return pd.Series(out)
 
     return _allowed(url, host)
