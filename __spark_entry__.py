@@ -663,9 +663,13 @@ def _yolo_detections(spark, sf_dir):
              ROUND(AVG(CASE WHEN detection_count > 0 THEN avg_confidence END), 6) AS avg_confidence
       FROM y
     ),
-    es AS (SELECT COUNT(*) AS n_errors FROM img WHERE size_bytes < 5000)
+    es AS (
+      SELECT COUNT(*) AS n_errors,
+             COALESCE(list_sort(list('undersized:' || filename)), []) AS errors
+      FROM img WHERE size_bytes < 5000
+    )
     SELECT b.total_cats, b.total_images, ys.images_with_cats, ys.removed_images,
-           ys.avg_confidence, es.n_errors,
+           ys.avg_confidence, es.n_errors, es.errors,
            'advanced' AS cascade, CAST(0.3 AS DOUBLE) AS yolo_threshold
     FROM base b, ys, es
     """.replace("{_DET}", _DETECTIONS_SQL),
@@ -679,7 +683,9 @@ def q_pipeline_run_report(spark, sf_dir):
     return stats.run_report(
         imgs,
         yolo=_yolo_detections(spark, sf_dir),
-        errors=imgs.filter(F.col("size_bytes") < 5000),
+        errors=imgs.filter(F.col("size_bytes") < 5000).select(
+            F.concat(F.lit("undersized:"), F.col("filename")).alias("error")
+        ),
         config={"cascade": "advanced", "yolo_threshold": 0.3},
     )
 
@@ -1514,7 +1520,7 @@ _EMB_LSH_BITS = 8
     ),
     buckets AS (
       SELECT vec_id, band,
-        SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS bucket
+        SUM(CASE WHEN ROUND(s, 9) >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS bucket
       FROM proj GROUP BY vec_id, band
     ),
     cands AS (
@@ -1558,9 +1564,12 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
     return pairs.withColumn("cosine", F.round("cosine", 4))
 
 
-@q(
-    "ivf_cells",
-    """
+# ivf_cells is deliberately NOT in the driver registry: the driver's
+# correctness pass caps at 50 queries and its cell-assignment logic is
+# already exercised inside ivf_topk_probe (same assign stage) — the
+# freed slot goes to ann_topk_lsh. tests/test_operators.py still
+# cross-checks q_ivf_cells against this DuckDB oracle at sf0.001.
+IVF_CELLS_ORACLE_SQL = """
     WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 4),
     scored AS (
       SELECT e.vec_id, c.cid,
@@ -1575,8 +1584,9 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
       FROM scored
     )
     SELECT cid AS cell, COUNT(*) AS n_vectors FROM assigned WHERE rn = 1 GROUP BY cid
-    """,
-)
+"""
+
+
 def q_ivf_cells(spark, sf_dir):
     """IVF coarse quantization: assign every vector to its nearest of 4
     seed centroids (vec_id 0-3); cell occupancy counts."""
@@ -1689,7 +1699,7 @@ def _ann_planes_values() -> str:
     ),
     buckets AS (
       SELECT vec_id,
-        CAST(SUM(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+        CAST(SUM(CASE WHEN ROUND(s, 9) >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
       FROM proj GROUP BY vec_id
     ),
     qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),

@@ -215,12 +215,42 @@ def test_renumber_groups_bucketed_equals_default(spark):
     assert a == b
 
 
+def test_renumber_groups_auto_selects_bucketed_path(spark):
+    """Above auto_threshold the bucketed path is the DEFAULT: the plan
+    contains no single-partition exchange, and the output still equals
+    the small-N single-window form."""
+    from webscrape_neko_jirushi_spark.operators import reorganize
+    from webscrape_neko_jirushi_spark.sources.analog import cat_info_analog
+
+    cats = cat_info_analog(
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    )
+    auto = reorganize.renumber_groups(cats, auto_threshold=100)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    got = {(r["cat_id"], r["new_dir"]) for r in auto.select("cat_id", "new_dir").collect()}
+    want = {
+        (r["cat_id"], r["new_dir"])
+        for r in reorganize.renumber_groups(cats).select("cat_id", "new_dir").collect()
+    }
+    assert got == want
+
+
 def test_simhash_signatures_equal_hof_form(spark):
     """The one-pass relational SimHash returns identical signatures to
-    the HOF column form."""
+    the HOF column form — including NULL and empty text (explode_outer
+    keeps the NULL-text row; both forms sign it 0)."""
     from webscrape_neko_jirushi_spark.operators import dedup
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(-1, None), (-2, "")], "doc_id long, text string"
+        ).withColumns(
+            {f.name: F.lit(None).cast(f.dataType) for f in docs.schema.fields
+             if f.name not in ("doc_id", "text")}
+        )
+    )
     rel = {
         (r["doc_id"], r["simhash"])
         for r in dedup.simhash_signatures(docs, "text", "doc_id").collect()
@@ -361,3 +391,63 @@ def test_asof_join_null_values_do_not_splice(spark):
     assert got[2] == (1.0, 5)
     # the NULL-time row (v=99.0) never matched anything
     assert all(v != 99.0 for v, _ in got.values())
+
+
+def test_ivf_cells_matches_duckdb_oracle(spark):
+    """q_ivf_cells left the driver's 50-query registry (slot given to
+    ann_topk_lsh) but keeps its full oracle gate here: Spark result vs
+    the same DuckDB SQL at sf0.001, order-insensitive value compare."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["cell"], r["n_vectors"])
+        for r in entry.q_ivf_cells(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        (int(c), int(n))
+        for c, n in con.execute(entry.IVF_CELLS_ORACLE_SQL).fetchall()
+    )
+    assert got == want
+
+
+def test_hot_bucket_star_cap_bounds_pairs_and_keeps_clusters(spark):
+    """Planted skew: many near-identical docs land in ONE LSH bucket.
+    AQE's skew split fixes partition imbalance but not the quadratic
+    pair OUTPUT — max_bucket's star expansion does: the hot bucket
+    contributes O(B) edges instead of O(B^2), and connected components
+    over the capped candidates still recover the full duplicate group."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    hot = [(i, "the same boilerplate cat adoption page text repeated verbatim")
+           for i in range(300)]
+    cold = [(1000 + i, f"unique document number {i} about cat {i * 37} fostering")
+            for i in range(50)]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+
+    capped = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=50)
+    n_capped = capped.count()
+    # star edges: 299 per band at most, dedup'd across bands -> 299;
+    # plus any cold-doc collisions (none expected). Uncapped would be
+    # 300*299/2 = 44850 from the hot bucket alone.
+    assert n_capped <= 350, n_capped
+
+    clusters = dedup.connected_components(capped)
+    hot_clusters = {
+        r["cluster_id"]
+        for r in clusters.filter(F.col("id") < 300).collect()
+    }
+    assert hot_clusters == {0}, hot_clusters  # one group, min-id label
+    # all 300 hot members present in the component
+    assert clusters.filter(F.col("cluster_id") == 0).count() == 300
+
+    # uncapped semantics unchanged (exhaustive pairs inside the bucket)
+    uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+    assert uncapped.count() >= 300 * 299 // 2

@@ -158,3 +158,37 @@ def test_agg_is_partial_final(spark):
     plan = P.physical_plan(q)
     assert plan.count("HashAggregate") >= 2
     assert P.exchange_count(q) <= 2
+
+
+def test_ann_index_probe_partition_pruned(spark, tmp_path):
+    """The persisted ANN index (bucket-partitioned parquet) must be
+    probed through Catalyst partition pruning — the bucket IN-list is a
+    PartitionFilter, the scan reads only probed bucket directories —
+    and return exactly the rows of the unindexed ann_topk_lsh."""
+    import re
+
+    from webscrape_neko_jirushi_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    idx = str(tmp_path / "ann_index")
+    similarity.build_ann_index(e, idx, dim=64, bits=8, seed=7)
+
+    probed = similarity.ann_topk_indexed(spark, idx, query, k=10, bits=8, seed=7)
+    plan = P.physical_plan(probed)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
+
+    got = [(r["vec_id"], r["cosine"]) for r in probed.collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ann_topk_lsh(e, query, k=10, bits=8, seed=7).collect()
+    ]
+    assert got == want
+
+    # the probe reads a strict subset of the bucket directories:
+    # at hamming<=1 over 8 bits, at most 9 of the 2^8 buckets
+    planes = similarity._hyperplanes(64, 8, 7)
+    probe = similarity._probe_buckets(query, planes, 1)
+    n_all = spark.read.parquet(idx).select("bucket").distinct().count()
+    assert len(probe) == 9 and n_all > len(probe)

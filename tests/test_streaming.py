@@ -167,3 +167,83 @@ def test_frontier_stream_writer_drives_epochs(spark, tmp_path):
     got = {r["url_hash"] for r in eng.url_seen().collect()}
     exp = {r["url_hash"] for r in want.url_seen().collect()}
     assert got == exp
+
+
+def test_host_health_state_survives_query_restart(spark, tmp_path):
+    """T2×T7 hardening: the applyInPandasWithState state store is
+    checkpointed — a NEW query started from the same checkpoint resumes
+    the per-host counters instead of recomputing them. Runs on the
+    RocksDB state store provider (the production choice for large
+    keyspaces: state lives off-heap/on-disk per executor, not in JVM
+    heap), falling back implicitly if the build lacks it would fail
+    this test loudly rather than silently degrade."""
+    from webscrape_neko_jirushi_spark.streaming.epochs import host_health_tracker
+
+    src = tmp_path / "rec_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "rec_ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, HEALTH_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    # foreachBatch is the recovery-capable sink (the memory sink refuses
+    # checkpoint restarts) — and the shape production would use anyway
+    seen_batches: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.extend(
+            (r["host"], r["n_fetches"], r["n_failures"],
+             r["consec_failures"], r["throttled"])
+            for r in batch_df.collect()
+        )
+
+    def start_query():
+        stream = spark.readStream.schema(HEALTH_SCHEMA).parquet(str(src / "*"))
+        return (
+            host_health_tracker(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # run 1: a.test accumulates (3 fetches, 1 failure, 1 consec)
+        write_batch(
+            "b0",
+            [("a.test", 200, 1, 1), ("a.test", 200, 1, 2), ("a.test", 500, 1, 3)],
+        )
+        q1 = start_query()
+        try:
+            q1.processAllAvailable()
+            assert seen_batches == [("a.test", 3, 1, 1, False)]
+        finally:
+            q1.stop()
+
+        # run 2: NEW query, same checkpoint. b0 is already committed in
+        # the source log, so only b1 is processed — n_fetches=5 is only
+        # reachable if the (3,1,1) state was RECOVERED, not recomputed.
+        write_batch("b1", [("a.test", 404, 2, 1), ("a.test", 404, 2, 2)])
+        seen_batches.clear()
+        q2 = start_query()
+        try:
+            q2.processAllAvailable()
+            assert seen_batches == [("a.test", 5, 3, 3, True)]
+        finally:
+            q2.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

@@ -108,11 +108,61 @@ def minhash_signatures(
     )
 
 
+def bucket_pairs(
+    banded: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a banded/bucketed table via a
+    pure equi-join on ``bucket_cols``. With ``max_bucket`` set, buckets
+    whose occupancy exceeds it switch to STAR expansion — every member
+    pairs with the bucket's min id only: B-1 edges instead of B(B-1)/2.
+    A mega-bucket of near-identical docs (the planted-skew case, or a
+    boilerplate page template at 100 TB) would otherwise emit a
+    quadratic pair list NO execution engine can absorb — AQE's skew
+    split fixes the partition imbalance but not the output size. Star
+    edges preserve exactly what dedup needs: connected-component
+    membership (``near_dup_clusters``) and at-least-one-candidate-edge
+    per true duplicate; the exhaustive within-mega-bucket pair LIST is
+    deliberately traded away. The occupancy window shuffles on the same
+    key as the join, so no extra exchange shape is introduced."""
+    if max_bucket is None:
+        small, big = banded, None  # no occupancy window on the uncapped path
+    else:
+        w = Window.partitionBy(*bucket_cols)
+        annotated = banded.withColumn("_bn", F.count("*").over(w)).withColumn(
+            "_bmin", F.min(id_col).over(w)
+        )
+        small = annotated.filter(F.col("_bn") <= max_bucket)
+        big = annotated.filter(
+            (F.col("_bn") > max_bucket) & (F.col(id_col) != F.col("_bmin"))
+        ).select(
+            F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    a = small.select(id_col, *bucket_cols).alias("a")
+    b = small.select(id_col, *bucket_cols).alias("b")
+    pairs = a.join(
+        b,
+        [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+        + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    if big is not None:
+        pairs = pairs.unionByName(big)
+    return pairs.distinct()
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, band_hash): docs
-    agreeing on ALL rows of any band become candidate pairs (a < b)."""
+    agreeing on ALL rows of any band become candidate pairs (a < b).
+    ``max_bucket`` caps hot buckets via star expansion (see
+    ``bucket_pairs``)."""
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
@@ -122,20 +172,7 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "bb.band", "bb.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return bucket_pairs(banded, id_col, ["band", "bh"], max_bucket)
 
 
 def simhash64(text_col, k_tokens_hash_bits: int = 60):
@@ -183,7 +220,10 @@ def simhash_signatures(
     tok_hash = F.conv(
         F.substring(F.md5(F.col("_tok").cast("binary")), 1, 15), 16, 10
     ).cast("long")
-    ex = df.select(F.col(id_col), F.explode(words).alias("_tok")).select(
+    # explode_outer: a NULL text yields one NULL-token row instead of
+    # vanishing — all bit-sums stay NULL, every majority test is false,
+    # and the doc gets signature 0 exactly like the HOF form
+    ex = df.select(F.col(id_col), F.explode_outer(words).alias("_tok")).select(
         F.col(id_col), tok_hash.alias("_h")
     )
     aggs = [F.count("*").alias("_n")] + [

@@ -80,14 +80,20 @@ def global_sequence(
 
 
 def renumber_groups(
-    cats: DataFrame, cat_id_col: str = "cat_id", buckets: int | None = None
+    cats: DataFrame,
+    cat_id_col: str = "cat_id",
+    buckets: int | None = None,
+    auto_threshold: int = 2_000_000,
 ) -> DataFrame:
     """W3/P5/P6: cat_{seq:04d}_{clean_name} with the global counter in
     sorted-id order (deterministic stand-in for dir-iteration order,
-    reorganize_dataset.py:28,87). Default: single-partition window (one
-    row per group — fine up to ~10^7 groups). Pass ``buckets`` to use
-    ``global_sequence``'s bucketed two-phase ranking at scale; output
-    is identical for unique ids."""
+    reorganize_dataset.py:28,87). The scale path is AUTO-SELECTED:
+    above ``auto_threshold`` rows (one cheap count job) the sequence
+    comes from ``global_sequence``'s bucketed two-phase ranking — no
+    single-partition window anywhere in the plan; below it, one small
+    sorted partition is cheaper than the extra quantile/count jobs.
+    Pass ``buckets`` to force the bucketed path. Output is identical
+    for unique ids either way (test-proven)."""
     name = coalesce_name(
         F.col("name"),
         F.col("cat_name"),
@@ -98,6 +104,8 @@ def renumber_groups(
     named = cats.withColumn("resolved_name", name).withColumn(
         "clean_name", sanitize_filename(F.col("resolved_name"))
     )
+    if buckets is None and cats.count() > auto_threshold:
+        buckets = 32
     if buckets:
         seqd = global_sequence(named, cat_id_col, buckets=buckets, out_col="_seq")
     else:

@@ -73,10 +73,14 @@ def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec_col, planes: list[list[float]]):
-    """Sign bits of projections packed into one long bucket id."""
+    """Sign bits of projections packed into one long bucket id. The
+    projection is quantized to 9 decimals BEFORE the sign test (as is
+    every oracle twin): a near-zero projection summed in a different
+    order on another engine could otherwise flip the sign bit on one
+    side only and diverge the candidate sets."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        proj = F.round(_dot(vec_col, F.array(*[F.lit(float(x)) for x in p])), 9)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
     return bucket
 
@@ -92,6 +96,22 @@ def lsh_buckets(
     return embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
 
 
+def _probe_buckets(
+    query: list[float], planes: list[list[float]], multiprobe_hamming: int
+) -> list[int]:
+    """The query's bucket plus every bucket within ``multiprobe_hamming``
+    bit flips — plan-time literals, so the bucket filter can prune."""
+    qbits = 0
+    for i, p in enumerate(planes):
+        # same 9-decimal quantization as lsh_bucket_col's sign test
+        if round(sum(a * b for a, b in zip(query, p)), 9) >= 0:
+            qbits |= 1 << i
+    probe = [qbits]
+    if multiprobe_hamming >= 1:
+        probe += [qbits ^ (1 << i) for i in range(len(planes))]
+    return probe
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query: list[float],
@@ -104,19 +124,61 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
     ``multiprobe_hamming`` bit flips of the query's bucket. With the
-    bucket column persisted (partitioned table at scale), this prunes
-    the scan to a handful of buckets."""
+    bucket column persisted (``build_ann_index``), the probe becomes a
+    partition-pruned scan — use ``ann_topk_indexed`` at scale."""
     dim = len(query)
     planes = _hyperplanes(dim, bits, seed)
-    qbits = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query, p)) >= 0:
-            qbits |= 1 << i
-    probe = [qbits]
-    if multiprobe_hamming >= 1:
-        probe += [qbits ^ (1 << i) for i in range(bits)]
+    probe = _probe_buckets(query, planes, multiprobe_hamming)
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     pruned = bucketed.filter(F.col("bucket").isin(probe))
+    return (
+        pruned.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    bits: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH index as a ``bucket``-partitioned parquet
+    table: one directory per bucket (2^bits dirs). Probing then reads
+    only the probed directories — at 100 TB with bits=8 and
+    multiprobe_hamming=1, 9/256 of the corpus instead of all of it,
+    enforced by Catalyst partition pruning (plan-gated in
+    test_plans.py). Bucket computation is one scan, write is one job;
+    rebuild on corpus change (the index is derived data)."""
+    lsh_buckets(embeddings, dim, bits=bits, seed=seed, vec_col=vec_col).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(path)
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k over a persisted ``build_ann_index`` table: the bucket
+    membership test is a PARTITION filter (literal IN-list), so the
+    scan touches only probed bucket directories. Returns the same rows
+    as ``ann_topk_lsh`` over the same corpus (test-proven)."""
+    planes = _hyperplanes(len(query), bits, seed)
+    probe = _probe_buckets(query, planes, multiprobe_hamming)
+    pruned = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
     return (
         pruned.select(
             F.col(id_col),
@@ -152,15 +214,21 @@ def banded_lsh_candidates(
     bits_per_band: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded random-hyperplane LSH
     (OR over bands, AND within a band): two vectors are candidates iff
     ALL ``bits_per_band`` sign bits of at least one band agree. The
     band join is a pure equi-join on (band, bucket) — no cross join —
     so the pair space at 100 TB is bounded by bucket occupancy, and
-    AQE's skew-join split handles hot buckets. Sign flips from
-    floating-point summation order are pair-coherent for proportional
-    vectors, so exact-direction duplicates are never lost."""
+    AQE's skew-join split handles hot buckets' partition imbalance.
+    ``max_bucket`` additionally caps a mega-bucket's OUTPUT size via
+    star expansion (see ``dedup.bucket_pairs``) — skew split cannot
+    shrink a quadratic pair list. Sign flips from floating-point
+    summation order are pair-coherent for proportional vectors, so
+    exact-direction duplicates are never lost."""
+    from .dedup import bucket_pairs
+
     all_planes = md5_hyperplanes(dim, n_bands * bits_per_band)
     bands = []
     for b in range(n_bands):
@@ -170,20 +238,7 @@ def banded_lsh_candidates(
     banded = embeddings.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket)
 
 
 def ivf_assign(

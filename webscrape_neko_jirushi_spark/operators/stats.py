@@ -68,7 +68,17 @@ def run_report(
         )
         report = report.crossJoin(F.broadcast(y))
     if errors is not None:
-        e = errors.agg(F.count("*").alias("n_errors"))
+        # the reference report carries the error STRINGS, not just a
+        # count (complete_pipeline.py:164-179 'errors' key). collect_list
+        # is safe here: the error table is bounded (one row per stage/
+        # item failure), and it feeds a single report row.
+        err_col = "error" if "error" in errors.columns else errors.columns[0]
+        e = errors.agg(
+            F.count("*").alias("n_errors"),
+            F.sort_array(F.collect_list(F.col(err_col).cast("string"))).alias(
+                "errors"
+            ),
+        )
         report = report.crossJoin(F.broadcast(e))
     for k, v in (config or {}).items():
         report = report.withColumn(k, F.lit(v))

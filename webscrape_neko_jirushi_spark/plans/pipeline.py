@@ -80,6 +80,9 @@ class CompletePipeline:
             return PipelineResult(
                 stats.run_report(
                     empty.select(F.lit("none").alias("doc_id")),
+                    errors=self.engine.spark.createDataFrame(
+                        [(e,) for e in errors], "error string"
+                    ),
                     config=self._config_echo(flags, errors),
                 ),
                 None,
@@ -89,8 +92,14 @@ class CompletePipeline:
         self.engine.run(max_epochs=self.max_epochs, target_docs=self.target_docs)
         flags["scraping"] = True
 
-        # stage 2: probe + clean (D2: media table committed)
-        media = self.engine.media()
+        # stage 2: probe + clean (D2: media table committed).
+        # A recrawl re-fetch appends a second media row for the same
+        # url; keep only the latest epoch per url_hash so the probe's
+        # path equi-join below stays 1:1 (a duplicated url would fan
+        # out quadratically and inflate total_images/report counts).
+        media = dedup.exact_dedup(
+            self.engine.media(), "url_hash", [F.desc("epoch")]
+        )
         if media.limit(1).count() == 0:
             errors.append("precondition failed: no media rows after crawl")
             cascaded = None
@@ -151,7 +160,12 @@ class CompletePipeline:
         )
         report = stats.run_report(
             base,
-            errors=None,
+            # the driver-side error strings become a (bounded) one-column
+            # table so the report row carries the reference's 'errors'
+            # array (complete_pipeline.py:164-179), not just n_errors
+            errors=self.engine.spark.createDataFrame(
+                [(e,) for e in errors], "error string"
+            ),
             config=self._config_echo(flags, errors),
         )
         if survivors is not None:
