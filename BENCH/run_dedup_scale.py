@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Scale-growth evidence for the near-dup / similarity family.
+
+The banded LSH plans' core claim — candidate generation is an
+equi-join on bucket keys, so cost grows ~linearly with corpus size,
+never O(n^2) — is proven here by MEASUREMENT, not plan shape: each
+flagship near-dup pipeline runs on deterministic synthetic corpora at
+1x / 3x / 10x the sf0.1 scale (same duplicate density at every size;
+see ``sources/synth_corpus.py``), all in one Spark session with a
+pinned shuffle-partition count, and the observed wall-time growth is
+compared against the 10x size ratio. A quadratic plan would show
+~100x growth from 1x to 10x; the banded plans should stay near 10x
+(modulo the fixed per-query planning floor, reported separately via
+the tiny 0-th warmup leg).
+
+Usage:
+    SPARK_GRAFT_CPUS=32 python BENCH/run_dedup_scale.py
+Env:
+    DEDUP_SCALE_BASE_DOCS  (default 6000)   1x document count
+    DEDUP_SCALE_BASE_VECS  (default 2000)   1x embedding count
+    DEDUP_SCALE_FACTORS    (default 1,3,10) comma-separated factors
+    DEDUP_SCALE_DIR        (default /tmp/dedup_scale) corpus cache
+
+Writes BENCH/DEDUP_SCALE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from webscrape_neko_jirushi_spark.operators import dedup, similarity  # noqa: E402
+from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
+from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
+    synth_documents,
+    synth_embeddings,
+)
+from webscrape_neko_jirushi_spark.text import analysis  # noqa: E402
+
+DIM = 64  # matches the driver embeddings table
+
+
+def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str]:
+    """Generate-once parquet corpora so every timed query starts from a
+    real columnar scan (generation cost excluded from query timings)."""
+    docs = root / f"docs_{n_docs}"
+    vecs = root / f"vecs_{n_vecs}"
+    if not (docs / "_SUCCESS").exists():
+        synth_documents(
+            spark, n_docs, partitions=max(8, n_docs // 25_000)
+        ).drop("base_id").write.mode("overwrite").parquet(str(docs))
+    if not (vecs / "_SUCCESS").exists():
+        synth_embeddings(
+            spark, n_vecs, dim=DIM, partitions=max(8, n_vecs // 25_000)
+        ).write.mode("overwrite").parquet(str(vecs))
+    return str(docs), str(vecs)
+
+
+def _queries(spark, docs_path: str, vecs_path: str):
+    """The flagship near-dup pipelines, parameterized exactly like the
+    driver headline queries (16 minhashes / 4x4 bands, jaccard >= 0.5,
+    simhash hamming <= 6 via 7-band pigeonhole, 4x8 hyperplane LSH +
+    cosine >= 0.99)."""
+    docs = spark.read.parquet(docs_path)
+    vecs = spark.read.parquet(vecs_path)
+
+    def exact_dedup_groups():
+        fp = docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
+        return dedup.duplicate_groups(fp, "fp", "doc_id")
+
+    def minhash_lsh_pairs():
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+        return dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+
+    def ngram_jaccard():
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+        cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+        return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 5, 0.5, cands)
+
+    def simhash_pairs():
+        sigs = dedup.simhash_signatures(docs, "text", "doc_id")
+        return dedup.simhash_banded_pairs(sigs, "doc_id", max_hamming=6)
+
+    def near_dup_clusters():
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+        cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+        pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 5, 0.5, cands)
+        return dedup.connected_components(pairs)
+
+    def embedding_near_dups():
+        e = vecs.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        cands = similarity.banded_lsh_candidates(
+            e, dim=DIM, n_bands=4, bits_per_band=8
+        )
+        return dedup.embedding_near_dups(e, tau=0.99, candidates=cands)
+
+    return {
+        "exact_dedup_groups": exact_dedup_groups,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "ngram_jaccard": ngram_jaccard,
+        "simhash_pairs": simhash_pairs,
+        "near_dup_clusters": near_dup_clusters,
+        "embedding_near_dups": embedding_near_dups,
+    }
+
+
+def main() -> None:
+    base_docs = int(os.environ.get("DEDUP_SCALE_BASE_DOCS", "6000"))
+    base_vecs = int(os.environ.get("DEDUP_SCALE_BASE_VECS", "2000"))
+    factors = [
+        int(x) for x in os.environ.get("DEDUP_SCALE_FACTORS", "1,3,10").split(",")
+    ]
+    root = Path(os.environ.get("DEDUP_SCALE_DIR", "/tmp/dedup_scale"))
+    root.mkdir(parents=True, exist_ok=True)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("dedup-scale", shuffle_partitions=64)
+
+    # untimed warmup leg at 1/10 scale: JVM + codegen + parquet reader
+    wd, wv = _corpora(spark, root, max(200, base_docs // 10), max(100, base_vecs // 10))
+    for fn in _queries(spark, wd, wv).values():
+        fn().count()
+
+    results: dict[int, dict[str, dict[str, float]]] = {}
+    for f in factors:
+        dp, vp = _corpora(spark, root, base_docs * f, base_vecs * f)
+        results[f] = {}
+        for name, fn in _queries(spark, dp, vp).items():
+            t0 = time.monotonic()
+            rows = fn().count()
+            dt = time.monotonic() - t0
+            results[f][name] = {"sec": round(dt, 3), "rows": rows}
+            print(f"[{f}x] {name}: {dt:.2f}s, {rows} rows", file=sys.stderr)
+
+    f_lo, f_hi = factors[0], factors[-1]
+    size_ratio = f_hi / f_lo
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        "# BENCH/DEDUP_SCALE.md — near-dup family scale-growth evidence",
+        "",
+        f"Generated {stamp} by `SPARK_GRAFT_CPUS={cpus} python BENCH/run_dedup_scale.py`",
+        f"(local[{cpus}], 64 shuffle partitions, one session, untimed warmup leg).",
+        "",
+        "Deterministic synthetic corpora (`sources/synth_corpus.py`) with a",
+        "constant 10% planted near-duplicate density at every size — output",
+        "pair counts therefore scale ~linearly with n, and measured time",
+        "growth isolates the JOIN STRATEGY, not the output sink. A quadratic",
+        f"plan would grow ~{size_ratio**2:.0f}x from {f_lo}x to {f_hi}x; the",
+        f"banded plans should stay near the size ratio ({size_ratio:.0f}x).",
+        "",
+        f"Corpus sizes: documents {', '.join(f'{f}x = {base_docs*f:,}' for f in factors)};",
+        f"embeddings {', '.join(f'{f}x = {base_vecs*f:,}' for f in factors)} (dim {DIM}).",
+        "",
+        "| query | "
+        + " | ".join(f"{f}x sec (rows)" for f in factors)
+        + f" | time growth {f_lo}x→{f_hi}x | ideal | quadratic |",
+        "|---|" + "---|" * (len(factors) + 3),
+    ]
+    growths = {}
+    for name in results[factors[0]]:
+        cells = [
+            f"{results[f][name]['sec']} ({results[f][name]['rows']:,})"
+            for f in factors
+        ]
+        g = results[f_hi][name]["sec"] / max(results[f_lo][name]["sec"], 1e-9)
+        growths[name] = round(g, 2)
+        lines.append(
+            f"| {name} | "
+            + " | ".join(cells)
+            + f" | **{g:.1f}x** | {size_ratio:.0f}x | {size_ratio**2:.0f}x |"
+        )
+    lines += [
+        "",
+        "Time growth at or below the size ratio (with the sub-linear cases",
+        "explained by the fixed per-query planning/scheduling floor visible",
+        "at 1x) is the linear-scaling evidence; none of these pipelines may",
+        "approach the quadratic column. Pair/cluster row counts in",
+        "parentheses confirm constant duplicate density (rows ~ n).",
+        "",
+    ]
+    (REPO / "BENCH" / "DEDUP_SCALE.md").write_text("\n".join(lines))
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_scale_growth",
+                "size_ratio": size_ratio,
+                "growth": growths,
+                "results": results,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
