@@ -65,7 +65,7 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str]:
     return str(docs), str(vecs)
 
 
-def _queries(spark, docs_path: str, vecs_path: str):
+def _queries(spark, docs_path: str, vecs_path: str, n_docs: int, n_vecs: int):
     """The flagship near-dup pipelines, parameterized exactly like the
     driver headline queries (16 minhashes / 4x4 bands, jaccard >= 0.5,
     simhash hamming <= 6 via 7-band pigeonhole, 4x8 hyperplane LSH +
@@ -87,8 +87,16 @@ def _queries(spark, docs_path: str, vecs_path: str):
         return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 5, 0.5, cands)
 
     def simhash_pairs():
+        # 60-bit signature: 7 bands of ~8.6 bits — random band
+        # collisions ~n^2/2^8.6 make this the small/mid-scale form
         sigs = dedup.simhash_signatures(docs, "text", "doc_id")
         return dedup.simhash_banded_pairs(sigs, "doc_id", max_hamming=6)
+
+    def simhash_wide_pairs():
+        # 120-bit signature: 7 bands of ~17 bits — the web-scale form
+        # (~390x fewer random band collisions, same exactness)
+        sigs = dedup.simhash_signatures_wide(docs, "text", "doc_id")
+        return dedup.simhash_wide_banded_pairs(sigs, "doc_id")
 
     def near_dup_clusters():
         sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
@@ -101,19 +109,29 @@ def _queries(spark, docs_path: str, vecs_path: str):
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
         )
+        # bucket count sized to the corpus — a FIXED bits_per_band
+        # makes occupancy grow with n and re-introduces the quadratic
+        bits = similarity.lsh_bits_for(n_vecs)
         cands = similarity.banded_lsh_candidates(
-            e, dim=DIM, n_bands=4, bits_per_band=8
+            e, dim=DIM, n_bands=4, bits_per_band=bits
         )
         return dedup.embedding_near_dups(e, tau=0.99, candidates=cands)
 
-    return {
+    qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ngram_jaccard": ngram_jaccard,
         "simhash_pairs": simhash_pairs,
+        "simhash_wide_pairs": simhash_wide_pairs,
         "near_dup_clusters": near_dup_clusters,
         "embedding_near_dups": embedding_near_dups,
     }
+    if n_docs > 150_000:
+        # the 60-bit banding's candidate set is ~n^2/388 — by design
+        # it is the sub-100k form; the wide variant IS the measurement
+        # at this size (see simhash_signatures_wide's docstring)
+        del qs["simhash_pairs"]
+    return qs
 
 
 def main() -> None:
@@ -129,15 +147,16 @@ def main() -> None:
     spark = get_spark("dedup-scale", shuffle_partitions=64)
 
     # untimed warmup leg at 1/10 scale: JVM + codegen + parquet reader
-    wd, wv = _corpora(spark, root, max(200, base_docs // 10), max(100, base_vecs // 10))
-    for fn in _queries(spark, wd, wv).values():
+    nwd, nwv = max(200, base_docs // 10), max(100, base_vecs // 10)
+    wd, wv = _corpora(spark, root, nwd, nwv)
+    for fn in _queries(spark, wd, wv, nwd, nwv).values():
         fn().count()
 
     results: dict[int, dict[str, dict[str, float]]] = {}
     for f in factors:
         dp, vp = _corpora(spark, root, base_docs * f, base_vecs * f)
         results[f] = {}
-        for name, fn in _queries(spark, dp, vp).items():
+        for name, fn in _queries(spark, dp, vp, base_docs * f, base_vecs * f).items():
             t0 = time.monotonic()
             rows = fn().count()
             dt = time.monotonic() - t0
@@ -171,15 +190,23 @@ def main() -> None:
     growths = {}
     for name in results[factors[0]]:
         cells = [
-            f"{results[f][name]['sec']} ({results[f][name]['rows']:,})"
+            (
+                f"{results[f][name]['sec']} ({results[f][name]['rows']:,})"
+                if name in results[f]
+                else "— (60-bit form is sub-100k-scale by design)"
+            )
             for f in factors
         ]
-        g = results[f_hi][name]["sec"] / max(results[f_lo][name]["sec"], 1e-9)
-        growths[name] = round(g, 2)
+        if name in results[f_hi]:
+            g = results[f_hi][name]["sec"] / max(results[f_lo][name]["sec"], 1e-9)
+            growths[name] = round(g, 2)
+            gcell = f"**{g:.1f}x**"
+        else:
+            gcell = "—"
         lines.append(
             f"| {name} | "
             + " | ".join(cells)
-            + f" | **{g:.1f}x** | {size_ratio:.0f}x | {size_ratio**2:.0f}x |"
+            + f" | {gcell} | {size_ratio:.0f}x | {size_ratio**2:.0f}x |"
         )
     lines += [
         "",

@@ -192,3 +192,57 @@ def test_ann_index_probe_partition_pruned(spark, tmp_path):
     probe = similarity._probe_buckets(query, planes, 1)
     n_all = spark.read.parquet(idx).select("bucket").distinct().count()
     assert len(probe) == 9 and n_all > len(probe)
+
+
+def test_simhash_wide_banded_pairs_match_bruteforce(spark):
+    """120-bit pigeonhole banding is exact: same pair set as the
+    brute-force Hamming join over (sim_hi, sim_lo) on a planted
+    corpus (flips split across both halves)."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    c = dedup.simhash_signatures_wide(docs, "text", "doc_id")
+    near = c.limit(20).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        # hamming 5 <= 6 split across the halves: 2 hi flips, 3 lo
+        F.col("sim_hi").bitwiseXOR(F.lit(0b101)).alias("sim_hi"),
+        F.col("sim_lo").bitwiseXOR(F.lit(0b10101)).alias("sim_lo"),
+    )
+    corpus = c.unionByName(near).cache()
+    banded = {
+        tuple(r)
+        for r in dedup.simhash_wide_banded_pairs(corpus, "doc_id").collect()
+    }
+    a, b = corpus.alias("a"), corpus.alias("b")
+    ham = dedup.hamming64(F.col("a.sim_hi"), F.col("b.sim_hi")) + dedup.hamming64(
+        F.col("a.sim_lo"), F.col("b.sim_lo")
+    )
+    brute = {
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    corpus.unpersist()
+    assert banded == brute
+    assert len(banded) >= 20  # every planted pair found
+
+
+def test_simhash_wide_halves_match_narrow_on_hi(spark):
+    """The wide signature's hi half uses the SAME digest bits as the
+    60-bit form, so sim_hi == simhash_signatures' signature — the wide
+    path is a superset, not a different similarity function."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    wide = dedup.simhash_signatures_wide(docs, "text", "doc_id")
+    narrow = dedup.simhash_signatures(docs, "text", "doc_id")
+    joined = wide.join(narrow, "doc_id").filter(
+        F.col("sim_hi") != F.col("simhash")
+    )
+    assert joined.count() == 0

@@ -473,3 +473,126 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_signatures_wide(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """120-bit SimHash as two 60-bit longs ``(sim_hi, sim_lo)`` — the
+    web-scale variant of ``simhash_signatures``.
+
+    WHY a wider signature: the 60-bit pigeonhole banding
+    (``simhash_banded_pairs``) uses 7 bands of ~8.6 bits, so two
+    UNRELATED documents collide on some band with probability
+    ~7/2^8.6 — at 10^8+ documents that fixed bucket space turns the
+    candidate set quadratic (n^2/388 pairs to verify). Doubling the
+    signature to 120 bits doubles band width to ~17 bits, cutting
+    random band collisions by ~2^8.6 (~390x) while the pigeonhole
+    exactness guarantee is unchanged. Hamming distance over 120 bits
+    is a strictly finer similarity resolution (Manku et al., WWW'07
+    use 64 bits for 8B pages with k=3; k=6 at 10^10 documents needs
+    the wider signature to keep verify candidates ~linear).
+
+    Same one-pass relational shape as ``simhash_signatures``: one md5
+    per token (hi = hex chars 1-15, lo = chars 17-31 — disjoint 60-bit
+    halves of the digest), then ALL 120 majority counters in a single
+    partial+final aggregate. NULL text gets (0, 0) via explode_outer,
+    matching the 60-bit form's NULL convention.
+    """
+    words = F.split(_normalized(F.col(text_col)), " ")
+    m = F.md5(F.col("_tok").cast("binary"))
+    hi = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 17, 15), 16, 10).cast("long")
+    ex = df.select(F.col(id_col), F.explode_outer(words).alias("_tok")).select(
+        F.col(id_col), hi.alias("_hh"), lo.alias("_hl")
+    )
+    aggs = [F.count("*").alias("_n")]
+    aggs += [
+        F.sum(F.shiftright("_hh", i).bitwiseAND(F.lit(1))).alias(f"_hb{i}")
+        for i in range(60)
+    ]
+    aggs += [
+        F.sum(F.shiftright("_hl", i).bitwiseAND(F.lit(1))).alias(f"_lb{i}")
+        for i in range(60)
+    ]
+    counted = ex.groupBy(id_col).agg(*aggs)
+    sim_hi = F.lit(0).cast("long")
+    sim_lo = F.lit(0).cast("long")
+    for i in range(60):
+        sim_hi = sim_hi + F.when(
+            F.col(f"_hb{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim_lo = sim_lo + F.when(
+            F.col(f"_lb{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counted.select(
+        F.col(id_col), sim_hi.alias("sim_hi"), sim_lo.alias("sim_lo")
+    )
+
+
+def simhash_wide_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Exact Hamming-ball (<= ``max_hamming`` over the 120-bit
+    signature) pair search via pigeonhole banding — the scale path of
+    ``simhash_banded_pairs``.
+
+    The 120 bits split into ``max_hamming + 1`` = 7 contiguous bands of
+    17-18 bits (bands 0-3 cover ``sim_hi``, 4-6 cover ``sim_lo``); any
+    pair within ``max_hamming`` flips agrees exactly on >= 1 band, so
+    the (band, chunk) equi-join is provably complete, and the wide
+    chunk space keeps random band collisions (the quadratic term at a
+    fixed bucket count) ~390x rarer than the 60-bit form's.
+    """
+    n_bands = max_hamming + 1
+    hi_bands = (n_bands + 1) // 2  # 4 bands over hi, 3 over lo
+    lo_bands = n_bands - hi_bands
+    chunks = []
+    for part_col, widths, band0 in (
+        (hi_col, _band_widths(60, hi_bands), 0),
+        (lo_col, _band_widths(60, lo_bands), hi_bands),
+    ):
+        off = 0
+        for i, w in enumerate(widths):
+            chunk = F.shiftright(F.col(part_col), off).bitwiseAND(F.lit((1 << w) - 1))
+            chunks.append(
+                F.struct(F.lit(band0 + i).alias("band"), chunk.alias("chunk"))
+            )
+            off += w
+    banded = df.select(
+        F.col(id_col),
+        F.col(hi_col),
+        F.col(lo_col),
+        F.explode(F.array(*chunks)).alias("bc"),
+    ).select(id_col, hi_col, lo_col, "bc.band", "bc.chunk")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hi_col}").alias("_ha"),
+            F.col(f"a.{lo_col}").alias("_la"),
+            F.col(f"b.{hi_col}").alias("_hb"),
+            F.col(f"b.{lo_col}").alias("_lb"),
+        )
+        .distinct()
+    )
+    ham = hamming64(F.col("_ha"), F.col("_hb")) + hamming64(
+        F.col("_la"), F.col("_lb")
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -189,6 +189,28 @@ def ann_topk_indexed(
     )
 
 
+def lsh_bits_for(n_vecs: int, target_occupancy: int = 8) -> int:
+    """Band width (sign bits per band) sized to the corpus.
+
+    A FIXED bucket count is the hidden quadratic in hyperplane LSH:
+    with b bits per band, expected bucket occupancy is n / 2^b, and
+    the candidate-pair count per band grows ~n^2 / 2^b — linear in n
+    only if 2^b grows with n. This rule keeps expected occupancy at
+    ``target_occupancy`` (so in-bucket pair work per bucket is a small
+    constant): b = clamp(ceil(log2(n / target)), 8, 24).
+
+    Recall cost is mild for true near-dups: a cosine-0.999 pair agrees
+    on a sign bit with p = 1 - acos(0.999)/pi ~ 0.986, so even a
+    24-bit band keeps per-band recall ~0.71 and 4-band OR-recall
+    ~0.993; a cosine-0.99 boundary pair drops to ~0.90 OR-recall at
+    24 bits — the standard LSH recall/cost trade, tunable via
+    ``n_bands``."""
+    import math
+
+    bits = math.ceil(math.log2(max(n_vecs, 2) / max(target_occupancy, 1)))
+    return max(8, min(24, bits))
+
+
 def md5_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Engine-portable pseudo-random hyperplanes: component (p, j) is
     derived from md5(f"{p}|{j}") exactly as a SQL engine would compute
@@ -222,6 +244,9 @@ def banded_lsh_candidates(
     band join is a pure equi-join on (band, bucket) — no cross join —
     so the pair space at 100 TB is bounded by bucket occupancy, and
     AQE's skew-join split handles hot buckets' partition imbalance.
+    Size ``bits_per_band`` with ``lsh_bits_for(n_vecs)`` — a fixed
+    bucket count makes occupancy (and the in-bucket pair count) grow
+    with n, which is the quadratic term this plan exists to avoid.
     ``max_bucket`` additionally caps a mega-bucket's OUTPUT size via
     star expansion (see ``dedup.bucket_pairs``) — skew split cannot
     shrink a quadratic pair list. Sign flips from floating-point
