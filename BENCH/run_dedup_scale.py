@@ -216,6 +216,13 @@ def main() -> None:
         "approach the quadratic column. Pair/cluster row counts in",
         "parentheses confirm constant duplicate density (rows ~ n).",
         "",
+        "Scale-path parameterization applied per the operators' own sizing",
+        "rules: embedding LSH band width from `similarity.lsh_bits_for(n)`",
+        "(constant expected bucket occupancy), and the 120-bit",
+        "`simhash_wide_*` forms above 150k docs (the 60-bit banding's",
+        "~8.6-bit band space turns its random-collision candidate set",
+        "quadratic past ~10^5 rows — by design it is the small/mid form).",
+        "",
     ]
     (REPO / "BENCH" / "DEDUP_SCALE.md").write_text("\n".join(lines))
     print(
