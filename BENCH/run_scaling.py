@@ -91,14 +91,16 @@ identically (no driver-side work in the epoch hot path).
 
 **Scaling efficiency (N -> 4N)** = (T_N / T_4N) / 4 = ({t8} / {t32}) / 4
 = **{eff:.3f}** (target >= 0.8).
-
-Reference single-process baseline: <= ~0.2 listing pages/s,
-effectively < 1 URL/s (politeness-bound sequential loop —
-BASELINE.md "implied crawl throughput"). The engine's compute-bound
-throughput above is the same traversal re-expressed as parallel
-epoch waves.
 """
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # (the reference-baseline comparison and history live in the
+    # persistent region below the marker)
+    out = REPO / "BENCH" / "BASELINE.md"
+    # preserve hand-maintained sections (round history, input-size
+    # linearity, fixed-cost analysis) below the marker across regens
+    marker = "<!-- persistent -->"
+    if out.exists() and marker in out.read_text():
+        md += "\n" + marker + out.read_text().split(marker, 1)[1]
+    out.write_text(md)
     print(md)
 
 
