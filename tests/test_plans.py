@@ -246,3 +246,37 @@ def test_simhash_wide_halves_match_narrow_on_hi(spark):
         F.col("sim_hi") != F.col("simhash")
     )
     assert joined.count() == 0
+
+
+def test_ivf_index_probe_partition_pruned(spark, tmp_path):
+    """The persisted IVF index (cell-partitioned parquet) must be
+    probed through Catalyst partition pruning — the nprobe cell
+    IN-list is a PartitionFilter — and return exactly the rows of the
+    unindexed ivf_topk over the same corpus and centroids."""
+    import re
+
+    from webscrape_neko_jirushi_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    query = [float(x) for x in e.filter(F.col("vec_id") == 7).head()["embedding"]]
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(e, idx, cents)
+
+    probed = similarity.ivf_topk_indexed(spark, idx, query, cents, k=10, nprobe=2)
+    plan = P.physical_plan(probed)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+
+    got = [(r["vec_id"], r["cosine"]) for r in probed.collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(e, query, cents, k=10, nprobe=2).collect()
+    ]
+    assert got == want
+    # nprobe=2 of 4 cells: the scan's partition list is a strict subset
+    n_cells = spark.read.parquet(idx).select("cell").distinct().count()
+    assert n_cells > 2

@@ -325,3 +325,61 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF assignment as a ``cell``-partitioned parquet
+    table — the IVF twin of ``build_ann_index``. Probing reads only the
+    ``nprobe`` probed cell directories via Catalyst partition pruning
+    instead of re-scoring every vector against every centroid per
+    query. One scan + one write; rebuild on corpus or centroid change
+    (the index is derived data)."""
+    ivf_assign(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a persisted ``build_ivf_index`` table: the probed
+    cells are computed driver-side over the tiny centroid list and the
+    cell membership test is a PARTITION filter (literal IN-list), so
+    the scan touches only the probed cell directories. Returns the
+    same rows as ``ivf_topk`` over the same corpus and centroids
+    (test-proven)."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: (-round(cos(query, centroids[i]), 9), i),
+    )[:nprobe]
+    pruned = spark.read.parquet(path).filter(
+        F.col("cell").isin([int(p) for p in probe])
+    )
+    return (
+        pruned.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
