@@ -90,3 +90,17 @@ def test_planted_embedding_dups_cosine(spark):
         )
         base = h % n_base
         assert cos(rows[r.vec_id], rows[base]) > 0.99
+
+
+def test_lsh_bits_for_sizing_rule():
+    """Band width grows with corpus size (constant expected occupancy)
+    and clamps at the documented bounds."""
+    from webscrape_neko_jirushi_spark.operators.similarity import lsh_bits_for
+
+    assert lsh_bits_for(2_000) == 8          # clamp floor
+    assert lsh_bits_for(200_000) == 15       # ceil(log2(200k/8))
+    assert lsh_bits_for(10**10) == 24        # clamp ceiling
+    # occupancy stays ~target across the unclamped range
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        b = lsh_bits_for(n)
+        assert n / (1 << b) <= 8.0 < 2 * n / (1 << b)
