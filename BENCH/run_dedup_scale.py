@@ -49,11 +49,23 @@ from webscrape_neko_jirushi_spark.text import analysis  # noqa: E402
 DIM = 64  # matches the driver embeddings table
 
 
-def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str]:
-    """Generate-once parquet corpora so every timed query starts from a
-    real columnar scan (generation cost excluded from query timings)."""
+def _ann_index_bits(n_vecs: int) -> int:
+    """Index partition count sized for ~256-vector expected bucket
+    occupancy (at real scale: partition directories of useful size),
+    clamped so the local-FS directory count stays sane in this bench."""
+    import math
+
+    return max(4, min(12, math.ceil(math.log2(max(n_vecs, 2) / 256))))
+
+
+def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str]:
+    """Generate-once parquet corpora (and the persisted ANN index) so
+    every timed query starts from a real columnar scan — generation and
+    index-build cost excluded from query timings (the index is derived
+    data, built once per corpus)."""
     docs = root / f"docs_{n_docs}"
     vecs = root / f"vecs_{n_vecs}"
+    idx = root / f"vecs_{n_vecs}_ann{_ann_index_bits(n_vecs)}"
     if not (docs / "_SUCCESS").exists():
         synth_documents(
             spark, n_docs, partitions=max(8, n_docs // 25_000)
@@ -62,10 +74,17 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str]:
         synth_embeddings(
             spark, n_vecs, dim=DIM, partitions=max(8, n_vecs // 25_000)
         ).write.mode("overwrite").parquet(str(vecs))
-    return str(docs), str(vecs)
+    if not (idx / "_SUCCESS").exists():
+        similarity.build_ann_index(
+            spark.read.parquet(str(vecs)),
+            str(idx),
+            dim=DIM,
+            bits=_ann_index_bits(n_vecs),
+        )
+    return str(docs), str(vecs), str(idx)
 
 
-def _queries(spark, docs_path: str, vecs_path: str, n_docs: int, n_vecs: int):
+def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, n_vecs: int):
     """The flagship near-dup pipelines, parameterized exactly like the
     driver headline queries (16 minhashes / 4x4 bands, jaccard >= 0.5,
     simhash hamming <= 6 via 7-band pigeonhole, 4x8 hyperplane LSH +
@@ -117,6 +136,21 @@ def _queries(spark, docs_path: str, vecs_path: str, n_docs: int, n_vecs: int):
         )
         return dedup.embedding_near_dups(e, tau=0.99, candidates=cands)
 
+    # one deterministic query vector (vec 1's embedding) — constant
+    # across sizes so probe cost differences come from the index alone
+    query_vec = [
+        float(x)
+        for x in vecs.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+
+    def ann_probe_indexed():
+        # expected ~FLAT vs corpus size: the bucket test is a partition
+        # filter, so the scan reads only probed directories whose
+        # occupancy the index-bits sizing holds ~constant
+        return similarity.ann_topk_indexed(
+            spark, idx_path, query_vec, k=10, bits=_ann_index_bits(n_vecs)
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -125,6 +159,7 @@ def _queries(spark, docs_path: str, vecs_path: str, n_docs: int, n_vecs: int):
         "simhash_wide_pairs": simhash_wide_pairs,
         "near_dup_clusters": near_dup_clusters,
         "embedding_near_dups": embedding_near_dups,
+        "ann_probe_indexed": ann_probe_indexed,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -148,15 +183,17 @@ def main() -> None:
 
     # untimed warmup leg at 1/10 scale: JVM + codegen + parquet reader
     nwd, nwv = max(200, base_docs // 10), max(100, base_vecs // 10)
-    wd, wv = _corpora(spark, root, nwd, nwv)
-    for fn in _queries(spark, wd, wv, nwd, nwv).values():
+    wd, wv, wi = _corpora(spark, root, nwd, nwv)
+    for fn in _queries(spark, wd, wv, wi, nwd, nwv).values():
         fn().count()
 
     results: dict[int, dict[str, dict[str, float]]] = {}
     for f in factors:
-        dp, vp = _corpora(spark, root, base_docs * f, base_vecs * f)
+        dp, vp, ip = _corpora(spark, root, base_docs * f, base_vecs * f)
         results[f] = {}
-        for name, fn in _queries(spark, dp, vp, base_docs * f, base_vecs * f).items():
+        for name, fn in _queries(
+            spark, dp, vp, ip, base_docs * f, base_vecs * f
+        ).items():
             t0 = time.monotonic()
             rows = fn().count()
             dt = time.monotonic() - t0
