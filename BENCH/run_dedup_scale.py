@@ -113,7 +113,7 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
 
     def simhash_wide_pairs():
         # 120-bit signature: 7 bands of ~17 bits — the web-scale form
-        # (~390x fewer random band collisions, same exactness)
+        # (~156x fewer random band collisions, same exactness)
         sigs = dedup.simhash_signatures_wide(docs, "text", "doc_id")
         return dedup.simhash_wide_banded_pairs(sigs, "doc_id")
 

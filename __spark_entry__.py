@@ -664,8 +664,9 @@ def _yolo_detections(spark, sf_dir):
       FROM y
     ),
     es AS (
+      -- mirrors run_report's max_errors=1000 cap (first 1000 sorted)
       SELECT COUNT(*) AS n_errors,
-             COALESCE(list_sort(list('undersized:' || filename)), []) AS errors
+             COALESCE(list_sort(list('undersized:' || filename))[1:1000], []) AS errors
       FROM img WHERE size_bytes < 5000
     )
     SELECT b.total_cats, b.total_images, ys.images_with_cats, ys.removed_images,

@@ -168,8 +168,10 @@ class CrawlEngine:
         # committed seen table on resume, extended per epoch after that.
         # use_cuckoo swaps in deletion-capable cuckoo shards (recrawl
         # expiry deletes instead of forcing a rebuild); their per-epoch
-        # maintenance inserts run driver-side (eviction chains are not
-        # OR-mergeable), so bloom remains the 10^10-frontier default.
+        # insert/delete maintenance is distributed (per-shard
+        # applyInPandas via CuckooShards.apply_delta — eviction chains
+        # are shard-local, the driver only merges packed tables). Bloom
+        # stays the default for its smaller per-shard footprint.
         self.use_cuckoo = use_cuckoo
         self._bloom: BloomShards | CuckooShards | None = None
 

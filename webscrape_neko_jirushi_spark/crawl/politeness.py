@@ -20,7 +20,9 @@ while parallelizing across hosts AND across salt shards within a host:
 
 The schedule is virtual (tests assert spacing/caps arithmetically);
 ``enforce_wall_clock=True`` in the fetcher sleeps to it for real crawls.
-Robots rules ride along as a broadcast map host -> disallow prefixes.
+Robots rules ride along as a broadcast map host -> (prefix, allowed)
+rules, resolved longest-prefix-wins (RFC 9309, Allow beats Disallow
+on ties).
 """
 
 from __future__ import annotations

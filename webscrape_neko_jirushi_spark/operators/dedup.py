@@ -128,12 +128,24 @@ def bucket_pairs(
     A mega-bucket of near-identical docs (the planted-skew case, or a
     boilerplate page template at 100 TB) would otherwise emit a
     quadratic pair list NO execution engine can absorb — AQE's skew
-    split fixes the partition imbalance but not the output size. Star
-    edges preserve exactly what dedup needs: connected-component
-    membership (``near_dup_clusters``) and at-least-one-candidate-edge
-    per true duplicate; the exhaustive within-mega-bucket pair LIST is
-    deliberately traded away. The occupancy window shuffles on the same
-    key as the join, so no extra exchange shape is introduced."""
+    split fixes the partition imbalance but not the output size.
+
+    Guarantee — stated precisely: star edges preserve connected-
+    component membership for buckets whose members are MUTUALLY
+    near-duplicate (the homogeneous mega-buckets that hot-bucket
+    skew produces in practice: every member's edge to the min-id
+    member survives the downstream verify). For a HETEROGENEOUS
+    bucket above ``max_bucket`` — e.g. adversarial band-hash
+    collisions mixing unrelated docs with one true dup pair — a pair
+    not involving the min-id member gets no candidate edge and is
+    traded away; no o(B^2) edge set can avoid that. Random hash
+    collisions keep heterogeneous buckets far below any sane
+    ``max_bucket`` (expected occupancy n/2^band_bits, see
+    ``lsh_bits_for``), which is why the cap only ever fires on the
+    homogeneous case. The exhaustive within-mega-bucket pair LIST is
+    deliberately traded away either way. The occupancy window
+    shuffles on the same key as the join, so no extra exchange shape
+    is introduced."""
     if max_bucket is None:
         small, big = banded, None  # no occupancy window on the uncapped path
     else:
@@ -493,9 +505,10 @@ def simhash_signatures_wide(
     UNRELATED documents collide on some band with probability
     ~7/2^8.6 — at 10^8+ documents that fixed bucket space turns the
     candidate set quadratic (n^2/388 pairs to verify). Doubling the
-    signature to 120 bits doubles band width to ~17 bits, cutting
-    random band collisions by ~2^8.6 (~390x) while the pigeonhole
-    exactness guarantee is unchanged. Hamming distance over 120 bits
+    signature to 120 bits widens the bands to 15-20 bits, cutting
+    expected random band collisions ~156x (4*2^-15 + 3*2^-20 vs
+    4*2^-9 + 3*2^-8 per pair) while the pigeonhole exactness
+    guarantee is unchanged. Hamming distance over 120 bits
     is a strictly finer similarity resolution (Manku et al., WWW'07
     use 64 bits for 8B pages with k=3; k=6 at 10^10 documents needs
     the wider signature to keep verify candidates ~linear).
@@ -553,7 +566,7 @@ def simhash_wide_banded_pairs(
     pair within ``max_hamming`` flips agrees exactly on >= 1 band, so
     the (band, chunk) equi-join is provably complete, and the wide
     chunk space keeps random band collisions (the quadratic term at a
-    fixed bucket count) ~390x rarer than the 60-bit form's.
+    fixed bucket count) ~156x rarer than the 60-bit form's.
     """
     n_bands = max_hamming + 1
     hi_bands = (n_bands + 1) // 2  # 4 bands over hi, 3 over lo

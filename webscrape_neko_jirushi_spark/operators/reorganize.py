@@ -92,8 +92,12 @@ def renumber_groups(
     comes from ``global_sequence``'s bucketed two-phase ranking — no
     single-partition window anywhere in the plan; below it, one small
     sorted partition is cheaper than the extra quantile/count jobs.
-    Pass ``buckets`` to force the bucketed path. Output is identical
-    for unique ids either way (test-proven)."""
+    The auto gate is a LIMIT-bounded probe (column-pruned, stops after
+    threshold+1 rows), not a full count — still one extra job over the
+    upstream plan, so callers whose input is an expensive DAG should
+    pass ``buckets`` explicitly (0 forces the single window, >0 the
+    bucketed path). Output is identical for unique ids either way
+    (test-proven)."""
     name = coalesce_name(
         F.col("name"),
         F.col("cat_name"),
@@ -104,8 +108,13 @@ def renumber_groups(
     named = cats.withColumn("resolved_name", name).withColumn(
         "clean_name", sanitize_filename(F.col("resolved_name"))
     )
-    if buckets is None and cats.count() > auto_threshold:
-        buckets = 32
+    if buckets is None:
+        over = (
+            cats.select(cat_id_col).limit(auto_threshold + 1).count()
+            > auto_threshold
+        )
+        if over:
+            buckets = 32
     if buckets:
         seqd = global_sequence(named, cat_id_col, buckets=buckets, out_col="_seq")
     else:

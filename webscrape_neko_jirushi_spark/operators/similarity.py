@@ -101,14 +101,22 @@ def _probe_buckets(
 ) -> list[int]:
     """The query's bucket plus every bucket within ``multiprobe_hamming``
     bit flips — plan-time literals, so the bucket filter can prune."""
+    from itertools import combinations
+
     qbits = 0
     for i, p in enumerate(planes):
         # same 9-decimal quantization as lsh_bucket_col's sign test
         if round(sum(a * b for a, b in zip(query, p)), 9) >= 0:
             qbits |= 1 << i
     probe = [qbits]
-    if multiprobe_hamming >= 1:
-        probe += [qbits ^ (1 << i) for i in range(len(planes))]
+    for h in range(1, multiprobe_hamming + 1):
+        # all C(bits, h) h-flip neighbours; probe count stays a small
+        # plan literal list for the realistic h <= 2, bits <= 24 range
+        for flips in combinations(range(len(planes)), h):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            probe.append(qbits ^ m)
     return probe
 
 
@@ -205,8 +213,6 @@ def lsh_bits_for(n_vecs: int, target_occupancy: int = 8) -> int:
     ~0.993; a cosine-0.99 boundary pair drops to ~0.90 OR-recall at
     24 bits — the standard LSH recall/cost trade, tunable via
     ``n_bands``."""
-    import math
-
     bits = math.ceil(math.log2(max(n_vecs, 2) / max(target_occupancy, 1)))
     return max(8, min(24, bits))
 
@@ -290,6 +296,26 @@ def ivf_assign(
     ).drop("scores")
 
 
+def _probe_cells(
+    query: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids whose centroids are nearest the query —
+    driver-side over the tiny centroid list, shared by ``ivf_topk`` and
+    ``ivf_topk_indexed`` so the two probes can never diverge (their
+    'same rows' contract depends on identical tie-break + rounding)."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    return sorted(
+        range(len(centroids)),
+        key=lambda i: (-round(cos(query, centroids[i]), 9), i),
+    )[:nprobe]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -304,17 +330,7 @@ def ivf_topk(
     the tiny centroid list — plan literals, no extra job). With the
     cell column persisted as a partition key at scale, this prunes the
     scan to nprobe/C of the corpus before the exact cosine top-k."""
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return dot / (na * nb)
-
-    probe = sorted(
-        range(len(centroids)),
-        key=lambda i: (-round(cos(query, centroids[i]), 9), i),
-    )[:nprobe]
+    probe = _probe_cells(query, centroids, nprobe)
     assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
     pruned = assigned.filter(F.col("cell").isin([int(p) for p in probe]))
     return (
@@ -361,17 +377,7 @@ def ivf_topk_indexed(
     the scan touches only the probed cell directories. Returns the
     same rows as ``ivf_topk`` over the same corpus and centroids
     (test-proven)."""
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return dot / (na * nb)
-
-    probe = sorted(
-        range(len(centroids)),
-        key=lambda i: (-round(cos(query, centroids[i]), 9), i),
-    )[:nprobe]
+    probe = _probe_cells(query, centroids, nprobe)
     pruned = spark.read.parquet(path).filter(
         F.col("cell").isin([int(p) for p in probe])
     )

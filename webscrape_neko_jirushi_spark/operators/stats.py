@@ -38,6 +38,7 @@ def run_report(
     yolo: DataFrame | None = None,
     errors: DataFrame | None = None,
     config: dict | None = None,
+    max_errors: int = 1000,
 ) -> DataFrame:
     """D4 (+J7): the pipeline completion report
     (complete_pipeline.py:134-202) as ONE relational row.
@@ -69,17 +70,28 @@ def run_report(
         report = report.crossJoin(F.broadcast(y))
     if errors is not None:
         # the reference report carries the error STRINGS, not just a
-        # count (complete_pipeline.py:164-179 'errors' key). collect_list
-        # is safe here: the error table is bounded (one row per stage/
-        # item failure), and it feeds a single report row.
-        err_col = "error" if "error" in errors.columns else errors.columns[0]
-        e = errors.agg(
-            F.count("*").alias("n_errors"),
-            F.sort_array(F.collect_list(F.col(err_col).cast("string"))).alias(
-                "errors"
-            ),
+        # count (complete_pipeline.py:164-179 'errors' key). The error
+        # table may be DATA-proportional (one row per failed item), so
+        # the array is capped: n_errors is the true count, and the
+        # report carries the first ``max_errors`` strings in sorted
+        # order via a TakeOrderedAndProject (bounded executor memory —
+        # an uncapped collect_list over millions of item failures would
+        # OOM the final-aggregate task at the 100-TB design point).
+        if "error" not in errors.columns:
+            raise ValueError(
+                "run_report: errors must carry an explicit 'error' column "
+                f"(got {errors.columns}) — silently collecting an arbitrary "
+                "first column into the report would corrupt it"
+            )
+        err = F.col("error").cast("string")
+        cnt = errors.agg(F.count("*").alias("n_errors"))
+        top = (
+            errors.select(err.alias("_e"))
+            .orderBy("_e")
+            .limit(max_errors)
+            .agg(F.sort_array(F.collect_list("_e")).alias("errors"))
         )
-        report = report.crossJoin(F.broadcast(e))
+        report = report.crossJoin(F.broadcast(cnt)).crossJoin(F.broadcast(top))
     for k, v in (config or {}).items():
         report = report.withColumn(k, F.lit(v))
     return report

@@ -69,8 +69,13 @@ def synth_documents(
     perturb = F.pmod(_u32(F.lit(seed), sid, F.lit("pp")), F.lit(n_words))
 
     def token(ns, basis_col, p):
+        # the rendered token embeds the namespace ("w123" vs "x123") so
+        # the perturbation vocabulary is DISJOINT from the base one — a
+        # shared prefix would let ~1/vocab of planted near-dups collide
+        # into byte-identical copies of their base, breaking the
+        # "below exact equality" invariant
         return F.concat(
-            F.lit("w"),
+            F.lit("w" if ns == "w" else "x"),
             F.pmod(
                 _u32(F.lit(seed), F.lit(ns), basis_col, p.cast("string")),
                 F.lit(vocab),
