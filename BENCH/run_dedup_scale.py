@@ -112,7 +112,7 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
         return dedup.simhash_banded_pairs(sigs, "doc_id", max_hamming=6)
 
     def simhash_wide_pairs():
-        # 120-bit signature: 7 bands of ~17 bits — the web-scale form
+        # 120-bit signature: 4x15-bit + 3x20-bit bands — the web-scale form
         # (~156x fewer random band collisions, same exactness)
         sigs = dedup.simhash_signatures_wide(docs, "text", "doc_id")
         return dedup.simhash_wide_banded_pairs(sigs, "doc_id")

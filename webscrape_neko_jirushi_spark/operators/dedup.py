@@ -562,7 +562,8 @@ def simhash_wide_banded_pairs(
     ``simhash_banded_pairs``.
 
     The 120 bits split into ``max_hamming + 1`` = 7 contiguous bands of
-    17-18 bits (bands 0-3 cover ``sim_hi``, 4-6 cover ``sim_lo``); any
+    15-20 bits (4 x 15-bit bands over ``sim_hi``, 3 x 20-bit over
+    ``sim_lo``); any
     pair within ``max_hamming`` flips agrees exactly on >= 1 band, so
     the (band, chunk) equi-join is provably complete, and the wide
     chunk space keeps random band collisions (the quadratic term at a
