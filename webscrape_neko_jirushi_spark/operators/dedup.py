@@ -388,10 +388,11 @@ def connected_components(
     """Cluster assignment over near-dup candidate pairs: connected
     components by min-label propagation (the step that turns pair
     evidence into duplicate GROUPS at scale). Pure DataFrame joins —
-    each round is one equi-join + one min-aggregate, converging in
-    O(component diameter) rounds (near-dup clusters are star-like, so
-    2-4 in practice). ``localCheckpoint`` truncates the iterative
-    lineage so the plan stays O(1) per round instead of compounding.
+    each round is one equi-join + one min-aggregate (+ one cheap sum
+    scan for convergence), converging in O(component diameter) rounds
+    (near-dup clusters are star-like, so 2-4 in practice).
+    ``localCheckpoint`` truncates the iterative lineage so the plan
+    stays O(1) per round instead of compounding.
 
     Returns (id, cluster_id) where cluster_id = min member id.
     """
@@ -404,6 +405,12 @@ def connected_components(
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
     converged = False
+    # convergence detection rides the label monotonicity: each node's
+    # label is min(self, neighbours) so labels only ever DECREASE, and
+    # sum(label) is strictly smaller iff any node changed — one agg
+    # scan over the just-checkpointed labels instead of a
+    # new-vs-old equi-join per round
+    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
     # max_iter propagation rounds PLUS one verification round: a graph
     # whose final labels settle exactly on round max_iter still needs a
     # zero-change pass to be observed as converged
@@ -417,17 +424,12 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # a silent partial result would split one duplicate cluster into
         # several ids and leak duplicates downstream — refuse instead
