@@ -74,3 +74,20 @@ def test_embedding_near_dup_pipeline_recall(spark):
     vecs.unpersist()
     recall = len(truth & found) / len(truth)
     assert recall >= 0.98, f"embedding pipeline recall {recall:.3f} < 0.98"
+
+
+def test_candidate_output_grows_linearly_not_quadratically(spark):
+    """Deterministic twin of BENCH/run_dedup_scale.py's wall-time
+    evidence: with constant planted duplicate density, the LSH
+    candidate-pair COUNT must grow ~linearly with corpus size. A
+    regression to an effectively-quadratic candidate plan (fixed
+    bucket space, dropped banding, broken dedup of band matches)
+    shows up here as a ~16x jump across a 4x size step — timing-free,
+    so immune to shared-host load waves."""
+    counts = {}
+    for n in (400, 1600):
+        docs = synth_documents(spark, n, dup_frac=0.10)
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+        counts[n] = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4).count()
+    ratio = counts[1600] / max(counts[400], 1)
+    assert 2.5 <= ratio <= 7.0, f"pair growth {ratio:.1f}x on 4x data ({counts})"
