@@ -670,7 +670,7 @@ def _yolo_detections(spark, sf_dir):
       FROM img WHERE size_bytes < 5000
     )
     SELECT b.total_cats, b.total_images, ys.images_with_cats, ys.removed_images,
-           ys.avg_confidence, es.n_errors, es.errors,
+           ys.avg_confidence, es.n_errors, to_json(es.errors) AS errors,
            'advanced' AS cascade, CAST(0.3 AS DOUBLE) AS yolo_threshold
     FROM base b, ys, es
     """.replace("{_DET}", _DETECTIONS_SQL),
@@ -681,7 +681,7 @@ def q_pipeline_run_report(spark, sf_dir):
     aggregates merged with broadcast cross joins, config echoed as
     literal columns."""
     imgs = _images(spark, sf_dir)
-    return stats.run_report(
+    report = stats.run_report(
         imgs,
         yolo=_yolo_detections(spark, sf_dir),
         errors=imgs.filter(F.col("size_bytes") < 5000).select(
@@ -689,6 +689,12 @@ def q_pipeline_run_report(spark, sf_dir):
         ),
         config={"cascade": "advanced", "yolo_threshold": 0.3},
     )
+    # query-boundary contract: the driver's hash canonicalizer sorts
+    # columns through pandas and cannot handle list cells — serialize
+    # the errors array to its JSON string (byte-identical to DuckDB's
+    # to_json for string arrays). Engine users of stats.run_report
+    # still get the real array<string>.
+    return report.withColumn("errors", F.to_json("errors"))
 
 
 # ===========================================================================

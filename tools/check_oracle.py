@@ -17,6 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb  # noqa: E402
 
+from pyspark.sql.types import ArrayType, MapType, StructType  # noqa: E402
+
 import __spark_entry__ as entry  # noqa: E402
 from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
 
@@ -69,6 +71,23 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # the DRIVER's canonicalizer sorts result columns through
+            # pandas and dies on list/struct/map cells (unhashable) —
+            # fail the same way here so a non-scalar output column can
+            # never look green locally and red in CORRECTNESS_r{N}.json
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                print(
+                    f"FAIL  {name}: non-scalar output columns {bad} "
+                    "(driver canonicalizer cannot sort list cells — "
+                    "serialize with to_json at the query boundary)"
+                )
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")

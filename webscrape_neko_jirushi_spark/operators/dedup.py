@@ -410,7 +410,12 @@ def connected_components(
     # sum(label) is strictly smaller iff any node changed — one agg
     # scan over the just-checkpointed labels instead of a
     # new-vs-old equi-join per round
-    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    # decimal(38,0) sum: labels are arbitrary int64 ids (xxhash64 ids
+    # elsewhere in the repo), and an int64 SUM over ~2^63-scale labels
+    # overflows (ANSI raise / wrap) — decimal keeps the monotone-sum
+    # convergence proxy sound for any label domain, still one agg scan
+    _lsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_lsum).collect()[0]["s"]
     # max_iter propagation rounds PLUS one verification round: a graph
     # whose final labels settle exactly on round max_iter still needs a
     # zero-change pass to be observed as converged
@@ -424,7 +429,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        new_sum = new_labels.agg(_lsum).collect()[0]["s"]
         labels = new_labels
         if new_sum == prev_sum:
             converged = True

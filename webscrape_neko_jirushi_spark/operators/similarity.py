@@ -96,6 +96,15 @@ def lsh_buckets(
     return embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
 
 
+def _round_half_up_9(x: float) -> float:
+    """Driver-side twin of Spark's ``F.round(col, 9)``: Spark routes
+    doubles through ``BigDecimal.valueOf(x).setScale(9, HALF_UP)``,
+    i.e. HALF_UP on the shortest decimal repr — reproduce exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP))
+
+
 def _probe_buckets(
     query: list[float], planes: list[list[float]], multiprobe_hamming: int
 ) -> list[int]:
@@ -105,8 +114,12 @@ def _probe_buckets(
 
     qbits = 0
     for i, p in enumerate(planes):
-        # same 9-decimal quantization as lsh_bucket_col's sign test
-        if round(sum(a * b for a, b in zip(query, p)), 9) >= 0:
+        # same 9-decimal quantization as lsh_bucket_col's sign test.
+        # Must be HALF_UP to match Spark's F.round (Python round() is
+        # banker's half-to-even): on an exact .5e-9 boundary a banker's
+        # round could put the query in a different bucket than the same
+        # vector gets data-side, silently dropping its bucket-mates.
+        if _round_half_up_9(sum(a * b for a, b in zip(query, p))) >= 0:
             qbits |= 1 << i
     probe = [qbits]
     for h in range(1, multiprobe_hamming + 1):

@@ -84,6 +84,11 @@ def run_report(
                 "first column into the report would corrupt it"
             )
         err = F.col("error").cast("string")
+        # NULL error strings would make the count and the array describe
+        # different row sets (count("*") counts NULL rows, collect_list
+        # drops them, and NULLs sort first so they'd also consume limit
+        # slots) — restrict both aggregates to the same non-null set
+        errors = errors.filter(err.isNotNull())
         cnt = errors.agg(F.count("*").alias("n_errors"))
         top = (
             errors.select(err.alias("_e"))
