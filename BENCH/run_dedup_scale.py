@@ -39,6 +39,7 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from webscrape_neko_jirushi_spark.operators import dedup, similarity  # noqa: E402
+from webscrape_neko_jirushi_spark.operators.index_store import IndexManifest  # noqa: E402
 from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
 from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
     synth_documents,
@@ -80,6 +81,15 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str
             str(idx),
             dim=DIM,
             bits=_ann_index_bits(n_vecs),
+        )
+    elif IndexManifest.load(idx) is None:
+        # index cached by a pre-manifest run: commit the manifest in
+        # place (pure metadata, data files untouched) so the probe leg
+        # measures the manifest path like a fresh build would
+        IndexManifest.commit(
+            idx,
+            "bucket",
+            meta={"dim": DIM, "bits": _ann_index_bits(n_vecs), "seed": 7},
         )
     return str(docs), str(vecs), str(idx)
 
@@ -144,9 +154,9 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
     ]
 
     def ann_probe_indexed():
-        # expected ~FLAT vs corpus size: the bucket test is a partition
-        # filter, so the scan reads only probed directories whose
-        # occupancy the index-bits sizing holds ~constant
+        # expected ~FLAT vs corpus size: probed-bucket files resolve
+        # from one IndexManifest read (no partition-tree listing) and
+        # their occupancy the index-bits sizing holds ~constant
         return similarity.ann_topk_indexed(
             spark, idx_path, query_vec, k=10, bits=_ann_index_bits(n_vecs)
         )
@@ -259,6 +269,17 @@ def main() -> None:
         "`simhash_wide_*` forms above 150k docs (the 60-bit banding's",
         "~8.6-bit band space turns its random-collision candidate set",
         "quadratic past ~10^5 rows — by design it is the small/mid form).",
+        "",
+        "`ann_probe_indexed` is the persisted bucket-partitioned ANN index",
+        "(`similarity.build_ann_index`) probed through its `IndexManifest`",
+        "(`operators/index_store.py`): the probed buckets' parquet files",
+        "resolve from ONE manifest read — O(probed-partitions) metadata,",
+        "no partition-tree listing — and their occupancy is held constant",
+        "by the index-bits sizing, so BOTH the metadata and the data cost",
+        "of a probe are ~flat in corpus size. (Round 3 measured the",
+        "pre-manifest tree probe at 5.8x growth over 100x, all of it",
+        "local-FS directory listing — the manifest is the Iceberg-style",
+        "fix, and the growth column above is its measurement.)",
         "",
     ]
     (REPO / "BENCH" / "DEDUP_SCALE.md").write_text("\n".join(lines))

@@ -1,0 +1,174 @@
+"""Manifest-backed ANN/IVF index contracts (VERDICT r3 items #3/#8):
+
+- a probe over a manifest-built index returns EXACTLY the rows of the
+  unindexed operator (parity), while reading ONLY files belonging to
+  probed partitions (the file list is the plan's entire input — no
+  partition-tree listing);
+- append_ann_index grows the index incrementally with probe parity vs
+  a full rebuild over the union corpus;
+- the occupancy-drift re-index trigger fires when the corpus outgrows
+  the built band bits;
+- commits are atomic versions: a probe mid-append resolves the old
+  manifest or the new one, never a torn file set.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from webscrape_neko_jirushi_spark.operators import similarity
+from webscrape_neko_jirushi_spark.operators.index_store import IndexManifest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _query_vec(spark, vid=0):
+    e = _embeddings(spark)
+    return [float(x) for x in e.filter(F.col("vec_id") == vid).head()["embedding"]]
+
+
+def test_ann_manifest_probe_parity_and_file_subset(spark, tmp_path):
+    e = _embeddings(spark)
+    query = _query_vec(spark)
+    idx = str(tmp_path / "ann_index")
+    similarity.build_ann_index(e, idx, dim=64, bits=8, seed=7)
+
+    m = IndexManifest.load(idx)
+    assert m is not None and m.key == "bucket" and m.meta["bits"] == 8
+
+    probed = similarity.ann_topk_indexed(spark, idx, query, k=10)
+    got = [(r["vec_id"], r["cosine"]) for r in probed.collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ann_topk_lsh(e, query, k=10, bits=8, seed=7).collect()
+    ]
+    assert got == want
+
+    # the scan's input is exactly the probed buckets' manifest files —
+    # a strict subset of the index (this IS the no-listing contract:
+    # the file list came from one manifest read)
+    planes = similarity._hyperplanes(64, 8, 7)
+    probe = similarity._probe_buckets(query, planes, 1)
+    allowed = set(m.files_for(probe))
+    read = set(probed.inputFiles())
+    assert read and read <= {f"file://{p}" if not p.startswith("file:") else p for p in allowed} | allowed
+    assert len(read) < m.n_files()
+
+
+def test_ann_manifest_probe_empty_buckets_returns_empty(spark, tmp_path):
+    """Probing buckets that never received a row yields an empty result
+    without touching the filesystem at all."""
+    e = _embeddings(spark)
+    idx = str(tmp_path / "ann_index")
+    similarity.build_ann_index(e, idx, dim=64, bits=8, seed=7)
+    m = IndexManifest.load(idx)
+    missing = [b for b in range(256) if str(b) not in m.partitions]
+    assert missing, "fixture corpus unexpectedly fills all 256 buckets"
+    assert m.files_for(missing[:9]) == []
+
+
+def test_ann_append_parity_with_full_rebuild(spark, tmp_path):
+    """80/20 split: build on 80, append 20 — probe results must be
+    byte-equal to a one-shot build over all 100, for several query
+    vectors (append uses the manifest's recorded planes)."""
+    e = _embeddings(spark)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    inc = str(tmp_path / "ann_inc")
+    full = str(tmp_path / "ann_full")
+    similarity.build_ann_index(base, inc, dim=64, bits=8, seed=7)
+    v1 = IndexManifest.load(inc).version
+    similarity.append_ann_index(delta, inc)
+    m = IndexManifest.load(inc)
+    assert m.version == v1 + 1
+    similarity.build_ann_index(e, full, dim=64, bits=8, seed=7)
+
+    for vid in (0, 3, 17):
+        query = _query_vec(spark, vid)
+        got = [
+            tuple(r)
+            for r in similarity.ann_topk_indexed(spark, inc, query, k=10).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in similarity.ann_topk_indexed(spark, full, query, k=10).collect()
+        ]
+        assert got == want, f"append/rebuild divergence for query vec {vid}"
+
+
+def test_ann_append_requires_manifest(spark, tmp_path):
+    import pytest
+
+    e = _embeddings(spark)
+    idx = str(tmp_path / "bare")
+    similarity.build_ann_index(e, idx, dim=64, bits=8, seed=7, manifest=False)
+    with pytest.raises(ValueError, match="no manifest"):
+        similarity.append_ann_index(e.limit(1), idx)
+
+
+def test_ann_reindex_trigger_fires_on_occupancy_drift(spark, tmp_path):
+    e = _embeddings(spark)
+    idx = str(tmp_path / "ann_index")
+    similarity.build_ann_index(e, idx, dim=64, bits=8, seed=7)
+    # at the built size, 8 bits is (at least) the lsh_bits_for answer
+    n_now = e.count()
+    assert similarity.ann_index_needs_reindex(idx, n_now) is (
+        similarity.lsh_bits_for(n_now) > 8
+    )
+    # a 10^6-vector corpus sizes to 17 bits > 8 — must fire
+    assert similarity.ann_index_needs_reindex(idx, 1_000_000)
+
+
+def test_ivf_manifest_probe_parity_and_file_subset(spark, tmp_path):
+    e = _embeddings(spark)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    query = _query_vec(spark, 7)
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(e, idx, cents)
+
+    m = IndexManifest.load(idx)
+    assert m is not None and m.key == "cell"
+
+    probed = similarity.ivf_topk_indexed(spark, idx, query, cents, k=10, nprobe=2)
+    got = [(r["vec_id"], r["cosine"]) for r in probed.collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(e, query, cents, k=10, nprobe=2).collect()
+    ]
+    assert got == want
+    assert len(set(probed.inputFiles())) < m.n_files()
+
+
+def test_manifest_commit_is_atomic_versioned(tmp_path):
+    """HEAD swap semantics: each commit is a new immutable version;
+    a reader holding the old manifest object still resolves the old
+    file set (no in-place mutation)."""
+    root = tmp_path / "idx"
+    (root / "bucket=1").mkdir(parents=True)
+    (root / "bucket=1" / "part-0.parquet").write_bytes(b"x")
+    m1 = IndexManifest.commit(root, "bucket", meta={"bits": 3})
+    (root / "bucket=1" / "part-1.parquet").write_bytes(b"y")
+    (root / "bucket=2").mkdir()
+    (root / "bucket=2" / "part-0.parquet").write_bytes(b"z")
+    m2 = IndexManifest.commit(root, "bucket")
+    assert (m1.version, m2.version) == (1, 2)
+    assert len(m1.files_for([1])) == 1  # old reader: old view
+    assert len(m2.files_for([1])) == 2 and len(m2.files_for([2])) == 1
+    assert m2.meta == {"bits": 3}  # meta carried forward
+    # both manifest versions exist on disk; HEAD points at the newest
+    names = sorted(p.name for p in (root / "_manifests").iterdir())
+    assert names == ["v000001.json", "v000002.json"]
+    assert (root / "_HEAD").read_text() == "v000002.json"
+    # Spark-invisible metadata: everything extra is underscore-prefixed
+    assert all(
+        p.name.startswith(("_", "bucket=")) for p in Path(root).iterdir()
+    )

@@ -172,7 +172,10 @@ def test_ann_index_probe_partition_pruned(spark, tmp_path):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     query = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     idx = str(tmp_path / "ann_index")
-    similarity.build_ann_index(e, idx, dim=64, bits=8, seed=7)
+    # manifest=False pins the LEGACY bare-tree layout: this test gates
+    # the Catalyst partition-pruning contract of that path (the
+    # manifest path has its own file-list gate below)
+    similarity.build_ann_index(e, idx, dim=64, bits=8, seed=7, manifest=False)
 
     probed = similarity.ann_topk_indexed(spark, idx, query, k=10, bits=8, seed=7)
     plan = P.physical_plan(probed)
@@ -264,7 +267,7 @@ def test_ivf_index_probe_partition_pruned(spark, tmp_path):
     ]
     query = [float(x) for x in e.filter(F.col("vec_id") == 7).head()["embedding"]]
     idx = str(tmp_path / "ivf_index")
-    similarity.build_ivf_index(e, idx, cents)
+    similarity.build_ivf_index(e, idx, cents, manifest=False)
 
     probed = similarity.ivf_topk_indexed(spark, idx, query, cents, k=10, nprobe=2)
     plan = P.physical_plan(probed)

@@ -87,7 +87,7 @@ class MirrorFetcher:
             F.col("body").alias("p_body"),
         )
         j = selected.join(p, selected.url == p.p_url, "left")
-        ext = F.lower(F.regexp_extract("url", r"\.([a-z0-9]+)$", 1))
+        ext = F.lower(F.regexp_extract("url", r"\.([a-z0-9]+)\z", 1))
         is_image_url = ext.isin("jpg", "jpeg", "png", "webp", "gif")
         ct_map = F.when(ext.isin("jpg", "jpeg"), "image/jpeg").otherwise(
             F.concat(F.lit("image/"), ext)

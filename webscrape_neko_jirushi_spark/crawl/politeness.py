@@ -27,6 +27,7 @@ on ties).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -195,12 +196,33 @@ def robots_allowed_bc(url: Column, host: Column, bc) -> Column:
     @F.pandas_udf(T.BooleanType())
     def _allowed(urls: pd.Series, hosts: pd.Series) -> pd.Series:
         rules = bc.value
-        out = []
-        for u, h in zip(urls, hosts):
+        # vectorized path extraction: everything after the 3rd slash,
+        # "/" when the URL has no path (same result as the scalar
+        # split-count form _rules_allow's callers used previously)
+        paths = "/" + urls.str.split("/", n=3).str[3].fillna("")
+        out = pd.Series(True, index=urls.index)  # no rules -> allowed
+        # group the Arrow batch by host: the remaining loop is over
+        # (hosts-in-batch x rules-per-host), never per row — each
+        # rule's longest-prefix/Allow-wins update is a numpy mask op
+        for h, idx in hosts.groupby(hosts).groups.items():
             host_rules = rules.get(h, ())
-            path = u.split("/", 3)[-1] if u.count("/") >= 3 else ""
-            out.append(_rules_allow("/" + path, host_rules))
-        return pd.Series(out)
+            if not host_rules:
+                continue
+            p = paths.loc[idx]
+            best_len = np.full(len(p), -1)
+            best_allow = np.ones(len(p), dtype=bool)
+            for rule in host_rules:
+                prefix, allowed = (
+                    (rule, False) if isinstance(rule, str) else rule
+                )
+                n = len(prefix)
+                upd = p.str.startswith(prefix).to_numpy() & (
+                    (n > best_len) | ((n == best_len) & allowed)
+                )
+                best_len[upd] = n
+                best_allow[upd] = allowed
+            out.loc[idx] = best_allow
+        return out
 
     return _allowed(url, host)
 

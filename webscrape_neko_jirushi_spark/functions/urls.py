@@ -104,5 +104,5 @@ def content_type_to_ext(content_type: Column) -> Column:
 
 def path_to_ext(url: Column) -> Column:
     """Path-suffix extension with jpg fallback (smart_cat_discovery.py:271-273)."""
-    ext = F.lower(F.regexp_extract(url, r"\.([A-Za-z0-9]+)$", 1))
+    ext = F.lower(F.regexp_extract(url, r"\.([A-Za-z0-9]+)\z", 1))
     return F.when(ext.isin("jpg", "jpeg", "png", "gif"), ext).otherwise("jpg")

@@ -396,14 +396,20 @@ def connected_components(
 
     Returns (id, cluster_id) where cluster_id = min member id.
     """
-    sym = edges.select(
+    # checkpoint the EDGE LIST first and derive everything from it:
+    # the upstream pipeline (typically minhash -> LSH -> jaccard
+    # verify, the expensive part of a clusters query) executes exactly
+    # once. (Round 3 checkpointed labels and sym independently, each
+    # re-running the whole candidate pipeline — measured as ~2x the
+    # candidate cost on the 100x leg of BENCH/DEDUP_SCALE.md.)
+    directed = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint(eager=True)
+    sym = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
     converged = False
     # convergence detection rides the label monotonicity: each node's
     # label is min(self, neighbours) so labels only ever DECREASE, and

@@ -1,0 +1,138 @@
+"""Manifest-pointer layer for partition-keyed parquet indexes
+(SURVEY.md §2.11 X9/X10 scale path; the ``crawl/snapshots.py`` HEAD
+pattern applied to the persisted ANN/IVF indexes).
+
+Why: a ``bucket``-partitioned index probed through Catalyst partition
+pruning still pays an O(total-partitions) *directory listing* before
+pruning — measured as the entire residual 100x probe growth in
+``BENCH/DEDUP_SCALE.md`` (0.42 s -> 2.44 s while data read stayed
+flat). Iceberg fixes this with manifest metadata; this module is that
+fix reduced to its core, sharing the snapshot store's commit protocol:
+
+- data files live where Spark's ``partitionBy`` writes them
+  (``<root>/bucket=5/part-*.parquet``) — the tree stays readable as a
+  plain partitioned table, so legacy tree probes and ad-hoc reads keep
+  working;
+- a manifest (JSON) pins the exact file list per partition value plus
+  the build parameters (dim/bits/seed), under ``_manifests/`` —
+  underscore-prefixed, so Spark's own listing ignores it;
+- ``_HEAD`` is a tiny pointer file swapped with ``os.replace`` (atomic
+  on POSIX): readers only ever see a fully-committed manifest, and a
+  crash mid-append leaves the previous version readable.
+
+A probe then resolves its ~nprobe partitions' files with ONE manifest
+read and hands Spark an explicit file list — zero directory listing,
+O(probed-partitions) metadata instead of O(all-partitions). On a
+cluster this class is swapped for Iceberg table metadata; the
+operators only use ``load``/``commit``/``files_for``, so the swap is a
+constructor change.
+
+Write-side cost: ``commit`` re-enumerates the partition tree once per
+build/append. That is the Iceberg trade — metadata work happens at
+write time, where it amortizes over every future probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+
+class IndexManifest:
+    """One committed manifest version of a partition-keyed index."""
+
+    def __init__(
+        self,
+        root: Path,
+        key: str,
+        meta: dict,
+        partitions: dict[str, list[str]],
+        version: int,
+    ):
+        self.root = Path(root)
+        self.key = key
+        self.meta = meta
+        self.partitions = partitions  # partition value (str) -> relative files
+        self.version = version
+
+    # -- read side ----------------------------------------------------------
+    @staticmethod
+    def load(path: str | Path) -> "IndexManifest | None":
+        """The committed manifest at ``path``, or None if the index was
+        built without one (legacy tree probe applies)."""
+        root = Path(path)
+        head = root / "_HEAD"
+        if not head.exists():
+            return None
+        with open(root / "_manifests" / head.read_text().strip()) as f:
+            m = json.load(f)
+        return IndexManifest(
+            root, m["key"], m.get("meta", {}), m["partitions"], m["version"]
+        )
+
+    def files_for(self, values) -> list[str]:
+        """Absolute data files of the probed partition values — the
+        probe's entire metadata cost. Values absent from the manifest
+        contribute nothing (an empty bucket has no directory at all)."""
+        out: list[str] = []
+        for v in values:
+            for rel in self.partitions.get(str(v), []):
+                out.append(str(self.root / rel))
+        return out
+
+    def n_files(self) -> int:
+        return sum(len(v) for v in self.partitions.values())
+
+    # -- write side ---------------------------------------------------------
+    @staticmethod
+    def commit(path: str | Path, key: str, meta: dict | None = None) -> "IndexManifest":
+        """Snapshot the current partition tree into a new manifest
+        version and atomically swap ``_HEAD`` to it.
+
+        Called once per build/overwrite and once per append — the
+        enumeration walks only this index's tree, at write time. The
+        file set is re-listed from scratch (not diffed), so a commit is
+        always consistent with the tree regardless of how the writer
+        got it there (overwrite, append, compaction).
+        """
+        root = Path(path)
+        partitions: dict[str, list[str]] = {}
+        prefix = f"{key}="
+        for d in sorted(root.iterdir()):
+            if not d.is_dir() or not d.name.startswith(prefix):
+                continue
+            value = d.name[len(prefix):]
+            files = sorted(
+                str(f.relative_to(root))
+                for f in d.iterdir()
+                if f.is_file()
+                and f.suffix == ".parquet"
+                and not f.name.startswith((".", "_"))
+            )
+            if files:
+                partitions[value] = files
+
+        prev = IndexManifest.load(root)
+        version = (prev.version if prev else 0) + 1
+        manifest = {
+            "version": version,
+            "key": key,
+            "meta": meta if meta is not None else (prev.meta if prev else {}),
+            "partitions": partitions,
+        }
+        (root / "_manifests").mkdir(parents=True, exist_ok=True)
+        mname = f"v{version:06d}.json"
+        tmp = root / "_manifests" / (mname + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, root / "_manifests" / mname)
+
+        head_tmp = root / "_HEAD.tmp"
+        head_tmp.write_text(mname)
+        os.replace(head_tmp, root / "_HEAD")  # the atomic commit point
+        return IndexManifest(
+            root, key, manifest["meta"], partitions, version
+        )

@@ -24,7 +24,7 @@ def ordinal_rename(
     (reorganize_dataset.py:100-105)."""
     order_cols = [order_col] if isinstance(order_col, str) else order_col
     w = Window.partitionBy(group_col).orderBy(*order_cols)
-    ext = F.lower(F.regexp_extract("filename", r"(\.[A-Za-z0-9]+)$", 1))
+    ext = F.lower(F.regexp_extract("filename", r"(\.[A-Za-z0-9]+)\z", 1))
     return images.withColumn(
         "new_name",
         F.format_string("image_%03d%s", F.row_number().over(w), ext),

@@ -18,6 +18,9 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .index_store import IndexManifest
 
 
 def _dot(a, b):
@@ -169,17 +172,75 @@ def build_ann_index(
     bits: int = 8,
     seed: int = 7,
     vec_col: str = "embedding",
+    manifest: bool = True,
 ) -> None:
     """Materialize the LSH index as a ``bucket``-partitioned parquet
     table: one directory per bucket (2^bits dirs). Probing then reads
     only the probed directories — at 100 TB with bits=8 and
-    multiprobe_hamming=1, 9/256 of the corpus instead of all of it,
-    enforced by Catalyst partition pruning (plan-gated in
-    test_plans.py). Bucket computation is one scan, write is one job;
-    rebuild on corpus change (the index is derived data)."""
+    multiprobe_hamming=1, 9/256 of the corpus instead of all of it.
+    Bucket computation is one scan, write is one job; append new
+    vectors with ``append_ann_index`` and rebuild when
+    ``ann_index_needs_reindex`` fires (the index is derived data).
+
+    With ``manifest=True`` (default) the build also commits an
+    ``IndexManifest`` pinning per-bucket file lists + the build params
+    (dim/bits/seed): a probe then resolves its files from ONE manifest
+    read instead of listing the whole partition tree — the listing was
+    the entire residual 100x probe growth in ``BENCH/DEDUP_SCALE.md``.
+    ``manifest=False`` keeps the bare partitioned table (probed via
+    Catalyst partition pruning, plan-gated in test_plans.py)."""
     lsh_buckets(embeddings, dim, bits=bits, seed=seed, vec_col=vec_col).write.partitionBy(
         "bucket"
     ).mode("overwrite").parquet(path)
+    if manifest:
+        IndexManifest.commit(
+            path, "bucket", meta={"dim": dim, "bits": bits, "seed": seed}
+        )
+
+
+def append_ann_index(
+    embeddings: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
+    """Incremental index maintenance: bucket only the NEW vectors with
+    the index's recorded (dim, bits, seed) and append their files into
+    the existing bucket partitions, then publish a new manifest
+    version (atomic ``_HEAD`` swap — a concurrent probe sees the old
+    or the new version, never a torn one). Cost is one scan + write of
+    the DELTA only; the manifest re-list is write-time metadata work.
+
+    The build params come from the manifest, not arguments — an append
+    bucketed with different planes would silently corrupt the index.
+    Occupancy drift: appends grow expected bucket occupancy linearly
+    while ``bits`` stays fixed; check ``ann_index_needs_reindex``
+    after large appends and rebuild at the new size when it fires."""
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(
+            f"append_ann_index: no manifest at {path} — build with "
+            "build_ann_index(manifest=True) first (appending to a bare "
+            "tree would leave probes unaware of the new files)"
+        )
+    planes = _hyperplanes(int(m.meta["dim"]), int(m.meta["bits"]), int(m.meta["seed"]))
+    embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes)).write.partitionBy(
+        "bucket"
+    ).mode("append").parquet(path)
+    IndexManifest.commit(path, "bucket", meta=m.meta)
+
+
+def ann_index_needs_reindex(
+    path: str, n_vecs_total: int, target_occupancy: int = 8
+) -> bool:
+    """Re-index trigger for an appended index: the build sized its
+    band bits for the THEN corpus via ``lsh_bits_for``; once the total
+    corpus would size to MORE bits, expected occupancy has drifted
+    >=2x past target and in-bucket probe/pair work grows with n again
+    — rebuild with ``build_ann_index(bits=lsh_bits_for(n_total))``.
+    The caller supplies the total count (it knows its append sizes;
+    counting here would burn a job per check)."""
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(f"ann_index_needs_reindex: no manifest at {path}")
+    return lsh_bits_for(n_vecs_total, target_occupancy) > int(m.meta["bits"])
 
 
 def ann_topk_indexed(
@@ -193,13 +254,37 @@ def ann_topk_indexed(
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k over a persisted ``build_ann_index`` table: the bucket
-    membership test is a PARTITION filter (literal IN-list), so the
-    scan touches only probed bucket directories. Returns the same rows
-    as ``ann_topk_lsh`` over the same corpus (test-proven)."""
+    """ANN top-k over a persisted ``build_ann_index`` table. Returns
+    the same rows as ``ann_topk_lsh`` over the same corpus
+    (test-proven).
+
+    With a manifest (the default build), the probed buckets' files
+    come from ONE manifest read and Spark is handed the explicit file
+    list — O(probed-partitions) metadata, zero directory listing, and
+    (bits, seed) are taken from the manifest so the probe can never
+    use different planes than the build. Without one (legacy tree),
+    the bucket membership test is a PARTITION filter (literal
+    IN-list) and Catalyst prunes to the probed directories after an
+    O(all-partitions) listing."""
+    m = IndexManifest.load(path)
+    if m is not None:
+        bits, seed = int(m.meta["bits"]), int(m.meta["seed"])
     planes = _hyperplanes(len(query), bits, seed)
     probe = _probe_buckets(query, planes, multiprobe_hamming)
-    pruned = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    if m is not None:
+        files = m.files_for(probe)
+        if not files:
+            # every probed bucket is empty: no directory was ever
+            # written for them, so there is nothing to scan at all
+            return spark.createDataFrame(
+                [], T.StructType([
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("cosine", T.DoubleType()),
+                ])
+            )
+        pruned = spark.read.parquet(*files)
+    else:
+        pruned = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
     return (
         pruned.select(
             F.col(id_col),
@@ -362,16 +447,22 @@ def build_ivf_index(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    manifest: bool = True,
 ) -> None:
     """Materialize the IVF assignment as a ``cell``-partitioned parquet
     table — the IVF twin of ``build_ann_index``. Probing reads only the
-    ``nprobe`` probed cell directories via Catalyst partition pruning
-    instead of re-scoring every vector against every centroid per
-    query. One scan + one write; rebuild on corpus or centroid change
-    (the index is derived data)."""
+    ``nprobe`` probed cell directories. One scan + one write; rebuild
+    on corpus or centroid change (the index is derived data).
+
+    ``manifest=True`` (default) commits an ``IndexManifest`` so probes
+    resolve their cell files from one manifest read (no partition-tree
+    listing); ``manifest=False`` leaves a bare partitioned table probed
+    via Catalyst partition pruning."""
     ivf_assign(
         embeddings, centroids, id_col=id_col, vec_col=vec_col
     ).write.partitionBy("cell").mode("overwrite").parquet(path)
+    if manifest:
+        IndexManifest.commit(path, "cell", meta={"n_centroids": len(centroids)})
 
 
 def ivf_topk_indexed(
@@ -385,15 +476,28 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF top-k over a persisted ``build_ivf_index`` table: the probed
-    cells are computed driver-side over the tiny centroid list and the
-    cell membership test is a PARTITION filter (literal IN-list), so
-    the scan touches only the probed cell directories. Returns the
-    same rows as ``ivf_topk`` over the same corpus and centroids
-    (test-proven)."""
+    cells are computed driver-side over the tiny centroid list, and
+    with a manifest (default build) their files come from ONE manifest
+    read — no partition-tree listing; on a bare tree the cell
+    membership test is a PARTITION filter (literal IN-list) pruned by
+    Catalyst. Returns the same rows as ``ivf_topk`` over the same
+    corpus and centroids (test-proven)."""
     probe = _probe_cells(query, centroids, nprobe)
-    pruned = spark.read.parquet(path).filter(
-        F.col("cell").isin([int(p) for p in probe])
-    )
+    m = IndexManifest.load(path)
+    if m is not None:
+        files = m.files_for([int(p) for p in probe])
+        if not files:
+            return spark.createDataFrame(
+                [], T.StructType([
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("cosine", T.DoubleType()),
+                ])
+            )
+        pruned = spark.read.parquet(*files)
+    else:
+        pruned = spark.read.parquet(path).filter(
+            F.col("cell").isin([int(p) for p in probe])
+        )
     return (
         pruned.select(
             F.col(id_col),

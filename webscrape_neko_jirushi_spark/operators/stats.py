@@ -29,7 +29,7 @@ def dataset_stats(images: DataFrame, group_col: str = "doc_id") -> DataFrame:
 
 def per_extension_counts(images: DataFrame) -> DataFrame:
     """A10/A4: images per file extension (reorganize_dataset.py:186-188)."""
-    ext = F.lower(F.regexp_extract("filename", r"\.([A-Za-z0-9]+)$", 1))
+    ext = F.lower(F.regexp_extract("filename", r"\.([A-Za-z0-9]+)\z", 1))
     return images.groupBy(ext.alias("ext")).agg(F.count("*").alias("n"))
 
 

@@ -217,5 +217,5 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .withColumn("ext", F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)))
+        .withColumn("ext", F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)\z", 1)))
     )

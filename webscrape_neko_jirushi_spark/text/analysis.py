@@ -70,7 +70,11 @@ def quality_score(text: Column) -> Column:
     """0-4 indicator sum (the shape of cleanup_dataset.py:75-129's
     cat-indicator scoring, applied to text): length in [50, 5000],
     mean word length in [2, 12], punct ratio < 0.1, stopword ratio in
-    [0.05, 0.6]."""
+    [0.05, 0.6]. NULL text scores NULL (unknown, not 0 — a missing
+    document is not a four-way-failing one); SQL twins must carry an
+    explicit ``CASE WHEN text IS NULL THEN NULL`` guard because a
+    CASE-per-indicator form silently maps NULL to 0 instead
+    (fuzz-tested in test_fuzz_scalar.py)."""
     n = F.length(text)
     tokens = token_count(text)
     mean_wl = F.when(tokens > 0, n / tokens).otherwise(F.lit(0.0))
