@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""One-tier-up headline leg (VERDICT r3 item #5): the most expensive
+DRIVER queries, run through ``__spark_entry__.queries()`` itself,
+against an sf1-shaped table set (10x the sf0.1 documents/embeddings
+row counts, same schema) — sf0.1 caught what sf0.01 hid; this tier
+does the same for sf0.1.
+
+Unlike BENCH/run_dedup_scale.py (which measures the raw operators on
+the synthetic corpus), this leg exercises the exact driver query
+functions with their own parameter choices, so a parameterization that
+only breaks one tier above the graded scale (band-space saturation, a
+collected driver-side structure, a plan flip) shows up here first.
+
+The sf1 tables are deterministic synthetics (sources/synth_corpus.py)
+projected to the sf schema: documents(doc_id, text, lang, source,
+n_chars), embeddings(vec_id, embedding float[64], label) — no external
+data. Both tiers run in ONE session, sf0.1 first, so per-query growth
+is measured under identical JVM/codegen warmth.
+
+Usage:  SPARK_GRAFT_CPUS=32 python BENCH/run_sf1.py
+Env:    SF1_DIR (default /tmp/sf1_tables) generated-table cache
+Writes BENCH/SF1.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
+from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
+    synth_documents,
+    synth_embeddings,
+)
+
+SF01 = "/root/testdata/sf0.1"
+N_DOCS, N_VECS = 50_000, 20_000  # 10x the sf0.1 row counts
+QUERIES = [
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dups",
+    "embedding_near_dup_pairs",
+    "near_dup_clusters",
+]
+
+
+def _sf1_tables(spark, root: Path) -> str:
+    docs = root / "documents.parquet"
+    vecs = root / "embeddings.parquet"
+    if not (docs / "_SUCCESS").exists():
+        d = synth_documents(spark, N_DOCS, partitions=32)
+        d.select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("synth").alias("source"),
+            F.length("text").alias("n_chars"),
+        ).write.mode("overwrite").parquet(str(docs))
+    if not (vecs / "_SUCCESS").exists():
+        e = synth_embeddings(spark, N_VECS, dim=64, partitions=16)
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("float")).alias("embedding"),
+            (F.col("vec_id") % 10).cast("int").alias("label"),
+        ).write.mode("overwrite").parquet(str(vecs))
+    return str(root)
+
+
+def main() -> None:
+    root = Path(os.environ.get("SF1_DIR", "/tmp/sf1_tables"))
+    root.mkdir(parents=True, exist_ok=True)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("sf1-leg", shuffle_partitions=64)
+    qs = entry.queries()
+    sf1_dir = _sf1_tables(spark, root)
+
+    # untimed warmup (sf0.01) for JVM/codegen/parquet-reader state
+    for name in QUERIES:
+        qs[name](spark, "/root/testdata/sf0.01").count()
+
+    results: dict[str, dict[str, dict[str, float]]] = {"sf0.1": {}, "sf1": {}}
+    for tier, sf_dir in (("sf0.1", SF01), ("sf1", sf1_dir)):
+        for name in QUERIES:
+            t0 = time.monotonic()
+            rows = qs[name](spark, sf_dir).count()
+            dt = time.monotonic() - t0
+            results[tier][name] = {"sec": round(dt, 3), "rows": rows}
+            print(f"[{tier}] {name}: {dt:.2f}s, {rows} rows", file=sys.stderr)
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        "# BENCH/SF1.md — one-tier-up headline leg (10x sf0.1)",
+        "",
+        f"Generated {stamp} by `SPARK_GRAFT_CPUS={cpus} python BENCH/run_sf1.py`",
+        f"(local[{cpus}], 64 shuffle partitions, one session, sf0.01 warmup).",
+        "",
+        f"sf1 tables: deterministic synthetics at 10x sf0.1 row counts —",
+        f"documents {N_DOCS:,} rows (sf0.1: 5,000), embeddings {N_VECS:,}",
+        "rows / dim 64 (sf0.1: 2,000) — run through the DRIVER query",
+        "functions (`__spark_entry__.queries()`), not raw operators, so",
+        "driver-side parameter choices are measured at the bigger tier.",
+        "",
+        "| query | sf0.1 sec (rows) | sf1 sec (rows) | growth | flag (>2x size ratio = 20x) |",
+        "|---|---|---|---|---|",
+    ]
+    growths: dict[str, float] = {}
+    flagged = []
+    for name in QUERIES:
+        a, b = results["sf0.1"][name], results["sf1"][name]
+        g = b["sec"] / max(a["sec"], 1e-9)
+        growths[name] = round(g, 2)
+        flag = "**EXCEEDS**" if g > 20 else "ok"
+        if g > 20:
+            flagged.append(name)
+        lines.append(
+            f"| {name} | {a['sec']} ({a['rows']:,}) | {b['sec']} ({b['rows']:,}) "
+            f"| {g:.1f}x | {flag} |"
+        )
+    lines += [
+        "",
+        "Growth <= the 10x size ratio is linear scaling; the gate is 2x",
+        "the size ratio (20x) — anything above it indicates a plan or",
+        "parameterization that degrades one tier above the graded scale.",
+        "",
+        "Honesty caveat: the sf1 synthetics do NOT replicate the sf0.1",
+        "text distribution (the driver-generated sf tables carry heavy",
+        "TPC-H-comment self-similarity — visible in the simhash pair",
+        "counts), so the growth column is a PLAN-ROBUSTNESS indicator at",
+        "10x the row count, not a strict same-distribution throughput",
+        "ratio; the same-distribution growth measurement is",
+        "BENCH/DEDUP_SCALE.md (1x/10x/100x on one generator).",
+        "",
+    ]
+    (REPO / "BENCH" / "SF1.md").write_text("\n".join(lines))
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_headline_growth",
+                "size_ratio": 10,
+                "growth": growths,
+                "flagged": flagged,
+                "results": results,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,6 +148,53 @@ def test_ivf_manifest_probe_parity_and_file_subset(spark, tmp_path):
     assert len(set(probed.inputFiles())) < m.n_files()
 
 
+def test_ivf_append_parity_with_full_rebuild(spark, tmp_path):
+    """IVF twin of the ANN append test: assignment uses the manifest's
+    PINNED centroids, so an append can never shift cell boundaries."""
+    e = _embeddings(spark)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    similarity.build_ivf_index(base, inc, cents)
+    similarity.append_ivf_index(delta, inc)
+    similarity.build_ivf_index(e, full, cents)
+    for vid in (7, 11):
+        query = _query_vec(spark, vid)
+        got = [
+            tuple(r)
+            for r in similarity.ivf_topk_indexed(
+                spark, inc, query, cents, k=10, nprobe=2
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in similarity.ivf_topk_indexed(
+                spark, full, query, cents, k=10, nprobe=2
+            ).collect()
+        ]
+        assert got == want, f"IVF append/rebuild divergence for query vec {vid}"
+
+
+def test_manifest_expire_versions(tmp_path):
+    root = tmp_path / "idx"
+    (root / "bucket=1").mkdir(parents=True)
+    (root / "bucket=1" / "part-0.parquet").write_bytes(b"x")
+    for _ in range(4):
+        IndexManifest.commit(root, "bucket")
+    assert IndexManifest.expire_versions(root, keep_last=2) == 2
+    names = sorted(p.name for p in (root / "_manifests").iterdir())
+    assert names == ["v000003.json", "v000004.json"]
+    # HEAD still resolves, and keep_last clamps to >= 1
+    assert IndexManifest.load(root).version == 4
+    assert IndexManifest.expire_versions(root, keep_last=0) == 1
+    assert IndexManifest.load(root).version == 4
+
+
 def test_manifest_commit_is_atomic_versioned(tmp_path):
     """HEAD swap semantics: each commit is a new immutable version;
     a reader holding the old manifest object still resolves the old

@@ -136,3 +136,18 @@ class IndexManifest:
         return IndexManifest(
             root, key, manifest["meta"], partitions, version
         )
+
+    @staticmethod
+    def expire_versions(path: str | Path, keep_last: int) -> int:
+        """Metadata GC, the index twin of ``snapshots.expire_snapshots``:
+        drop manifest versions older than the newest ``keep_last``.
+        HEAD is never touched — the committed version always survives
+        (``keep_last`` is clamped to >= 1). Data files are shared
+        across versions (appends only ever add), so expiring a
+        manifest never orphans data a newer version still points to."""
+        root = Path(path)
+        manifests = sorted((root / "_manifests").glob("v*.json"))
+        to_drop = manifests[: -max(keep_last, 1)]
+        for p in to_drop:
+            p.unlink()
+        return len(to_drop)

@@ -462,7 +462,35 @@ def build_ivf_index(
         embeddings, centroids, id_col=id_col, vec_col=vec_col
     ).write.partitionBy("cell").mode("overwrite").parquet(path)
     if manifest:
-        IndexManifest.commit(path, "cell", meta={"n_centroids": len(centroids)})
+        # centroids pinned in the manifest (tiny: C x dim floats) so
+        # appends can never assign with different cells than the build
+        IndexManifest.commit(
+            path,
+            "cell",
+            meta={"centroids": [[float(x) for x in c] for c in centroids]},
+        )
+
+
+def append_ivf_index(
+    embeddings: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Incremental IVF maintenance, the cell twin of
+    ``append_ann_index``: assign only the NEW vectors against the
+    manifest's pinned centroids, append their files into the existing
+    cell partitions, publish a new manifest version atomically.
+    Centroids are derived data too — when the corpus drifts enough
+    that assignments would change materially, rebuild with fresh
+    centroids (an IVF re-cluster is a full rebuild by definition)."""
+    m = IndexManifest.load(path)
+    if m is None or "centroids" not in m.meta:
+        raise ValueError(
+            f"append_ivf_index: no centroid-bearing manifest at {path} — "
+            "build with build_ivf_index(manifest=True) first"
+        )
+    ivf_assign(
+        embeddings, m.meta["centroids"], id_col=id_col, vec_col=vec_col
+    ).write.partitionBy("cell").mode("append").parquet(path)
+    IndexManifest.commit(path, "cell", meta=m.meta)
 
 
 def ivf_topk_indexed(
@@ -482,8 +510,12 @@ def ivf_topk_indexed(
     membership test is a PARTITION filter (literal IN-list) pruned by
     Catalyst. Returns the same rows as ``ivf_topk`` over the same
     corpus and centroids (test-proven)."""
-    probe = _probe_cells(query, centroids, nprobe)
     m = IndexManifest.load(path)
+    if m is not None and "centroids" in m.meta:
+        # the manifest's pinned centroids are the ones the data was
+        # assigned with — probing with anything else reads wrong cells
+        centroids = m.meta["centroids"]
+    probe = _probe_cells(query, centroids, nprobe)
     if m is not None:
         files = m.files_for([int(p) for p in probe])
         if not files:
