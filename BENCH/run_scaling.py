@@ -21,6 +21,25 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+def wait_for_idle(threshold: float = 1.5, timeout_s: int = 1800) -> float:
+    """Block until 1-min loadavg drops below ``threshold`` (or timeout).
+
+    BOTH legs must start matched-idle: an ambient-load wave hitting one
+    leg skews the efficiency ratio directly (the r4 first attempt
+    measured 0.772 purely because external load landed on the second
+    leg — each leg was individually FASTER than its r3 counterpart).
+    """
+    import time
+
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_s:
+        load = float(Path("/proc/loadavg").read_text().split()[0])
+        if load < threshold:
+            return load
+        time.sleep(20)
+    return load  # proceed anyway; the report records the wait gave up
+
+
 def run_once(cpus: int, n_pages: int) -> dict:
     env = dict(
         os.environ,
@@ -38,8 +57,12 @@ def run_once(cpus: int, n_pages: int) -> dict:
         capture_output=True,
         text=True,
         timeout=3600,
-        check=True,
     )
+    if out.returncode != 0:
+        # surface the subprocess failure — a bare CalledProcessError
+        # hides the actual Spark/Python traceback
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench.py (local[{cpus}]) exited {out.returncode}")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -50,6 +73,8 @@ def main() -> None:
     n_hi = 4 * n_lo
     results = {}
     for cpus in (n_lo, n_hi):
+        load = wait_for_idle()
+        print(f"starting local[{cpus}] leg at loadavg {load:.2f}")
         r = run_once(cpus, n_pages)
         results[cpus] = r
         print(f"local[{cpus}]: {r['extra']}")
