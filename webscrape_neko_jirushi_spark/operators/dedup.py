@@ -269,8 +269,33 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard: explode distinct shingles, self-join on
     shingle, |A∩B| per pair, |A|+|B| from per-doc counts. ``candidates``
     (from LSH) bounds the pair space at scale."""
+    base = df
+    if candidates is not None:
+        # push the candidate restriction below the EXPLODE: only docs
+        # appearing in some candidate pair can survive the verify
+        # equi-joins (and their n_sh is only consumed for candidate
+        # pairs), so semi-joining the BASE table to the candidate id
+        # set first shrinks the shingle explode+distinct — the family's
+        # biggest shuffle, ~shingles-per-doc rows per doc — to the
+        # candidate docs (~the duplicate density fraction of the
+        # corpus). Exactness is untouched: per-doc shingle SETS are
+        # intact for every retained doc, absent docs contribute nothing.
+        # broadcast hint: the id set is 8 bytes/id (fits executor
+        # memory up to ~10^8-10^9 candidate docs — far beyond any
+        # corpus whose verify stage is tractable at all), and without
+        # it Catalyst sort-merge-joins the semi — i.e. shuffles the
+        # full base table WITH text by id, which is the exact shuffle
+        # this restriction exists to avoid (AQE does not convert here:
+        # the build side hides behind an explode+distinct stage whose
+        # size estimate never updates the join strategy in time).
+        cand_ids = F.broadcast(
+            candidates.select(
+                F.explode(F.array("id_a", "id_b")).alias(id_col)
+            ).distinct()
+        )
+        base = df.join(cand_ids, id_col, "left_semi")
     ex = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        base.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
         .distinct()
     )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
