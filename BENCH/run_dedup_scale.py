@@ -113,7 +113,12 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
     def ngram_jaccard():
         sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
         cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
-        return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 5, 0.5, cands)
+        # restrict_candidates: this corpus has realistic (10%) dup
+        # density, the regime the below-explode restriction targets —
+        # see ngram_jaccard_pairs' docstring for the measured trade
+        return dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 5, 0.5, cands, restrict_candidates=True
+        )
 
     def simhash_pairs():
         # 60-bit signature: 7 bands of ~8.6 bits — random band
@@ -130,7 +135,9 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
     def near_dup_clusters():
         sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
         cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
-        pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 5, 0.5, cands)
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 5, 0.5, cands, restrict_candidates=True
+        )
         return dedup.connected_components(pairs)
 
     def embedding_near_dups():

@@ -265,21 +265,34 @@ def ngram_jaccard_pairs(
     k: int = 5,
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
+    restrict_candidates: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard: explode distinct shingles, self-join on
     shingle, |A∩B| per pair, |A|+|B| from per-doc counts. ``candidates``
-    (from LSH) bounds the pair space at scale."""
+    (from LSH) bounds the pair space at scale.
+
+    ``restrict_candidates=True`` additionally semi-joins the BASE table
+    to the candidate id set BELOW the explode, shrinking the shingle
+    explode+distinct — the family's largest shuffle — to the candidate
+    docs (exactness untouched: per-doc shingle SETS stay intact for
+    every retained doc, absent docs cannot survive the verify
+    equi-joins anyway). Measured on the 100x scale corpus: 21.6M ->
+    3.5M rows into the distinct (16.4% of docs are candidates), 100x
+    time growth 13.6x -> 8.2x. The trade: the candidate pairs must be
+    materialized first (one localCheckpoint, or the candidate pipeline
+    would execute twice for its two consumers), which SERIALIZES the
+    candidate stage against the shingle stage — an under-utilized
+    local cluster runs those independent stages CONCURRENTLY in the
+    lazy single-DAG form, so on dense corpora (candidate fraction near
+    1, e.g. the sf-table driver corpus with a planted dup per doc) the
+    restriction measures ~40% slower while doing no extra work. Enable
+    it when candidate density is low — the web-scale norm, where total
+    work shrinks by the candidate-doc fraction and a saturated cluster
+    gains nothing from stage concurrency; leave it off for dense or
+    interactively-sized corpora."""
     base = df
-    if candidates is not None:
-        # push the candidate restriction below the EXPLODE: only docs
-        # appearing in some candidate pair can survive the verify
-        # equi-joins (and their n_sh is only consumed for candidate
-        # pairs), so semi-joining the BASE table to the candidate id
-        # set first shrinks the shingle explode+distinct — the family's
-        # biggest shuffle, ~shingles-per-doc rows per doc — to the
-        # candidate docs (~the duplicate density fraction of the
-        # corpus). Exactness is untouched: per-doc shingle SETS are
-        # intact for every retained doc, absent docs contribute nothing.
+    if candidates is not None and restrict_candidates:
+        candidates = candidates.select("id_a", "id_b").localCheckpoint(eager=True)
         # broadcast hint: the id set is 8 bytes/id (fits executor
         # memory up to ~10^8-10^9 candidate docs — far beyond any
         # corpus whose verify stage is tractable at all), and without
