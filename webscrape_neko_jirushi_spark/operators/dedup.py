@@ -265,7 +265,8 @@ def ngram_jaccard_pairs(
     k: int = 5,
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
-    restrict_candidates: bool = False,
+    restrict_candidates: bool | None = None,
+    auto_threshold: int = 100_000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard: explode distinct shingles, self-join on
     shingle, |A∩B| per pair, |A|+|B| from per-doc counts. ``candidates``
@@ -289,8 +290,20 @@ def ngram_jaccard_pairs(
     it when candidate density is low — the web-scale norm, where total
     work shrinks by the candidate-doc fraction and a saturated cluster
     gains nothing from stage concurrency; leave it off for dense or
-    interactively-sized corpora."""
+    interactively-sized corpora.
+
+    Default ``None`` AUTO-SELECTS with the same LIMIT-bounded probe as
+    ``reorganize.renumber_groups``: above ``auto_threshold`` base rows
+    (where the distinct's shuffle dwarfs any concurrency effect and
+    corpora are past interactive size) the restriction turns on; below
+    it the lazy single-DAG form wins. The probe is one column-pruned
+    count job over the base plan — callers whose base is an expensive
+    DAG should pass the flag explicitly."""
     base = df
+    if candidates is not None and restrict_candidates is None:
+        restrict_candidates = (
+            df.select(id_col).limit(auto_threshold + 1).count() > auto_threshold
+        )
     if candidates is not None and restrict_candidates:
         candidates = candidates.select("id_a", "id_b").localCheckpoint(eager=True)
         # broadcast hint: the id set is 8 bytes/id (fits executor
