@@ -283,3 +283,25 @@ def test_ivf_index_probe_partition_pruned(spark, tmp_path):
     # nprobe=2 of 4 cells: the scan's partition list is a strict subset
     n_cells = spark.read.parquet(idx).select("cell").distinct().count()
     assert n_cells > 2
+
+
+def test_ngram_restricted_semi_join_is_broadcast(spark):
+    """The restrict_candidates semi-join must plan as a broadcast
+    LeftSemi below the shingle explode — a sort-merge semi would
+    shuffle the full text-bearing base table by id, the exact shuffle
+    the restriction exists to avoid (AQE never converts it because the
+    build side hides behind an explode+distinct stage)."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+    q = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", 5, 0.5, cands, restrict_candidates=True
+    )
+    plan = P.physical_plan(q)
+    lines = plan.splitlines()
+    assert any("BroadcastHashJoin" in l and "LeftSemi" in l for l in lines)
+    assert not any(
+        "SortMergeJoin" in l and "LeftSemi" in l for l in lines
+    ), [l for l in lines if "LeftSemi" in l]

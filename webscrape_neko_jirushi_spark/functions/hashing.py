@@ -22,6 +22,12 @@ def portable_hash64(col: Column, salt: str = "") -> Column:
 
 
 def portable_hash64_sql(expr: str, salt: str = "") -> str:
-    """The matching DuckDB SQL fragment for ``portable_hash64``."""
+    """The matching DuckDB SQL fragment for ``portable_hash64``.
+
+    NULL caveat: DuckDB's CONCAT skips NULL arguments, so on NULL
+    input this fragment yields CAST('0x' AS BIGINT) — a conversion
+    ERROR — while the Spark side NULL-propagates to NULL. Wrap in
+    ``CASE WHEN <expr> IS NULL THEN NULL ELSE ... END`` when the
+    column is nullable (fuzz-tested in test_fuzz_scalar.py)."""
     salted = f"CONCAT('{salt}', {expr})" if salt else expr
     return f"CAST(CONCAT('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
