@@ -95,6 +95,15 @@ class IndexManifest:
         file set is re-listed from scratch (not diffed), so a commit is
         always consistent with the tree regardless of how the writer
         got it there (overwrite, append, compaction).
+
+        Single-writer assumption (same as the snapshot store): readers
+        are always safe (HEAD swap is atomic and every manifest is a
+        full tree snapshot at its list time), but two RACING commits
+        can allocate the same version number and last-HEAD-swap wins —
+        the loser's manifest file is overwritten, though no data file
+        is ever lost (the winner's re-list saw both writers' files if
+        their data writes had landed). Serialize writers externally;
+        real Iceberg adds optimistic-locking commits for this.
         """
         root = Path(path)
         partitions: dict[str, list[str]] = {}
