@@ -219,3 +219,44 @@ def test_manifest_commit_is_atomic_versioned(tmp_path):
     assert all(
         p.name.startswith(("_", "bucket=")) for p in Path(root).iterdir()
     )
+
+
+def test_probe_rejects_wrong_index_kind(spark, tmp_path):
+    """Probing an ANN index with the IVF operator (or vice versa) must
+    fail loudly — silently mapping cell ids onto bucket directories
+    would return a confidently wrong top-k."""
+    import pytest
+
+    e = _embeddings(spark)
+    ann = str(tmp_path / "ann")
+    similarity.build_ann_index(e, ann, dim=64, bits=8, seed=7)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    q = _query_vec(spark)
+    with pytest.raises(ValueError, match="not a 'cell' index"):
+        similarity.ivf_topk_indexed(spark, ann, q, cents, k=5, nprobe=1)
+    ivf = str(tmp_path / "ivf")
+    similarity.build_ivf_index(e, ivf, cents)
+    with pytest.raises(ValueError, match="not a 'bucket' index"):
+        similarity.ann_topk_indexed(spark, ivf, q, k=5)
+    with pytest.raises(ValueError, match="not a 'bucket' index"):
+        similarity.append_ann_index(e.limit(1), ivf)
+
+
+def test_manifest_rejects_remote_uris(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="local path"):
+        IndexManifest.load("s3a://bucket/index")
+    with pytest.raises(ValueError, match="local path"):
+        IndexManifest.commit("hdfs://nn/index", "bucket")
+    # file: URIs normalize to the local path instead of resolving
+    # cwd-relative
+    root = tmp_path / "f"
+    (root / "bucket=0").mkdir(parents=True)
+    (root / "bucket=0" / "part-0.parquet").write_bytes(b"x")
+    m = IndexManifest.commit(f"file://{root}", "bucket")
+    assert m.n_files() == 1
+    assert IndexManifest.load(str(root)).version == 1

@@ -9,8 +9,11 @@ This gate makes that class of bug impossible to reintroduce: any
 composite value must be serialized (``F.to_json``) at the query
 boundary, on both the Spark and the oracle side.
 
-Schema-only: the DataFrames are built (analysis phase) but never
-executed, so the whole sweep is seconds, not minutes.
+Near-schema-only: the sweep never executes the result DataFrames, but
+building a few of them is not free — operators with an auto-select
+size probe (ngram_jaccard_pairs' LIMIT-bounded count, renumber_groups'
+gate) run one small bounded job at construction time. Still seconds at
+sf0.001, not minutes.
 """
 
 from __future__ import annotations

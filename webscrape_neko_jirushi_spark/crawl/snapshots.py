@@ -112,8 +112,19 @@ class SnapshotStore:
         os.replace(tmp, self.root / "manifests" / mname)
 
         head_tmp = self.root / "HEAD.tmp"
-        head_tmp.write_text(mname)
+        # fsync the pointer AND the directory: replace alone survives
+        # process crashes but a power failure can persist the rename
+        # with empty content (or drop the rename) without these syncs
+        with open(head_tmp, "w") as f:
+            f.write(mname)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(head_tmp, self.root / "HEAD")  # the atomic commit point
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return version
 
     def compact(self, table: str, schema: T.StructType, epoch: int) -> None:

@@ -309,8 +309,11 @@ def ngram_jaccard_pairs(
     (where the distinct's shuffle dwarfs any concurrency effect and
     corpora are past interactive size) the restriction turns on; below
     it the lazy single-DAG form wins. The probe is one column-pruned
-    count job over the base plan — callers whose base is an expensive
-    DAG should pass the flag explicitly."""
+    count job over the base plan AT CONSTRUCTION TIME — plan-only
+    consumers pay it too, and above the threshold the restriction's
+    localCheckpoint additionally materializes the candidate pipeline
+    when the DataFrame is built. Callers whose base is an expensive
+    DAG, or who only want the plan, should pass the flag explicitly."""
     base = df
     if candidates is not None and restrict_candidates is None:
         restrict_candidates = (

@@ -58,10 +58,31 @@ class IndexManifest:
 
     # -- read side ----------------------------------------------------------
     @staticmethod
+    def _local_root(path: str | Path) -> Path:
+        """Normalize to a local filesystem Path, loudly rejecting
+        remote URIs: this class walks the tree with pathlib, so an
+        hdfs:// or s3a:// index would silently resolve to a relative
+        local path (and a ``file:`` URI to a cwd-relative one) —
+        failing AFTER the expensive index write. On a cluster this
+        layer is swapped for Iceberg metadata; here the contract is
+        local-path-only and enforced up front."""
+        s = str(path)
+        if s.startswith("file://"):
+            s = s[len("file://"):]
+        elif s.startswith("file:"):
+            s = s[len("file:"):]
+        if "://" in s:
+            raise ValueError(
+                f"IndexManifest requires a local path, got URI {path!r} — "
+                "use Iceberg table metadata for remote filesystems"
+            )
+        return Path(s)
+
+    @staticmethod
     def load(path: str | Path) -> "IndexManifest | None":
         """The committed manifest at ``path``, or None if the index was
         built without one (legacy tree probe applies)."""
-        root = Path(path)
+        root = IndexManifest._local_root(path)
         head = root / "_HEAD"
         if not head.exists():
             return None
@@ -96,6 +117,8 @@ class IndexManifest:
         always consistent with the tree regardless of how the writer
         got it there (overwrite, append, compaction).
 
+        Local paths only (see ``_local_root``).
+
         Single-writer assumption (same as the snapshot store): readers
         are always safe (HEAD swap is atomic and every manifest is a
         full tree snapshot at its list time), but two RACING commits
@@ -105,7 +128,7 @@ class IndexManifest:
         their data writes had landed). Serialize writers externally;
         real Iceberg adds optimistic-locking commits for this.
         """
-        root = Path(path)
+        root = IndexManifest._local_root(path)
         partitions: dict[str, list[str]] = {}
         prefix = f"{key}="
         for d in sorted(root.iterdir()):
@@ -140,8 +163,20 @@ class IndexManifest:
         os.replace(tmp, root / "_manifests" / mname)
 
         head_tmp = root / "_HEAD.tmp"
-        head_tmp.write_text(mname)
+        # fsync the pointer content AND the directory: os.replace alone
+        # is atomic against process crashes, but on a power failure
+        # ext4/xfs may persist the rename with empty content unless the
+        # file is synced first (and the rename itself unless the dir is)
+        with open(head_tmp, "w") as f:
+            f.write(mname)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(head_tmp, root / "_HEAD")  # the atomic commit point
+        dfd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return IndexManifest(
             root, key, manifest["meta"], partitions, version
         )
@@ -154,7 +189,7 @@ class IndexManifest:
         (``keep_last`` is clamped to >= 1). Data files are shared
         across versions (appends only ever add), so expiring a
         manifest never orphans data a newer version still points to."""
-        root = Path(path)
+        root = IndexManifest._local_root(path)
         manifests = sorted((root / "_manifests").glob("v*.json"))
         to_drop = manifests[: -max(keep_last, 1)]
         for p in to_drop:

@@ -213,7 +213,7 @@ def append_ann_index(
     Occupancy drift: appends grow expected bucket occupancy linearly
     while ``bits`` stays fixed; check ``ann_index_needs_reindex``
     after large appends and rebuild at the new size when it fires."""
-    m = IndexManifest.load(path)
+    m = _checked_manifest(path, "bucket", ["bits", "seed", "dim"])
     if m is None:
         raise ValueError(
             f"append_ann_index: no manifest at {path} — build with "
@@ -237,10 +237,49 @@ def ann_index_needs_reindex(
     — rebuild with ``build_ann_index(bits=lsh_bits_for(n_total))``.
     The caller supplies the total count (it knows its append sizes;
     counting here would burn a job per check)."""
-    m = IndexManifest.load(path)
+    m = _checked_manifest(path, "bucket", ["bits"])
     if m is None:
         raise ValueError(f"ann_index_needs_reindex: no manifest at {path}")
     return lsh_bits_for(n_vecs_total, target_occupancy) > int(m.meta["bits"])
+
+
+def _checked_manifest(path: str, expected_key: str, required_meta: list[str]):
+    """Load and VALIDATE the index manifest: probing an ANN index with
+    the IVF operator (or vice versa) would silently map probe values
+    onto the wrong partition kind and return a confidently wrong
+    top-k — fail loudly instead, like the pre-manifest column-mismatch
+    AnalysisException did."""
+    m = IndexManifest.load(path)
+    if m is None:
+        return None
+    missing = [k for k in required_meta if k not in m.meta]
+    if m.key != expected_key or missing:
+        raise ValueError(
+            f"index at {path} is not a {expected_key!r} index "
+            f"(manifest key={m.key!r}, missing meta {missing}) — probe it "
+            "with the operator matching its build"
+        )
+    return m
+
+
+def _empty_probe_result(spark, m, id_col: str):
+    """Empty top-k with the id type taken from the INDEX's own parquet
+    footer — a hardcoded long would diverge from non-empty probes on
+    string/int32-id indexes and break unionByName across queries."""
+    for files in m.partitions.values():
+        if files:
+            id_type = (
+                spark.read.parquet(str(m.root / files[0])).schema[id_col].dataType
+            )
+            break
+    else:  # index with no data files at all: type unknowable
+        id_type = T.LongType()
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField(id_col, id_type), T.StructField("cosine", T.DoubleType())]
+        ),
+    )
 
 
 def ann_topk_indexed(
@@ -266,7 +305,7 @@ def ann_topk_indexed(
     the bucket membership test is a PARTITION filter (literal
     IN-list) and Catalyst prunes to the probed directories after an
     O(all-partitions) listing."""
-    m = IndexManifest.load(path)
+    m = _checked_manifest(path, "bucket", ["bits", "seed", "dim"])
     if m is not None:
         bits, seed = int(m.meta["bits"]), int(m.meta["seed"])
     planes = _hyperplanes(len(query), bits, seed)
@@ -276,12 +315,7 @@ def ann_topk_indexed(
         if not files:
             # every probed bucket is empty: no directory was ever
             # written for them, so there is nothing to scan at all
-            return spark.createDataFrame(
-                [], T.StructType([
-                    T.StructField(id_col, T.LongType()),
-                    T.StructField("cosine", T.DoubleType()),
-                ])
-            )
+            return _empty_probe_result(spark, m, id_col)
         pruned = spark.read.parquet(*files)
     else:
         pruned = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
@@ -481,8 +515,8 @@ def append_ivf_index(
     Centroids are derived data too — when the corpus drifts enough
     that assignments would change materially, rebuild with fresh
     centroids (an IVF re-cluster is a full rebuild by definition)."""
-    m = IndexManifest.load(path)
-    if m is None or "centroids" not in m.meta:
+    m = _checked_manifest(path, "cell", ["centroids"])
+    if m is None:
         raise ValueError(
             f"append_ivf_index: no centroid-bearing manifest at {path} — "
             "build with build_ivf_index(manifest=True) first"
@@ -510,8 +544,8 @@ def ivf_topk_indexed(
     membership test is a PARTITION filter (literal IN-list) pruned by
     Catalyst. Returns the same rows as ``ivf_topk`` over the same
     corpus and centroids (test-proven)."""
-    m = IndexManifest.load(path)
-    if m is not None and "centroids" in m.meta:
+    m = _checked_manifest(path, "cell", ["centroids"])
+    if m is not None:
         # the manifest's pinned centroids are the ones the data was
         # assigned with — probing with anything else reads wrong cells
         centroids = m.meta["centroids"]
@@ -519,12 +553,7 @@ def ivf_topk_indexed(
     if m is not None:
         files = m.files_for([int(p) for p in probe])
         if not files:
-            return spark.createDataFrame(
-                [], T.StructType([
-                    T.StructField(id_col, T.LongType()),
-                    T.StructField("cosine", T.DoubleType()),
-                ])
-            )
+            return _empty_probe_result(spark, m, id_col)
         pruned = spark.read.parquet(*files)
     else:
         pruned = spark.read.parquet(path).filter(
