@@ -75,34 +75,23 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str
         synth_embeddings(
             spark, n_vecs, dim=DIM, partitions=max(8, n_vecs // 25_000)
         ).write.mode("overwrite").parquet(str(vecs))
-    if not (idx / "_SUCCESS").exists():
+    if not (idx / "_SUCCESS").exists() or IndexManifest.load(idx) is None:
+        # missing OR pre-manifest cache: rebuild from the vectors. The
+        # index is derived data and a rebuild is correct by construction
+        # — r4 tried to INFER the cached build's bits from the max
+        # bucket value instead, which underestimates whenever no bucket
+        # has the top bit set and then raises on a perfectly valid
+        # cache (ADVICE r4); the manifest now pins bits at build time
+        # so the question never arises again.
+        import shutil
+
+        if idx.exists():
+            shutil.rmtree(idx)
         similarity.build_ann_index(
             spark.read.parquet(str(vecs)),
             str(idx),
             dim=DIM,
             bits=_ann_index_bits(n_vecs),
-        )
-    elif IndexManifest.load(idx) is None:
-        # index cached by a pre-manifest run: commit the manifest in
-        # place (pure metadata, data files untouched) so the probe leg
-        # measures the manifest path like a fresh build would. bits is
-        # DERIVED from the cached tree (max observed bucket value),
-        # not re-guessed from today's sizing formula — a formula change
-        # between rounds would otherwise bucket probes with different
-        # planes than the data and silently measure wrong-result probes
-        observed_bits = max(
-            int(d.name.split("=", 1)[1]).bit_length()
-            for d in idx.iterdir()
-            if d.is_dir() and d.name.startswith("bucket=")
-        )
-        if observed_bits != _ann_index_bits(n_vecs):
-            raise RuntimeError(
-                f"cached index {idx} was built with ~{observed_bits} bits "
-                f"but the current formula gives {_ann_index_bits(n_vecs)} — "
-                "delete the cache and rebuild"
-            )
-        IndexManifest.commit(
-            idx, "bucket", meta={"dim": DIM, "bits": observed_bits, "seed": 7}
         )
     return str(docs), str(vecs), str(idx)
 

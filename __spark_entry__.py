@@ -665,9 +665,12 @@ def _yolo_detections(spark, sf_dir):
     ),
     es AS (
       -- mirrors run_report's max_errors=1000 cap (first 1000 sorted)
+      -- AND its non-null filter: a NULL filename makes the Spark-side
+      -- error string NULL and run_report drops the row from BOTH the
+      -- count and the array — this CTE must describe the same row set
       SELECT COUNT(*) AS n_errors,
              COALESCE(list_sort(list('undersized:' || filename))[1:1000], []) AS errors
-      FROM img WHERE size_bytes < 5000
+      FROM img WHERE size_bytes < 5000 AND filename IS NOT NULL
     )
     SELECT b.total_cats, b.total_images, ys.images_with_cats, ys.removed_images,
            ys.avg_confidence, es.n_errors, to_json(es.errors) AS errors,
@@ -1506,6 +1509,12 @@ _EMB_CORPUS_SQL = """
 
 
 _EMB_LSH_BANDS = 4
+# 8 bits/band = similarity.lsh_bits_for(n) at the sf corpus sizes
+# (2,200-22,000 vectors -> clamp floor of 8). Anyone cloning this
+# query as a template should derive the literal from lsh_bits_for at
+# THEIR corpus size — a fixed bucket space is the hidden quadratic in
+# banded LSH (see lsh_bits_for's docstring); it is a literal here only
+# because the oracle SQL twin must carry the identical constant.
 _EMB_LSH_BITS = 8
 
 @q(

@@ -279,6 +279,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     restrict_candidates: bool | None = None,
     auto_threshold: int = 100_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard: explode distinct shingles, self-join on
     shingle, |A∩B| per pair, |A|+|B| from per-doc counts. ``candidates``
@@ -313,12 +314,18 @@ def ngram_jaccard_pairs(
     consumers pay it too, and above the threshold the restriction's
     localCheckpoint additionally materializes the candidate pipeline
     when the DataFrame is built. Callers whose base is an expensive
-    DAG, or who only want the plan, should pass the flag explicitly."""
+    DAG, or who only want the plan, should pass the flag explicitly —
+    or supply ``n_docs`` (an upper-bound row-count hint): the auto
+    gate then resolves from the hint with ZERO construction-time jobs
+    (a caller loading a known table already has the count)."""
     base = df
     if candidates is not None and restrict_candidates is None:
-        restrict_candidates = (
-            df.select(id_col).limit(auto_threshold + 1).count() > auto_threshold
-        )
+        if n_docs is not None:
+            restrict_candidates = n_docs > auto_threshold
+        else:
+            restrict_candidates = (
+                df.select(id_col).limit(auto_threshold + 1).count() > auto_threshold
+            )
     if candidates is not None and restrict_candidates:
         candidates = candidates.select("id_a", "id_b").localCheckpoint(eager=True)
         # broadcast hint: the id set is 8 bytes/id (fits executor

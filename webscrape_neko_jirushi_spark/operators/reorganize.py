@@ -84,6 +84,7 @@ def renumber_groups(
     cat_id_col: str = "cat_id",
     buckets: int | None = None,
     auto_threshold: int = 2_000_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """W3/P5/P6: cat_{seq:04d}_{clean_name} with the global counter in
     sorted-id order (deterministic stand-in for dir-iteration order,
@@ -96,8 +97,9 @@ def renumber_groups(
     threshold+1 rows), not a full count — still one extra job over the
     upstream plan, so callers whose input is an expensive DAG should
     pass ``buckets`` explicitly (0 forces the single window, >0 the
-    bucketed path). Output is identical for unique ids either way
-    (test-proven)."""
+    bucketed path) or an ``n_rows`` row-count hint, which resolves the
+    auto gate with zero construction-time jobs. Output is identical
+    for unique ids either way (test-proven)."""
     name = coalesce_name(
         F.col("name"),
         F.col("cat_name"),
@@ -109,10 +111,13 @@ def renumber_groups(
         "clean_name", sanitize_filename(F.col("resolved_name"))
     )
     if buckets is None:
-        over = (
-            cats.select(cat_id_col).limit(auto_threshold + 1).count()
-            > auto_threshold
-        )
+        if n_rows is not None:
+            over = n_rows > auto_threshold
+        else:
+            over = (
+                cats.select(cat_id_col).limit(auto_threshold + 1).count()
+                > auto_threshold
+            )
         if over:
             buckets = 32
     if buckets:

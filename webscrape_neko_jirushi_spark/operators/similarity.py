@@ -307,6 +307,13 @@ def ann_topk_indexed(
     O(all-partitions) listing."""
     m = _checked_manifest(path, "bucket", ["bits", "seed", "dim"])
     if m is not None:
+        if len(query) != int(m.meta["dim"]):
+            # a wrong-dimension query would build DIFFERENT hyperplanes
+            # than the index was bucketed with and silently probe wrong
+            # buckets — fail loudly, same rationale as _checked_manifest
+            raise ValueError(
+                f"query dim {len(query)} != index dim {m.meta['dim']} at {path}"
+            )
         bits, seed = int(m.meta["bits"]), int(m.meta["seed"])
     planes = _hyperplanes(len(query), bits, seed)
     probe = _probe_buckets(query, planes, multiprobe_hamming)
