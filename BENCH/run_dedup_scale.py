@@ -170,6 +170,15 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
             spark, idx_path, query_vec, k=10, bits=_ann_index_bits(n_vecs)
         )
 
+    def ivf_train():
+        # 3 Lloyd rounds x 16 cells: per round one corpus scan + one
+        # C x dim aggregate — expected ~linear growth in n (the init
+        # sample is a constant-size TakeOrdered). Returns the centroid
+        # list (driver-side by design), not a DataFrame.
+        return similarity.ivf_train_centroids(
+            vecs, n_cells=16, n_iters=3, seed=7, dim=DIM, tol=0.0
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -179,6 +188,7 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
         "near_dup_clusters": near_dup_clusters,
         "embedding_near_dups": embedding_near_dups,
         "ann_probe_indexed": ann_probe_indexed,
+        "ivf_train_c16": ivf_train,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -204,7 +214,8 @@ def main() -> None:
     nwd, nwv = max(200, base_docs // 10), max(100, base_vecs // 10)
     wd, wv, wi = _corpora(spark, root, nwd, nwv)
     for fn in _queries(spark, wd, wv, wi, nwd, nwv).values():
-        fn().count()
+        res = fn()
+        _ = len(res) if isinstance(res, list) else res.count()
 
     results: dict[int, dict[str, dict[str, float]]] = {}
     for f in factors:
@@ -214,7 +225,8 @@ def main() -> None:
             spark, dp, vp, ip, base_docs * f, base_vecs * f
         ).items():
             t0 = time.monotonic()
-            rows = fn().count()
+            res = fn()
+            rows = len(res) if isinstance(res, list) else res.count()
             dt = time.monotonic() - t0
             results[f][name] = {"sec": round(dt, 3), "rows": rows}
             print(f"[{f}x] {name}: {dt:.2f}s, {rows} rows", file=sys.stderr)
@@ -289,6 +301,14 @@ def main() -> None:
         "pre-manifest tree probe at 5.8x growth over 100x, all of it",
         "local-FS directory listing — the manifest is the Iceberg-style",
         "fix, and the growth column above is its measurement.)",
+        "",
+        "`ivf_train_c16` is distributed spherical k-means training",
+        "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
+        "fixed round count via tol=0): per round one corpus scan + one",
+        "C x dim partial+final aggregate, plus one constant-size",
+        "TakeOrdered init sample — expected growth ~ the size ratio",
+        "(row count in parentheses is the centroid count, constant by",
+        "construction).",
         "",
     ]
     (REPO / "BENCH" / "DEDUP_SCALE.md").write_text("\n".join(lines))

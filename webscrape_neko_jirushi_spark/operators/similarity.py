@@ -482,6 +482,148 @@ def ivf_topk(
     )
 
 
+def _sample_for_init(
+    embeddings: DataFrame, n: int, seed: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic spread-out sample: the ``n`` vectors with the
+    smallest ``xxhash64(id, seed)`` — a uniform pseudo-random sample as
+    a TakeOrderedAndProject (ONE job, no RNG state, same rows on every
+    run and every partitioning). Ties (hash collisions) break by id."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def _greedy_spread(sample: list[list[float]], n_cells: int) -> list[list[float]]:
+    """k-center-style farthest-point init over the (tiny, driver-side)
+    sample: start from the sample's first vector, then repeatedly add
+    the sample vector whose max cosine to the already-chosen set is
+    smallest. Deterministic (ties by sample order); O(n_cells * |sample|)
+    driver work over at most a few thousand floats — the k-means++
+    spread property without per-step cluster jobs (k-means|| would buy
+    the same quality distributed; overkill for |sample| this small)."""
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    chosen = [sample[0]]
+    chosen_idx = {0}
+    while len(chosen) < min(n_cells, len(sample)):
+        best_i, best_score = None, None
+        for i, v in enumerate(sample):
+            if i in chosen_idx:
+                continue
+            score = max(cos(v, c) for c in chosen)  # closeness to the set
+            if best_score is None or score < best_score:
+                best_i, best_score = i, score
+        chosen.append(sample[best_i])
+        chosen_idx.add(best_i)
+    return chosen
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    n_iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    init_sample: int | None = None,
+    tol: float = 1e-4,
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's) centroid training — the
+    missing first-class piece of the IVF story: ``build_ivf_index``
+    previously only ever saw caller-supplied seed vectors.
+
+    Everything is DataFrame-shaped and linear in the corpus per round:
+
+    - **init**: one TakeOrderedAndProject job draws a deterministic
+      ``init_sample`` (default ``8 * n_cells``) by min-xxhash64, then a
+      driver-side greedy farthest-point sweep picks ``n_cells``
+      well-spread starters (``_greedy_spread``) — k-means++-quality
+      spread without per-step jobs, fully seeded;
+    - **assign**: ``ivf_assign`` scores the broadcast centroid literals
+      per row (JVM-side HOFs, no Python) — exactly the operator probes
+      use, so training and probing can never disagree on metric or
+      tie-break;
+    - **update**: ``groupBy(cell).agg(count, avg per dimension)`` — one
+      partial+final hash aggregate (map-side combine), shuffling
+      ``n_cells x dim`` doubles, then ``n_cells`` rows to the driver
+      (centroids live driver-side regardless: they enter plans as
+      literals). Spherical convention: the un-normalized mean's
+      DIRECTION is the cosine-optimal centroid, and ``ivf_assign``'s
+      cosine normalizes both sides, so no explicit re-normalization;
+    - **convergence**: stop when every centroid's direction moved less
+      than ``tol`` (1 - cosine(old, new)) or after ``n_iters`` rounds.
+      Empty cells keep their previous centroid (deterministic, no
+      respawn jitter).
+
+    Per-round cost: one corpus scan + one C x dim aggregate — linear in
+    n, measured at 1x/10x/100x in ``BENCH/DEDUP_SCALE.md``. Callers
+    looping many rounds over a hot corpus should ``.persist()`` it
+    first; training reads it ``n_iters + 1`` times. The literal
+    expression tree in ``ivf_assign`` grows with ``n_cells`` — past a
+    few hundred cells, swap the assign stage for an Arrow-batched
+    matmul (``mapInPandas``); the aggregate side is unchanged.
+
+    Returns centroids as ``list[list[float]]`` ready for
+    ``build_ivf_index`` / ``ivf_topk`` (manifest pinning, appends and
+    probes all work unchanged downstream).
+    """
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    base = embeddings.select(F.col(id_col), F.col(vec_col))
+    if dim is None:
+        first = base.select(vec_col).head()
+        if first is None:
+            raise ValueError("ivf_train_centroids: empty embeddings input")
+        dim = len(first[0])
+
+    sample = _sample_for_init(
+        base, max(init_sample or 8 * n_cells, n_cells), seed, id_col, vec_col
+    )
+    if len(sample) < n_cells:
+        raise ValueError(
+            f"ivf_train_centroids: corpus has only {len(sample)} vectors "
+            f"for {n_cells} cells — every cell needs at least one vector"
+        )
+    centroids = _greedy_spread(sample, n_cells)
+
+    def _drift(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return 1.0 - dot / (na * nb)
+
+    for _ in range(n_iters):
+        assigned = ivf_assign(base, centroids, id_col=id_col, vec_col=vec_col)
+        rows = assigned.groupBy("cell").agg(
+            F.count("*").alias("_n"),
+            *[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"_d{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        new_centroids = [list(c) for c in centroids]
+        for r in rows:
+            new_centroids[r["cell"]] = [float(r[f"_d{i}"]) for i in range(dim)]
+        max_drift = max(
+            _drift(old, new) for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if max_drift <= tol:
+            break
+    return centroids
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,

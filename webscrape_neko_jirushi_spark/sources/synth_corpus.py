@@ -97,6 +97,52 @@ def synth_documents(
     )
 
 
+def synth_clustered_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    n_clusters: int = 8,
+    dim: int = 32,
+    spread: float = 0.05,
+    seed: str = "cluster-emb-1",
+    partitions: int | None = None,
+) -> DataFrame:
+    """``n_vecs`` vectors in ``n_clusters`` well-separated planted
+    clusters — the ground truth for IVF centroid-training quality
+    (``similarity.ivf_train_centroids``).
+
+    Cluster centers are deterministic uniform vectors (pure functions of
+    ``(seed, cluster, dim)``, mutually near-orthogonal in expectation:
+    E[cos] = 0, |cos| < ~0.6 w.h.p. at dim 32); each vector is its
+    cluster's center plus per-dimension noise uniform in
+    [-spread, +spread) — cosine vs the center ~1 for small ``spread``,
+    so the true nearest-neighbour set of any vector lies inside its own
+    cluster. Returns (vec_id, cluster, embedding). Same generator
+    discipline as the rest of the module: no RNG state, byte-stable at
+    any size, embarrassingly parallel over ``spark.range``."""
+    rng = spark.range(0, n_vecs, 1, partitions) if partitions else spark.range(n_vecs)
+    df = rng.withColumnRenamed("id", "vec_id")
+    sid = F.col("vec_id").cast("string")
+    cluster = F.pmod(_u32(F.lit(seed), sid, F.lit("cl")), F.lit(n_clusters))
+
+    def unit(ns, basis_col, d):
+        return (
+            _u32(F.lit(seed), F.lit(ns), basis_col, d.cast("string")).cast("double")
+            / F.lit(float(1 << 31))
+            - F.lit(1.0)
+        )
+
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            unit("ctr", cluster.cast("string"), d)
+            + unit("ns", sid, d) * F.lit(float(spread))
+        ).cast("float"),
+    )
+    return df.select(
+        "vec_id", cluster.cast("int").alias("cluster"), comps.alias("embedding")
+    )
+
+
 def synth_embeddings(
     spark: SparkSession,
     n_vecs: int,
