@@ -18,8 +18,9 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
-from webscrape_neko_jirushi_spark.operators import similarity
+from webscrape_neko_jirushi_spark.operators import dedup, similarity
 from webscrape_neko_jirushi_spark.operators.index_store import IndexManifest
+from webscrape_neko_jirushi_spark.sources.synth_corpus import synth_documents
 
 SF = "/root/testdata/sf0.001"
 
@@ -178,6 +179,63 @@ def test_ivf_append_parity_with_full_rebuild(spark, tmp_path):
             ).collect()
         ]
         assert got == want, f"IVF append/rebuild divergence for query vec {vid}"
+
+
+def test_lsh_text_index_incremental_parity(spark, tmp_path):
+    """VERDICT r4 #3: banding only the DELTA against a persisted
+    banded-signature index must emit exactly the pairs a full rebuild
+    over (corpus + delta) emits that touch the delta — across TWO
+    increments, with the second seeing the first via append."""
+    n = 1500  # synth: ids >= 1350 are planted near-dups of ids < 1350
+    docs = synth_documents(spark, n, dup_frac=0.10).cache()
+    sigs_all = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs_all, "doc_id", 16, 4).collect()
+    }
+
+    old = docs.filter(F.col("doc_id") < 1350)
+    delta1 = docs.filter((F.col("doc_id") >= 1350) & (F.col("doc_id") < 1425))
+    delta2 = docs.filter(F.col("doc_id") >= 1425)
+    idx = str(tmp_path / "lsh_text")
+    dedup.build_lsh_text_index(old, idx, "text", "doc_id", 16, 4, 5)
+
+    got1 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidates_incremental(spark, delta1, idx).collect()
+    }
+    want1 = {
+        (a, b) for a, b in full if max(a, b) < 1425 and (a >= 1350 or b >= 1350)
+    }
+    assert got1 == want1 and len(want1) > 20
+
+    v1 = IndexManifest.load(idx).version
+    dedup.append_lsh_text_index(delta1, idx)
+    assert IndexManifest.load(idx).version == v1 + 1
+
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidates_incremental(spark, delta2, idx).collect()
+    }
+    want2 = {(a, b) for a, b in full if a >= 1425 or b >= 1425}
+    docs.unpersist()
+    assert got2 == want2 and len(want2) > 20
+
+
+def test_lsh_text_index_requires_manifest(spark, tmp_path):
+    import pytest
+
+    docs = synth_documents(spark, 50, dup_frac=0.10)
+    with pytest.raises(ValueError, match="no LSH text index manifest"):
+        dedup.lsh_candidates_incremental(spark, docs, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no LSH text index manifest"):
+        dedup.append_lsh_text_index(docs, str(tmp_path / "nope"))
+    # and a manifest of the wrong KIND (an ANN bucket index) is refused
+    e = _embeddings(spark)
+    ann = str(tmp_path / "ann")
+    similarity.build_ann_index(e, ann, dim=64, bits=8, seed=7)
+    with pytest.raises(ValueError, match="not a banded-minhash"):
+        dedup.lsh_candidates_incremental(spark, docs, ann)
 
 
 def test_manifest_expire_versions(tmp_path):

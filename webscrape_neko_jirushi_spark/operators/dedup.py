@@ -183,6 +183,24 @@ def bucket_pairs(
     return pairs.distinct()
 
 
+def banded_minhash(
+    signatures: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """The banding step of MinHash-LSH as a standalone table:
+    ``(id, band, bh)`` where ``bh`` is the portable hash of the band's
+    signature rows. Exposed separately so the banded table can be
+    PERSISTED (``build_lsh_text_index``) and joined incrementally."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        bh = portable_hash64(F.concat_ws("|", *cols))
+        bands.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -194,16 +212,168 @@ def lsh_candidate_pairs(
     agreeing on ALL rows of any band become candidate pairs (a < b).
     ``max_bucket`` caps hot buckets via star expansion (see
     ``bucket_pairs``)."""
-    rows_per_band = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        bh = portable_hash64(F.concat_ws("|", *cols))
-        bands.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bh")
+    banded = banded_minhash(signatures, id_col, n_hashes, n_bands)
     return bucket_pairs(banded, id_col, ["band", "bh"], max_bucket)
+
+
+def _checked_lsh_manifest(path: str):
+    from .index_store import IndexManifest
+
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(
+            f"no LSH text index manifest at {path} — build with "
+            "build_lsh_text_index first (banding a delta against a bare "
+            "tree could silently use different band parameters)"
+        )
+    missing = [k for k in ("n_hashes", "n_bands", "k", "id_col", "text_col") if k not in m.meta]
+    if m.key != "band" or missing:
+        raise ValueError(
+            f"index at {path} is not a banded-minhash text index "
+            f"(manifest key={m.key!r}, missing meta {missing})"
+        )
+    return m
+
+
+def build_lsh_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    k: int = 5,
+) -> None:
+    """Persist the banded MinHash signature table — the intermediate of
+    ``lsh_candidate_pairs`` — as a ``band``-partitioned parquet table
+    under an ``IndexManifest`` (the ``build_ann_index`` pattern applied
+    to TEXT dedup).
+
+    Why: at 100 TB the dominant avoidable cost of running near-dup
+    detection on a daily crawl delta is RE-SIGNING THE WHOLE CORPUS —
+    shingle + md5 + minhash over every historical document, every day.
+    With the banded table persisted, ``lsh_candidates_incremental``
+    signs only the delta and equi-joins it against the stored bands:
+    delta-proportional compute, corpus-proportional only in the one
+    (band, bh)-keyed shuffle-join side that Spark reads straight from
+    this index. The band params (n_hashes/n_bands/k) are pinned in the
+    manifest so an append can never band with different hash functions
+    than the build — the exact ``append_ann_index`` discipline."""
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, k)
+    banded_minhash(sigs, id_col, n_hashes, n_bands).write.partitionBy(
+        "band"
+    ).mode("overwrite").parquet(path)
+    from .index_store import IndexManifest
+
+    IndexManifest.commit(
+        path,
+        "band",
+        meta={
+            "n_hashes": n_hashes,
+            "n_bands": n_bands,
+            "k": k,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+    )
+
+
+def _read_banded_index(spark, m) -> DataFrame:
+    """The committed banded table from its manifest file list — one
+    manifest read, zero directory listing. ``basePath`` recovers the
+    ``band`` partition column that lives in directory names."""
+    files = m.files_for([str(b) for b in range(int(m.meta["n_bands"]))])
+    if not files:
+        id_col = m.meta["id_col"]
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("band", T.IntegerType()),
+                    T.StructField("bh", T.LongType()),
+                ]
+            ),
+        )
+    return spark.read.option("basePath", str(m.root)).parquet(*files)
+
+
+def lsh_candidates_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING the delta, against a persisted
+    ``build_lsh_text_index`` table: band only ``new_docs`` with the
+    manifest's pinned params, then
+
+    - delta x index: equi-join on (band, bh) — the index side streams
+      from the committed parquet (never re-signed);
+    - delta x delta: the usual ``bucket_pairs`` self-join (with
+      ``max_bucket``'s star cap available for hot buckets).
+
+    Returns exactly the pairs a FULL rebuild over (corpus + delta)
+    would emit that touch at least one delta doc (parity-tested) —
+    corpus-internal pairs were already reported when the corpus was
+    indexed, so an incremental run never re-emits them. Delta ids must
+    be disjoint from indexed ids (same-id re-crawls are an upsert,
+    which a dedup INDEX doesn't model — delete + rebuild, or give the
+    new crawl a new id). Cost: signing is delta-proportional; the join
+    shuffles the delta's bands against only the matching index buckets.
+
+    Commit the delta afterwards with ``append_lsh_text_index`` so the
+    next increment sees it; the two-step (query, then append) keeps
+    this function read-only."""
+    m = _checked_lsh_manifest(path)
+    id_col = m.meta["id_col"]
+    sigs = minhash_signatures(
+        new_docs, m.meta["text_col"], id_col, int(m.meta["n_hashes"]), int(m.meta["k"])
+    )
+    # the delta banding feeds THREE consumers (index join + both sides
+    # of the delta self-join) — materialize once; deltas are small by
+    # the operator's whole premise
+    delta = banded_minhash(
+        sigs, id_col, int(m.meta["n_hashes"]), int(m.meta["n_bands"])
+    ).localCheckpoint(eager=True)
+    idx = _read_banded_index(spark, m).select(
+        F.col(id_col).alias("_idx_id"), "band", "bh"
+    )
+    cross = (
+        delta.join(idx, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_idx_id"))
+        .select(
+            F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+        )
+    )
+    within = bucket_pairs(delta, id_col, ["band", "bh"], max_bucket)
+    return cross.unionByName(within).distinct()
+
+
+def append_lsh_text_index(new_docs: DataFrame, path: str) -> None:
+    """Commit a delta into the persisted banded-minhash index: band the
+    new docs with the manifest's PINNED params, append their files into
+    the existing band partitions, publish a new manifest version
+    (atomic ``_HEAD`` swap — concurrent incremental queries see the old
+    or the new version, never a torn one). Cost is one scan + write of
+    the delta; the manifest re-list is write-time metadata work."""
+    m = _checked_lsh_manifest(path)
+    sigs = minhash_signatures(
+        new_docs,
+        m.meta["text_col"],
+        m.meta["id_col"],
+        int(m.meta["n_hashes"]),
+        int(m.meta["k"]),
+    )
+    banded_minhash(
+        sigs, m.meta["id_col"], int(m.meta["n_hashes"]), int(m.meta["n_bands"])
+    ).write.partitionBy("band").mode("append").parquet(path)
+    from .index_store import IndexManifest
+
+    IndexManifest.commit(path, "band", meta=m.meta)
 
 
 def simhash64(text_col, k_tokens_hash_bits: int = 60):
