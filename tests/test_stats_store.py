@@ -34,6 +34,38 @@ def test_snapshot_listing_and_retention(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "export")).count() == 10
 
 
+def test_snapshot_vacuum_reclaims_orphans_keeps_committed(spark, tmp_path):
+    """VERDICT r4 #4: replaces + expire leave unreferenced data dirs,
+    killed runs leave never-committed ones — vacuum must delete both
+    and leave every committed byte readable."""
+    store = SnapshotStore(tmp_path / "s", spark)
+    for epoch in range(1, 4):
+        # replaces: each epoch's dir supersedes the previous (shrinking
+        # frontier pattern), so epochs 1-2 become orphaned history
+        df = spark.range(epoch * 10).withColumnRenamed("id", "x")
+        store.commit(epoch, replaces={"t": df}, write_partitions=1)
+    # kill-mid-commit simulation: a data dir written but never named by
+    # any manifest (commit crashes before the HEAD swap)
+    orphan = store.root / "data" / "t-000009-deadbeef"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"partial write")
+
+    # all three manifests live -> only the killed run's dir is dead
+    assert store.vacuum(older_than_sec=0) == 1
+    assert not orphan.exists()
+
+    expire_snapshots(store, keep_last=1)
+    n_dirs_before = len(list((store.root / "data").iterdir()))
+    assert store.vacuum(older_than_sec=0) == n_dirs_before - 1  # epochs 1-2 go
+    assert store.read("t", SCHEMA).count() == 30  # committed state intact
+    # retention guard: a fresh (in-flight-looking) orphan survives
+    fresh = store.root / "data" / "t-000010-cafebabe"
+    fresh.mkdir()
+    (fresh / "part-00000.parquet").write_bytes(b"in flight")
+    assert store.vacuum(older_than_sec=3600) == 0
+    assert fresh.exists()
+
+
 def test_archive_snapshot_is_consistent_and_restorable(spark, tmp_path):
     """S12 zip backup: the archive carries exactly the current
     manifest's files; unzipping + reading yields the committed rows."""

@@ -132,3 +132,43 @@ class SnapshotStore:
         long crawls); readers are unaffected (next manifest swap)."""
         df = self.read(table, schema)
         self.commit(epoch, replaces={table: df})
+
+    def vacuum(self, older_than_sec: float = 0.0) -> int:
+        """Physical GC (VERDICT r4 #4): delete every directory under
+        ``data/`` that NO remaining manifest version references —
+        ``replaces`` drop dirs from the live set every epoch, killed
+        runs leave never-referenced write dirs, and
+        ``stats.expire_snapshots`` only removes manifest FILES, so
+        without this the tree grows forever.
+
+        Liveness = the union of all manifests still present under
+        ``manifests/`` (expire first to shrink it); only dirs whose
+        newest mtime is older than ``older_than_sec`` are removed, so a
+        concurrent epoch's in-flight write dir survives (pass a
+        retention above the longest commit; 0 only when no writer can
+        be active). HEAD is resolved through the surviving manifests
+        exclusively, so readers are never affected. Returns the number
+        of directories deleted."""
+        import shutil
+        import time
+
+        live: set[str] = set()
+        for mp in sorted((self.root / "manifests").glob("v*.json")):
+            with open(mp) as f:
+                m = json.load(f)
+            for dirs in m["tables"].values():
+                live.update(dirs)
+        cutoff = time.time() - older_than_sec
+        deleted = 0
+        for d in sorted((self.root / "data").iterdir()):
+            if not d.is_dir() or d.name in live:
+                continue
+            newest = max(
+                (f.stat().st_mtime for f in d.rglob("*") if f.is_file()),
+                default=d.stat().st_mtime,
+            )
+            if newest > cutoff:
+                continue
+            shutil.rmtree(d)
+            deleted += 1
+        return deleted

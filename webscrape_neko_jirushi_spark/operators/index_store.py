@@ -188,10 +188,88 @@ class IndexManifest:
         HEAD is never touched — the committed version always survives
         (``keep_last`` is clamped to >= 1). Data files are shared
         across versions (appends only ever add), so expiring a
-        manifest never orphans data a newer version still points to."""
+        manifest never orphans data a newer version still points to.
+        Files referenced by NO remaining version are reclaimed by
+        ``vacuum``."""
         root = IndexManifest._local_root(path)
         manifests = sorted((root / "_manifests").glob("v*.json"))
         to_drop = manifests[: -max(keep_last, 1)]
         for p in to_drop:
             p.unlink()
         return len(to_drop)
+
+    @staticmethod
+    def vacuum(path: str | Path, older_than_sec: float = 0.0) -> int:
+        """Physical GC (VERDICT r4 #4 — ``expire_versions`` made
+        orphans "collectable" but nothing ever collected them): delete
+        every data file under the partition tree that NO remaining
+        manifest version references, plus writer-temp litter
+        (``_temporary`` trees, dot-files) from killed jobs, then prune
+        empty partition directories. Only files older than
+        ``older_than_sec`` are touched, so an IN-FLIGHT append's
+        not-yet-committed files survive a concurrent vacuum (pass a
+        retention comfortably above the longest write; 0 only when no
+        writer can be active, e.g. tests).
+
+        Liveness = the union of ALL versions still present in
+        ``_manifests/`` — run ``expire_versions`` first to shrink it.
+        Run a vacuum after any KILLED append before committing again:
+        ``commit`` re-lists the tree from scratch, so stray data files
+        a crashed job left in partition directories would otherwise be
+        swept into the next manifest as if they were committed data.
+
+        Returns the number of files deleted. Readers are never
+        affected: every surviving manifest's file set is intact, and
+        the probe path resolves files only through manifests."""
+        import shutil
+        import time
+
+        root = IndexManifest._local_root(path)
+        mdir = root / "_manifests"
+        live: set[str] = set()
+        key = None
+        for mp in sorted(mdir.glob("v*.json")) if mdir.is_dir() else []:
+            with open(mp) as f:
+                m = json.load(f)
+            key = m["key"]
+            for files in m["partitions"].values():
+                live.update(files)
+        if key is None:
+            raise ValueError(
+                f"vacuum: no manifest versions at {path} — vacuuming a "
+                "bare tree would delete ALL its data"
+            )
+        cutoff = time.time() - older_than_sec
+        deleted = 0
+        prefix = f"{key}="
+        for d in sorted(root.iterdir()):
+            if d.name == "_temporary" and d.is_dir():
+                # Spark job-attempt staging from a killed write: never
+                # referenced by any manifest, safe past the retention
+                if d.stat().st_mtime <= cutoff:
+                    shutil.rmtree(d)
+                    deleted += 1
+                continue
+            if not d.is_dir() or not d.name.startswith(prefix):
+                continue
+            for f in sorted(d.rglob("*")):
+                if not f.is_file():
+                    continue
+                rel = str(f.relative_to(root))
+                is_live = rel in live
+                if not is_live and f.name.startswith(".") and f.name.endswith(".crc"):
+                    # Hadoop local-FS checksum sidecar (.part-X.crc for
+                    # part-X): lives exactly as long as its data file
+                    base = f.with_name(f.name[1:-4])
+                    is_live = str(base.relative_to(root)) in live
+                if is_live or f.stat().st_mtime > cutoff:
+                    continue
+                f.unlink()
+                deleted += 1
+            # prune now-empty partition dirs (and empty subdirs first)
+            for sub in sorted(d.rglob("*"), reverse=True):
+                if sub.is_dir() and not any(sub.iterdir()):
+                    sub.rmdir()
+            if not any(d.iterdir()):
+                d.rmdir()
+        return deleted

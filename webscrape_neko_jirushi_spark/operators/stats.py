@@ -123,7 +123,8 @@ def list_snapshots(store: SnapshotStore) -> list[dict]:
 
 def expire_snapshots(store: SnapshotStore, keep_last: int) -> int:
     """P21 analog on snapshots: drop manifests older than the newest
-    ``keep_last`` (their orphaned data dirs become collectable).
+    ``keep_last`` (their orphaned data dirs become collectable —
+    reclaim them with ``store.vacuum()``).
     HEAD is never touched; the current version always survives."""
     manifests = sorted((store.root / "manifests").glob("v*.json"))
     to_drop = manifests[:-keep_last] if keep_last > 0 else []
