@@ -120,6 +120,7 @@ def bucket_pairs(
     id_col: str,
     bucket_cols: list[str],
     max_bucket: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from a banded/bucketed table via a
     pure equi-join on ``bucket_cols``. With ``max_bucket`` set, buckets
@@ -157,7 +158,32 @@ def bucket_pairs(
     shuffles + sorts cost more than recomputing the cheap-per-row
     upstream. Callers whose upstream is genuinely expensive can
     checkpoint before calling (``connected_components`` does exactly
-    this with its edge list)."""
+    this with its edge list).
+
+    ``materialize=True`` is the CONTROLLED combination the r4 A/B left
+    untested: localCheckpoint the banded table AND keep the broadcast
+    join via an explicit ``F.broadcast()`` hint on the build side — the
+    upstream executes once and the join strategy is unchanged (the r4
+    measurement conflated the two by letting Catalyst fall back to a
+    sort-merge join over the statistics-less RDD scan). Measured
+    (``BENCH/ab_bucket_pairs.py``, 5 alternating warm reps, loadavg<2,
+    local[32], minhash->banding->self-join pipeline, r5):
+
+        corpus          lazy median   mat+hint median
+        7.5k docs       1.80 s        1.21 s   (every paired rep faster)
+        600k docs       17.8 s        17.6 s   (statistical tie)
+
+    i.e. the combination never loses and wins ~33% where the banded
+    build is a meaningful fraction of the query — so the driver's
+    known-small LSH queries enable it. It stays OPT-IN here because
+    (a) the eager checkpoint is a construction-time job (plan-only
+    consumers would pay it), and (b) the hint broadcasts the WHOLE
+    banded table, which is only safe while (n_rows x n_bands) rows fit
+    the executors — the same regime where Catalyst auto-broadcasts
+    today; forcing it on a 10^9-row banded table would OOM where the
+    lazy form degrades gracefully to a sort-merge join."""
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     if max_bucket is None:
         small, big = banded, None  # no occupancy window on the uncapped path
     else:
@@ -173,6 +199,10 @@ def bucket_pairs(
         )
     a = small.select(id_col, *bucket_cols).alias("a")
     b = small.select(id_col, *bucket_cols).alias("b")
+    if materialize:
+        # explicit build-side hint: the checkpointed RDD scan has no
+        # statistics, so without it Catalyst would sort-merge-join
+        b = F.broadcast(b)
     pairs = a.join(
         b,
         [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
@@ -207,13 +237,15 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     max_bucket: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, band_hash): docs
     agreeing on ALL rows of any band become candidate pairs (a < b).
-    ``max_bucket`` caps hot buckets via star expansion (see
-    ``bucket_pairs``)."""
+    ``max_bucket`` caps hot buckets via star expansion;
+    ``materialize`` checkpoints the banded table and keeps the
+    broadcast join via an explicit hint (see ``bucket_pairs``)."""
     banded = banded_minhash(signatures, id_col, n_hashes, n_bands)
-    return bucket_pairs(banded, id_col, ["band", "bh"], max_bucket)
+    return bucket_pairs(banded, id_col, ["band", "bh"], max_bucket, materialize)
 
 
 def _checked_lsh_manifest(path: str):

@@ -382,6 +382,7 @@ def banded_lsh_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded random-hyperplane LSH
     (OR over bands, AND within a band): two vectors are candidates iff
@@ -408,7 +409,7 @@ def banded_lsh_candidates(
     banded = embeddings.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    return bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket)
+    return bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket, materialize)
 
 
 def ivf_assign(
