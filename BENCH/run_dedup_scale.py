@@ -59,14 +59,23 @@ def _ann_index_bits(n_vecs: int) -> int:
     return max(4, min(12, math.ceil(math.log2(max(n_vecs, 2) / 256))))
 
 
-def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str]:
-    """Generate-once parquet corpora (and the persisted ANN index) so
-    every timed query starts from a real columnar scan — generation and
-    index-build cost excluded from query timings (the index is derived
-    data, built once per corpus)."""
+DELTA_DOCS = 60  # fixed-size crawl delta for the incremental leg
+
+
+def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str, str]:
+    """Generate-once parquet corpora (and the persisted ANN + LSH-text
+    indexes) so every timed query starts from a real columnar scan —
+    generation and index-build cost excluded from query timings (the
+    indexes are derived data, built once per corpus)."""
+    from pyspark.sql import functions as FF
+
     docs = root / f"docs_{n_docs}"
     vecs = root / f"vecs_{n_vecs}"
     idx = root / f"vecs_{n_vecs}_ann{_ann_index_bits(n_vecs)}"
+    # rows_per_part=2500 exercises the pb pruning at bench corpus sizes
+    # (the 100k default only starts pruning past ~10^7 docs)
+    subparts = dedup.lsh_subparts_for(n_docs, rows_per_part=2500)
+    lsh_idx = root / f"docs_{n_docs}_lsh{subparts}"
     if not (docs / "_SUCCESS").exists():
         synth_documents(
             spark, n_docs, partitions=max(8, n_docs // 25_000)
@@ -93,10 +102,25 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str
             dim=DIM,
             bits=_ann_index_bits(n_vecs),
         )
-    return str(docs), str(vecs), str(idx)
+    if IndexManifest.load(lsh_idx) is None:
+        # index over the corpus MINUS the delta tail — the incremental
+        # leg then queries the held-out tail as a fresh crawl delta
+        dedup.build_lsh_text_index(
+            spark.read.parquet(str(docs)).filter(
+                FF.col("doc_id") < n_docs - DELTA_DOCS
+            ),
+            str(lsh_idx),
+            "text",
+            "doc_id",
+            16,
+            4,
+            5,
+            n_subparts=subparts,
+        )
+    return str(docs), str(vecs), str(idx), str(lsh_idx)
 
 
-def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, n_vecs: int):
+def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, lsh_idx_path: str, n_docs: int, n_vecs: int):
     """The flagship near-dup pipelines, parameterized exactly like the
     driver headline queries (16 minhashes / 4x4 bands, jaccard >= 0.5,
     simhash hamming <= 6 via 7-band pigeonhole, 4x8 hyperplane LSH +
@@ -170,6 +194,14 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
             spark, idx_path, query_vec, k=10, bits=_ann_index_bits(n_vecs)
         )
 
+    def lsh_incremental():
+        # fixed 60-doc delta vs the persisted banded index: signing,
+        # banding, the pb-pruned index scan and the broadcast all scale
+        # with the DELTA — expected ~flat while the full-rebuild twin
+        # (minhash_lsh_pairs) grows with the corpus
+        delta = docs.filter(F.col("doc_id") >= n_docs - DELTA_DOCS)
+        return dedup.lsh_candidates_incremental(spark, delta, lsh_idx_path)
+
     def ivf_train():
         # 3 Lloyd rounds x 16 cells: per round one corpus scan + one
         # C x dim aggregate — expected ~linear growth in n (the init
@@ -189,6 +221,7 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, n_docs: int, 
         "embedding_near_dups": embedding_near_dups,
         "ann_probe_indexed": ann_probe_indexed,
         "ivf_train_c16": ivf_train,
+        "lsh_incremental_d60": lsh_incremental,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -212,17 +245,17 @@ def main() -> None:
 
     # untimed warmup leg at 1/10 scale: JVM + codegen + parquet reader
     nwd, nwv = max(200, base_docs // 10), max(100, base_vecs // 10)
-    wd, wv, wi = _corpora(spark, root, nwd, nwv)
-    for fn in _queries(spark, wd, wv, wi, nwd, nwv).values():
+    wd, wv, wi, wl = _corpora(spark, root, nwd, nwv)
+    for fn in _queries(spark, wd, wv, wi, wl, nwd, nwv).values():
         res = fn()
         _ = len(res) if isinstance(res, list) else res.count()
 
     results: dict[int, dict[str, dict[str, float]]] = {}
     for f in factors:
-        dp, vp, ip = _corpora(spark, root, base_docs * f, base_vecs * f)
+        dp, vp, ip, lp = _corpora(spark, root, base_docs * f, base_vecs * f)
         results[f] = {}
         for name, fn in _queries(
-            spark, dp, vp, ip, base_docs * f, base_vecs * f
+            spark, dp, vp, ip, lp, base_docs * f, base_vecs * f
         ).items():
             t0 = time.monotonic()
             res = fn()
@@ -301,6 +334,18 @@ def main() -> None:
         "pre-manifest tree probe at 5.8x growth over 100x, all of it",
         "local-FS directory listing — the manifest is the Iceberg-style",
         "fix, and the growth column above is its measurement.)",
+        "",
+        "`lsh_incremental_d60` queries a FIXED 60-document crawl delta",
+        "against the persisted banded-minhash text index",
+        "(`dedup.build_lsh_text_index` / `lsh_candidates_incremental`):",
+        "only the delta is signed and banded, and the index scan is",
+        "pruned to the delta's pb partitions through one manifest read",
+        "— expected ~flat in corpus size while the full-rebuild twin",
+        "(`minhash_lsh_pairs`) grows with it; the gap between those two",
+        "rows IS the incremental-maintenance saving. (Pair counts grow",
+        "with corpus because a delta doc's planted base is uniform over",
+        "the corpus, and band collisions accumulate — the CANDIDATE set",
+        "per delta doc, not the compute shape, which stays delta-bound.)",
         "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",

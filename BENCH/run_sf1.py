@@ -17,6 +17,13 @@ n_chars), embeddings(vec_id, embedding float[64], label) — no external
 data. Both tiers run in ONE session, sf0.1 first, so per-query growth
 is measured under identical JVM/codegen warmth.
 
+Besides timing, this leg re-runs the DRIVER's DuckDB oracle comparison
+at the sf1 tier (VERDICT r4 #5): each sf tier has caught divergences
+the smaller one hid (truncation, overflow, band-occupancy effects), and
+the graded gate stops at sf0.1 — so the 10x tier's rows/schema/hash
+CHECK lives here, using the same canonicalizer as the driver
+(tools/check_oracle.table_hash).
+
 Usage:  SPARK_GRAFT_CPUS=32 python BENCH/run_sf1.py
 Env:    SF1_DIR (default /tmp/sf1_tables) generated-table cache
 Writes BENCH/SF1.md and prints one JSON line.
@@ -37,6 +44,7 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
+from tools.check_oracle import table_hash  # noqa: E402
 from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
 from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
     synth_documents,
@@ -98,6 +106,36 @@ def main() -> None:
             results[tier][name] = {"sec": round(dt, 3), "rows": rows}
             print(f"[{tier}] {name}: {dt:.2f}s, {rows} rows", file=sys.stderr)
 
+    # -- sf1 ORACLE correctness (rows + schema + value hash, the
+    # driver's own canonicalizer) over the sf1 tables -------------------
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):  # the only sf1 tables; the
+        # six heavy queries (and their oracle SQL) touch nothing else.
+        # (sf1 tables are parquet DIRECTORIES, so glob the part files)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet/*.parquet'"
+        )
+    oracles = entry.oracle_sql()
+    checks: dict[str, str] = {}
+    for name in QUERIES:
+        sdf = qs[name](spark, sf1_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(oracles[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        if sorted(scols) != sorted(dcols):
+            checks[name] = f"FAIL cols {sorted(scols)} vs {sorted(dcols)}"
+            continue
+        sn, sh = table_hash(srows, scols)
+        dn, dh = table_hash(drows, dcols)
+        checks[name] = (
+            "ok" if (sn, sh) == (dn, dh) else f"FAIL rows {sn}/{dn} hash {sh[:8]}/{dh[:8]}"
+        )
+        print(f"[sf1-oracle] {name}: {checks[name]}", file=sys.stderr)
+
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     lines = [
         "# BENCH/SF1.md — one-tier-up headline leg (10x sf0.1)",
@@ -133,6 +171,17 @@ def main() -> None:
         "the size ratio (20x) — anything above it indicates a plan or",
         "parameterization that degrades one tier above the graded scale.",
         "",
+        "## sf1 oracle CHECK (rows + schema + value hash vs DuckDB)",
+        "",
+        "The driver's correctness gate stops at sf0.1; this table is the",
+        "same comparison (identical canonicalizer, `tools/check_oracle.",
+        "table_hash`) run at the 10x tier — each tier has historically",
+        "caught divergences the smaller one hid.",
+        "",
+        "| query | sf1 check |",
+        "|---|---|",
+        *[f"| {name} | {checks[name]} |" for name in QUERIES],
+        "",
         "Honesty caveat: the sf1 synthetics do NOT replicate the sf0.1",
         "text distribution (the driver-generated sf tables carry heavy",
         "TPC-H-comment self-similarity — visible in the simhash pair",
@@ -150,6 +199,7 @@ def main() -> None:
                 "size_ratio": 10,
                 "growth": growths,
                 "flagged": flagged,
+                "oracle_checks": checks,
                 "results": results,
                 "cpus": int(cpus),
             }

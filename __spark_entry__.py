@@ -1035,22 +1035,28 @@ def q_sanitize_filenames(spark, sf_dir):
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-# duplicate-planted corpus: originals + exact copies + near copies
-_CORPUS_SQL = """
+# duplicate-planted corpus: originals + exact copies + near copies.
+# The planted-id offsets MUST clear any tier's real id range: r4 used
+# +10000/+20000, which collide with real doc_ids at the sf1 tier
+# (50,000 docs) — and colliding ids merge differently in the two
+# engines (simhash_signatures groups by id, the per-row SQL twin does
+# not), a divergence the sf1 oracle leg caught (BENCH/run_sf1.py).
+_DUP_OFF = 100_000_000
+_CORPUS_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents
+  SELECT doc_id + {_DUP_OFF} AS doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 20000 AS doc_id, CONCAT(text, ' extra tail token') AS text
+  SELECT doc_id + {2 * _DUP_OFF} AS doc_id, CONCAT(text, ' extra tail token') AS text
   FROM documents WHERE doc_id % 2 = 0
 """
 
 
 def _corpus(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    exact = d.select((F.col("doc_id") + _DUP_OFF).alias("doc_id"), "text")
     near = d.filter(F.col("doc_id") % 2 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
+        (F.col("doc_id") + 2 * _DUP_OFF).alias("doc_id"),
         F.concat("text", F.lit(" extra tail token")).alias("text"),
     )
     return d.unionByName(exact).unionByName(near)
@@ -1505,11 +1511,15 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-_EMB_CORPUS_SQL = """
+# planted ids offset by _DUP_OFF: +10000 collided with real vec_ids at
+# the sf1 tier (20,000 vectors), and the oracle's per-id projection
+# GROUP BY merged the colliding vectors while Spark bucketed per row —
+# caught by the sf1 oracle leg, same class as the _CORPUS_SQL fix
+_EMB_CORPUS_SQL = f"""
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
   FROM embeddings
   UNION ALL
-  SELECT vec_id + 10000 AS vec_id,
+  SELECT vec_id + {_DUP_OFF} AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS embedding
   FROM embeddings WHERE vec_id % 5 = 0
 """
@@ -1576,7 +1586,7 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     planted = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + _DUP_OFF).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
     )
     corpus = base.unionByName(planted)

@@ -198,7 +198,9 @@ def test_lsh_text_index_incremental_parity(spark, tmp_path):
     delta1 = docs.filter((F.col("doc_id") >= 1350) & (F.col("doc_id") < 1425))
     delta2 = docs.filter(F.col("doc_id") >= 1425)
     idx = str(tmp_path / "lsh_text")
-    dedup.build_lsh_text_index(old, idx, "text", "doc_id", 16, 4, 5)
+    # n_subparts=16 keeps the partition-dir count test-sized; the
+    # default 256 is the web-scale prune granularity
+    dedup.build_lsh_text_index(old, idx, "text", "doc_id", 16, 4, 5, n_subparts=16)
 
     got1 = {
         (r["id_a"], r["id_b"])
@@ -220,6 +222,34 @@ def test_lsh_text_index_incremental_parity(spark, tmp_path):
     want2 = {(a, b) for a, b in full if a >= 1425 or b >= 1425}
     docs.unpersist()
     assert got2 == want2 and len(want2) > 20
+
+
+def test_lsh_text_index_incremental_prunes_to_delta_buckets(spark, tmp_path):
+    """The pb sub-partitioning contract: a small delta's candidate scan
+    reads ONLY the index partitions the delta hashes into (resolved
+    from one manifest read), never the whole index — the property that
+    makes incremental cost ~ delta size at 100 TB."""
+    docs = synth_documents(spark, 500, dup_frac=0.10)
+    idx = str(tmp_path / "lsh_prune")
+    dedup.build_lsh_text_index(
+        docs.filter(F.col("doc_id") < 450), idx, "text", "doc_id", 16, 4, 5,
+        n_subparts=64,
+    )
+    delta = docs.filter(F.col("doc_id") >= 495)  # 5 docs -> <= 20 pbs
+    pairs = dedup.lsh_candidates_incremental(spark, delta, idx)
+    pairs.collect()
+    m = IndexManifest.load(idx)
+
+    def norm(p: str) -> str:
+        p = p.removeprefix("file:")
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+
+    read = {norm(p) for p in pairs.inputFiles()}
+    allowed = {norm(p) for p in m.files_for(sorted(m.partitions))}  # all index files
+    assert read <= allowed  # index files only (delta side is a checkpoint)
+    assert 0 < len(read) < m.n_files() / 2, (len(read), m.n_files())
 
 
 def test_lsh_text_index_requires_manifest(spark, tmp_path):

@@ -198,6 +198,33 @@ def test_ivf_trained_centroids_beat_seed_centroids(spark):
     assert r_trained >= 0.9, r_trained
 
 
+def test_ivf_assign_pandas_parity_with_expression_form(spark):
+    """The Arrow-matmul assigner (large-C path) must agree cell-for-cell
+    with the literal-expression assigner, including on planted near-dup
+    vectors (scaled copies probe the norm handling). Zero vectors are
+    OUT of the shared contract: the ANSI expression form raises
+    DIVIDE_BY_ZERO on them (same as the DuckDB oracle), so the pandas
+    form's norm guard is a superset, not a divergence."""
+    vecs = synth_embeddings(spark, 400, dim=32, dup_frac=0.10)
+    corpus = vecs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(corpus, cents).collect()
+    }
+    pand = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign_pandas(corpus, cents).collect()
+    }
+    assert expr == pand and len(expr) == 400
+
+
 def test_ivf_training_is_deterministic_and_feeds_the_index(spark, tmp_path):
     """Same corpus + seed -> bit-identical centroids; and the trained
     centroids flow end-to-end through build_ivf_index -> manifest ->

@@ -258,13 +258,46 @@ def _checked_lsh_manifest(path: str):
             "build_lsh_text_index first (banding a delta against a bare "
             "tree could silently use different band parameters)"
         )
-    missing = [k for k in ("n_hashes", "n_bands", "k", "id_col", "text_col") if k not in m.meta]
-    if m.key != "band" or missing:
+    missing = [
+        k
+        for k in ("n_hashes", "n_bands", "k", "id_col", "text_col", "n_subparts")
+        if k not in m.meta
+    ]
+    if m.key != "pb" or missing:
         raise ValueError(
             f"index at {path} is not a banded-minhash text index "
             f"(manifest key={m.key!r}, missing meta {missing})"
         )
     return m
+
+
+def _with_pb(banded: DataFrame, n_bands: int, n_subparts: int) -> DataFrame:
+    """Partition key for the persisted banded table: one value per
+    (band, bh mod n_subparts) — ``n_bands * n_subparts`` directories.
+    Any (band, bh) bucket lives entirely inside ONE pb partition, so a
+    delta's candidate join only ever needs the pb values the delta
+    itself hashes into."""
+    return banded.withColumn(
+        "pb",
+        (F.col("band") * n_subparts + F.pmod(F.col("bh"), F.lit(n_subparts))).cast(
+            "int"
+        ),
+    )
+
+
+def lsh_subparts_for(n_docs: int, rows_per_part: int = 100_000) -> int:
+    """``n_subparts`` sized to the corpus (the ``lsh_bits_for``
+    discipline applied to the text index): hold expected rows per pb
+    partition ~constant so (a) a delta's bucket coverage stays SPARSE
+    — the pb-pruned incremental scan reads ~|delta bands| partitions'
+    worth of data, not a fixed fraction of the corpus — and (b)
+    partition files stay a useful size. A FIXED n_subparts would make
+    every partition grow with n and the incremental scan silently
+    corpus-proportional again."""
+    import math
+
+    sub = 2 ** math.ceil(math.log2(max(n_docs / max(rows_per_part, 1), 1)))
+    return max(16, min(4096, int(sub)))
 
 
 def build_lsh_text_index(
@@ -275,61 +308,47 @@ def build_lsh_text_index(
     n_hashes: int = 16,
     n_bands: int = 4,
     k: int = 5,
+    n_subparts: int = 256,
 ) -> None:
     """Persist the banded MinHash signature table — the intermediate of
-    ``lsh_candidate_pairs`` — as a ``band``-partitioned parquet table
-    under an ``IndexManifest`` (the ``build_ann_index`` pattern applied
-    to TEXT dedup).
+    ``lsh_candidate_pairs`` — as a parquet table partitioned by
+    ``pb = band * n_subparts + (bh mod n_subparts)`` under an
+    ``IndexManifest`` (the ``build_ann_index`` pattern applied to TEXT
+    dedup).
 
     Why: at 100 TB the dominant avoidable cost of running near-dup
     detection on a daily crawl delta is RE-SIGNING THE WHOLE CORPUS —
     shingle + md5 + minhash over every historical document, every day.
     With the banded table persisted, ``lsh_candidates_incremental``
-    signs only the delta and equi-joins it against the stored bands:
-    delta-proportional compute, corpus-proportional only in the one
-    (band, bh)-keyed shuffle-join side that Spark reads straight from
-    this index. The band params (n_hashes/n_bands/k) are pinned in the
-    manifest so an append can never band with different hash functions
-    than the build — the exact ``append_ann_index`` discipline."""
+    signs only the delta and equi-joins it against the stored bands.
+    The ``pb`` sub-partitioning is what makes that join DELTA-
+    proportional rather than corpus-scan-proportional: a (band, bh)
+    bucket lives entirely inside one pb partition, so the incremental
+    query resolves the delta's pb values (at most ``|delta| x n_bands``
+    of the ``n_bands x n_subparts`` partitions) through ONE manifest
+    read and scans only those files — the index twin of the ANN
+    probe's manifest pruning. The band params (n_hashes/n_bands/k/
+    n_subparts) are pinned in the manifest so an append can never band
+    with different hash functions than the build."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, k)
-    banded_minhash(sigs, id_col, n_hashes, n_bands).write.partitionBy(
-        "band"
-    ).mode("overwrite").parquet(path)
+    banded = banded_minhash(sigs, id_col, n_hashes, n_bands)
+    _with_pb(banded, n_bands, n_subparts).write.partitionBy("pb").mode(
+        "overwrite"
+    ).parquet(path)
     from .index_store import IndexManifest
 
     IndexManifest.commit(
         path,
-        "band",
+        "pb",
         meta={
             "n_hashes": n_hashes,
             "n_bands": n_bands,
             "k": k,
             "id_col": id_col,
             "text_col": text_col,
+            "n_subparts": n_subparts,
         },
     )
-
-
-def _read_banded_index(spark, m) -> DataFrame:
-    """The committed banded table from its manifest file list — one
-    manifest read, zero directory listing. ``basePath`` recovers the
-    ``band`` partition column that lives in directory names."""
-    files = m.files_for([str(b) for b in range(int(m.meta["n_bands"]))])
-    if not files:
-        id_col = m.meta["id_col"]
-        from pyspark.sql import types as T
-
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(id_col, T.LongType()),
-                    T.StructField("band", T.IntegerType()),
-                    T.StructField("bh", T.LongType()),
-                ]
-            ),
-        )
-    return spark.read.option("basePath", str(m.root)).parquet(*files)
 
 
 def lsh_candidates_incremental(
@@ -342,8 +361,12 @@ def lsh_candidates_incremental(
     ``build_lsh_text_index`` table: band only ``new_docs`` with the
     manifest's pinned params, then
 
-    - delta x index: equi-join on (band, bh) — the index side streams
-      from the committed parquet (never re-signed);
+    - delta x index: equi-join on (band, bh) against ONLY the index
+      partitions the delta hashes into — the delta's distinct ``pb``
+      values (bounded by ``|delta| x n_bands``, collected from the
+      already-checkpointed delta) resolve to a file list through one
+      manifest read, and the delta side is broadcast, so the index
+      side streams map-side with no shuffle and no full-index scan;
     - delta x delta: the usual ``bucket_pairs`` self-join (with
       ``max_bucket``'s star cap available for hot buckets).
 
@@ -353,45 +376,58 @@ def lsh_candidates_incremental(
     indexed, so an incremental run never re-emits them. Delta ids must
     be disjoint from indexed ids (same-id re-crawls are an upsert,
     which a dedup INDEX doesn't model — delete + rebuild, or give the
-    new crawl a new id). Cost: signing is delta-proportional; the join
-    shuffles the delta's bands against only the matching index buckets.
+    new crawl a new id). Total cost ~ delta size: signing, banding,
+    the pb-pruned scan, and the broadcast all scale with the delta,
+    not the corpus (measured in ``BENCH/DEDUP_SCALE.md``).
 
     Commit the delta afterwards with ``append_lsh_text_index`` so the
     next increment sees it; the two-step (query, then append) keeps
     this function read-only."""
     m = _checked_lsh_manifest(path)
     id_col = m.meta["id_col"]
+    n_bands, n_subparts = int(m.meta["n_bands"]), int(m.meta["n_subparts"])
     sigs = minhash_signatures(
         new_docs, m.meta["text_col"], id_col, int(m.meta["n_hashes"]), int(m.meta["k"])
     )
-    # the delta banding feeds THREE consumers (index join + both sides
-    # of the delta self-join) — materialize once; deltas are small by
-    # the operator's whole premise
-    delta = banded_minhash(
-        sigs, id_col, int(m.meta["n_hashes"]), int(m.meta["n_bands"])
+    # the delta banding feeds FOUR consumers (pb probe, index join,
+    # both sides of the delta self-join) — materialize once; deltas
+    # are small by the operator's whole premise
+    delta = _with_pb(
+        banded_minhash(sigs, id_col, int(m.meta["n_hashes"]), n_bands),
+        n_bands,
+        n_subparts,
     ).localCheckpoint(eager=True)
-    idx = _read_banded_index(spark, m).select(
-        F.col(id_col).alias("_idx_id"), "band", "bh"
-    )
-    cross = (
-        delta.join(idx, ["band", "bh"])
-        .filter(F.col(id_col) != F.col("_idx_id"))
-        .select(
-            F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+    probe_pbs = [r["pb"] for r in delta.select("pb").distinct().collect()]
+    files = m.files_for(probe_pbs)
+    if files:
+        idx = (
+            spark.read.option("basePath", str(m.root))
+            .parquet(*files)
+            .select(F.col(id_col).alias("_idx_id"), "band", "bh")
         )
-    )
+        cross = (
+            F.broadcast(delta.select(id_col, "band", "bh"))
+            .join(idx, ["band", "bh"])
+            .filter(F.col(id_col) != F.col("_idx_id"))
+            .select(
+                F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+            )
+        )
+    else:  # a fresh index with no data at all: only delta-delta pairs
+        cross = None
     within = bucket_pairs(delta, id_col, ["band", "bh"], max_bucket)
-    return cross.unionByName(within).distinct()
+    pairs = within if cross is None else cross.unionByName(within)
+    return pairs.distinct()
 
 
 def append_lsh_text_index(new_docs: DataFrame, path: str) -> None:
     """Commit a delta into the persisted banded-minhash index: band the
     new docs with the manifest's PINNED params, append their files into
-    the existing band partitions, publish a new manifest version
-    (atomic ``_HEAD`` swap — concurrent incremental queries see the old
-    or the new version, never a torn one). Cost is one scan + write of
-    the delta; the manifest re-list is write-time metadata work."""
+    the existing pb partitions, publish a new manifest version (atomic
+    ``_HEAD`` swap — concurrent incremental queries see the old or the
+    new version, never a torn one). Cost is one scan + write of the
+    delta; the manifest re-list is write-time metadata work."""
     m = _checked_lsh_manifest(path)
     sigs = minhash_signatures(
         new_docs,
@@ -400,12 +436,15 @@ def append_lsh_text_index(new_docs: DataFrame, path: str) -> None:
         int(m.meta["n_hashes"]),
         int(m.meta["k"]),
     )
-    banded_minhash(
+    banded = banded_minhash(
         sigs, m.meta["id_col"], int(m.meta["n_hashes"]), int(m.meta["n_bands"])
-    ).write.partitionBy("band").mode("append").parquet(path)
+    )
+    _with_pb(
+        banded, int(m.meta["n_bands"]), int(m.meta["n_subparts"])
+    ).write.partitionBy("pb").mode("append").parquet(path)
     from .index_store import IndexManifest
 
-    IndexManifest.commit(path, "band", meta=m.meta)
+    IndexManifest.commit(path, "pb", meta=m.meta)
 
 
 def simhash64(text_col, k_tokens_hash_bits: int = 60):

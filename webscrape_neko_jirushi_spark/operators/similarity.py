@@ -436,6 +436,65 @@ def ivf_assign(
     ).drop("scores")
 
 
+def ivf_assign_pandas(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched matmul twin of ``ivf_assign`` — the LARGE-C path.
+
+    ``ivf_assign`` scores centroids as literal Column expressions: the
+    expression tree (and per-row interpreted HOF work) grows with C,
+    which is fine for the nprobe-style C <= a few hundred but degrades
+    for k-means training or IVF layouts with thousands of cells. Here
+    the centroid matrix ships once per executor via an explicit Spark
+    BROADCAST variable — NOT captured in the UDF closure, which would
+    re-serialize the C x dim matrix into every task — and each Arrow
+    batch computes all scores in one numpy matmul: O(batch x C x dim)
+    vectorized flops, no per-row Python.
+
+    Same contract as ``ivf_assign``, tie-break included: scores are
+    HALF_UP-rounded to 9 decimals (numpy's round is banker's — a
+    decimal-boundary tie would otherwise flip cells vs the expression
+    form) and ties take the LOWEST cell id (argmax returns the first
+    maximum). Parity-tested cell-for-cell against ``ivf_assign``."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((cmat, cnorm))
+
+    out_schema = T.StructType(
+        embeddings.select(id_col, vec_col).schema.fields
+        + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        cm, cn = bc.value
+        for pdf in batches:
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            if len(v) == 0:
+                yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                continue
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            vnorm[vnorm == 0.0] = 1.0
+            scores = (v @ cm.T) / vnorm[:, None] / cn[None, :]
+            # HALF_UP at 9 decimals, matching F.round's BigDecimal
+            # semantics (np.round is half-to-even): floor(x*1e9 + 0.5)
+            # for the non-negative magnitudes cosine can reach, and the
+            # sign-symmetric copysign form for negatives
+            q = np.floor(np.abs(scores) * 1e9 + 0.5) * np.sign(scores)
+            yield pdf.assign(cell=q.argmax(axis=1).astype("int32"))
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
 def _probe_cells(
     query: list[float], centroids: list[list[float]], nprobe: int
 ) -> list[int]:
@@ -570,10 +629,12 @@ def ivf_train_centroids(
     Per-round cost: one corpus scan + one C x dim aggregate — linear in
     n, measured at 1x/10x/100x in ``BENCH/DEDUP_SCALE.md``. Callers
     looping many rounds over a hot corpus should ``.persist()`` it
-    first; training reads it ``n_iters + 1`` times. The literal
-    expression tree in ``ivf_assign`` grows with ``n_cells`` — past a
-    few hundred cells, swap the assign stage for an Arrow-batched
-    matmul (``mapInPandas``); the aggregate side is unchanged.
+    first; training reads it ``n_iters + 1`` times. The assign stage
+    auto-selects its form: the JVM literal-expression ``ivf_assign``
+    up to 128 cells (zero Python, shares the probe operator), the
+    Arrow-batched matmul ``ivf_assign_pandas`` above (the expression
+    tree and per-row HOF work grow with C; one numpy matmul per batch
+    does not) — both parity-tested on cell assignment.
 
     Returns centroids as ``list[list[float]]`` ready for
     ``build_ivf_index`` / ``ivf_topk`` (manifest pinning, appends and
@@ -604,8 +665,9 @@ def ivf_train_centroids(
         nb = math.sqrt(sum(x * x for x in b)) or 1.0
         return 1.0 - dot / (na * nb)
 
+    assigner = ivf_assign if n_cells <= 128 else ivf_assign_pandas
     for _ in range(n_iters):
-        assigned = ivf_assign(base, centroids, id_col=id_col, vec_col=vec_col)
+        assigned = assigner(base, centroids, id_col=id_col, vec_col=vec_col)
         rows = assigned.groupBy("cell").agg(
             F.count("*").alias("_n"),
             *[
