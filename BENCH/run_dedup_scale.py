@@ -339,13 +339,15 @@ def main() -> None:
         "against the persisted banded-minhash text index",
         "(`dedup.build_lsh_text_index` / `lsh_candidates_incremental`):",
         "only the delta is signed and banded, and the index scan is",
-        "pruned to the delta's pb partitions through one manifest read",
-        "— expected ~flat in corpus size while the full-rebuild twin",
-        "(`minhash_lsh_pairs`) grows with it; the gap between those two",
-        "rows IS the incremental-maintenance saving. (Pair counts grow",
-        "with corpus because a delta doc's planted base is uniform over",
-        "the corpus, and band collisions accumulate — the CANDIDATE set",
-        "per delta doc, not the compute shape, which stays delta-bound.)",
+        "pruned to the delta's pb partitions through one manifest read.",
+        "Its cost SATURATES at the delta bound (n_bands x |delta| x",
+        "rows-per-partition, held constant by `lsh_subparts_for`) rather",
+        "than growing with the corpus: the small legs sit below that",
+        "bound (the whole index is smaller than it), so growth appears",
+        "until the bound is reached and is ~flat beyond — while the",
+        "full-rebuild twin (`minhash_lsh_pairs`, which re-signs every",
+        "historical document) grows linearly forever. The widening gap",
+        "between those two rows IS the incremental-maintenance saving.",
         "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
