@@ -420,3 +420,93 @@ def test_manifest_rejects_remote_uris(tmp_path):
     m = IndexManifest.commit(f"file://{root}", "bucket")
     assert m.n_files() == 1
     assert IndexManifest.load(str(root)).version == 1
+
+
+def test_simhash_index_incremental_parity(spark, tmp_path):
+    """The simhash twin of the minhash incremental contract: banding
+    only the DELTA against a persisted wide-simhash index must emit
+    exactly the (pair, hamming) rows a full simhash_wide_banded_pairs
+    over (corpus + delta) emits that touch the delta — across TWO
+    increments, with the second seeing the first via append."""
+    n = 1500
+    docs = synth_documents(spark, n, dup_frac=0.10).cache()
+    sigs_all = dedup.simhash_signatures_wide(docs, "text", "doc_id")
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_wide_banded_pairs(sigs_all, "doc_id").collect()
+    }
+
+    old = docs.filter(F.col("doc_id") < 1350)
+    delta1 = docs.filter((F.col("doc_id") >= 1350) & (F.col("doc_id") < 1425))
+    delta2 = docs.filter(F.col("doc_id") >= 1425)
+    idx = str(tmp_path / "simhash_idx")
+    dedup.build_simhash_index(old, idx, "text", "doc_id", n_subparts=16)
+
+    got1 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_candidates_incremental(spark, delta1, idx).collect()
+    }
+    want1 = {
+        (a, b, h)
+        for a, b, h in full
+        if max(a, b) < 1425 and (a >= 1350 or b >= 1350)
+    }
+    assert got1 == want1 and len(want1) > 20
+
+    v1 = IndexManifest.load(idx).version
+    dedup.append_simhash_index(delta1, idx)
+    assert IndexManifest.load(idx).version == v1 + 1
+
+    got2 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_candidates_incremental(spark, delta2, idx).collect()
+    }
+    want2 = {(a, b, h) for a, b, h in full if a >= 1425 or b >= 1425}
+    docs.unpersist()
+    # the hamming<=6 ball is tighter than the minhash banding, so the
+    # delta2 slice carries fewer planted pairs — 17 on this corpus
+    assert got2 == want2 and len(want2) > 10
+
+
+def test_simhash_index_prunes_to_delta_buckets(spark, tmp_path):
+    """The pb contract on the simhash tree: a small delta's scan reads
+    only the index partitions the delta's (band, chunk) rows hash
+    into, resolved from one manifest read."""
+    docs = synth_documents(spark, 500, dup_frac=0.10)
+    idx = str(tmp_path / "simhash_prune")
+    dedup.build_simhash_index(
+        docs.filter(F.col("doc_id") < 450), idx, "text", "doc_id", n_subparts=64
+    )
+    delta = docs.filter(F.col("doc_id") >= 495)  # 5 docs -> <= 35 pbs
+    pairs = dedup.simhash_candidates_incremental(spark, delta, idx)
+    pairs.collect()
+    m = IndexManifest.load(idx)
+
+    def norm(p: str) -> str:
+        p = p.removeprefix("file:")
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+
+    read = {norm(p) for p in pairs.inputFiles()}
+    allowed = {norm(p) for p in m.files_for(sorted(m.partitions))}
+    assert read <= allowed  # index files only (delta side is a checkpoint)
+    assert 0 < len(read) < m.n_files() / 2, (len(read), m.n_files())
+
+
+def test_simhash_index_refuses_wrong_kind(spark, tmp_path):
+    import pytest
+
+    docs = synth_documents(spark, 50, dup_frac=0.10)
+    with pytest.raises(ValueError, match="no simhash index manifest"):
+        dedup.simhash_candidates_incremental(spark, docs, str(tmp_path / "nope"))
+    # a minhash text index is refused by the simhash probe, and vice
+    # versa — same path layout, different pinned band semantics
+    lsh = str(tmp_path / "lsh_kind")
+    dedup.build_lsh_text_index(docs, lsh, "text", "doc_id", 16, 4, 5, n_subparts=16)
+    with pytest.raises(ValueError, match="not a wide-simhash"):
+        dedup.simhash_candidates_incremental(spark, docs, lsh)
+    sh = str(tmp_path / "sim_kind")
+    dedup.build_simhash_index(docs, sh, "text", "doc_id", n_subparts=16)
+    with pytest.raises(ValueError, match="not a banded-minhash"):
+        dedup.lsh_candidates_incremental(spark, docs, sh)

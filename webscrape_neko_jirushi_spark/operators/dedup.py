@@ -271,17 +271,20 @@ def _checked_lsh_manifest(path: str):
     return m
 
 
-def _with_pb(banded: DataFrame, n_bands: int, n_subparts: int) -> DataFrame:
-    """Partition key for the persisted banded table: one value per
-    (band, bh mod n_subparts) — ``n_bands * n_subparts`` directories.
-    Any (band, bh) bucket lives entirely inside ONE pb partition, so a
-    delta's candidate join only ever needs the pb values the delta
-    itself hashes into."""
+def _with_pb(
+    banded: DataFrame, n_bands: int, n_subparts: int, bucket_col: str = "bh"
+) -> DataFrame:
+    """Partition key for a persisted banded table: one value per
+    (band, bucket mod n_subparts) — ``n_bands * n_subparts``
+    directories. Any (band, bucket) bucket lives entirely inside ONE
+    pb partition, so a delta's candidate join only ever needs the pb
+    values the delta itself hashes into. ``bucket_col`` is ``bh`` for
+    the minhash index and ``chunk`` for the simhash one."""
     return banded.withColumn(
         "pb",
-        (F.col("band") * n_subparts + F.pmod(F.col("bh"), F.lit(n_subparts))).cast(
-            "int"
-        ),
+        (
+            F.col("band") * n_subparts + F.pmod(F.col(bucket_col), F.lit(n_subparts))
+        ).cast("int"),
     )
 
 
@@ -896,6 +899,24 @@ def simhash_wide_banded_pairs(
     chunk space keeps random band collisions (the quadratic term at a
     fixed bucket count) ~156x rarer than the 60-bit form's.
     """
+    banded = simhash_wide_banded(df, id_col, hi_col, lo_col, max_hamming)
+    return _banded_wide_pairs(banded, id_col, hi_col, lo_col, max_hamming)
+
+
+def simhash_wide_banded(
+    df: DataFrame,
+    id_col: str,
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Explode a 120-bit signature table into its pigeonhole
+    ``(band, chunk)`` rows (4 x 15-bit bands over ``sim_hi``, 3 x
+    20-bit over ``sim_lo`` at the default ``max_hamming=6``). Shared
+    by the self-join pair search (``simhash_wide_banded_pairs``) and
+    the persisted index (``build_simhash_index`` /
+    ``simhash_candidates_incremental``) so the two sides of an
+    incremental join can never band differently."""
     n_bands = max_hamming + 1
     hi_bands = (n_bands + 1) // 2  # 4 bands over hi, 3 over lo
     lo_bands = n_bands - hi_bands
@@ -911,12 +932,23 @@ def simhash_wide_banded_pairs(
                 F.struct(F.lit(band0 + i).alias("band"), chunk.alias("chunk"))
             )
             off += w
-    banded = df.select(
+    return df.select(
         F.col(id_col),
         F.col(hi_col),
         F.col(lo_col),
         F.explode(F.array(*chunks)).alias("bc"),
     ).select(id_col, hi_col, lo_col, "bc.band", "bc.chunk")
+
+
+def _banded_wide_pairs(
+    banded: DataFrame,
+    id_col: str,
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(band, chunk) equi-join + Hamming verify over an already-banded
+    table (``simhash_wide_banded`` output)."""
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -944,3 +976,168 @@ def simhash_wide_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+def _checked_simhash_manifest(path: str):
+    from .index_store import IndexManifest
+
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(
+            f"no simhash index manifest at {path} — build with "
+            "build_simhash_index first (banding a delta against a bare "
+            "tree could silently use different band parameters)"
+        )
+    missing = [
+        k
+        for k in ("kind", "max_hamming", "id_col", "text_col", "n_subparts")
+        if k not in m.meta
+    ]
+    if m.key != "pb" or missing or m.meta.get("kind") != "simhash_wide":
+        raise ValueError(
+            f"index at {path} is not a wide-simhash text index "
+            f"(manifest key={m.key!r}, kind={m.meta.get('kind')!r}, "
+            f"missing meta {missing})"
+        )
+    return m
+
+
+def build_simhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_subparts: int = 256,
+) -> None:
+    """Persist the banded 120-bit SimHash table — the intermediate of
+    ``simhash_wide_banded_pairs`` — as a ``pb``-partitioned parquet
+    table under an ``IndexManifest``: ``build_lsh_text_index``'s
+    pattern applied to the simhash family, closing the last text
+    near-dup pipeline that still re-signed the whole corpus on every
+    crawl delta.
+
+    Each row keeps the full ``(sim_hi, sim_lo)`` signature alongside
+    its ``(band, chunk)`` so an incremental probe can Hamming-verify
+    candidates without a second join back to the corpus. ``pb = band *
+    n_subparts + (chunk mod n_subparts)`` gives the same delta-
+    proportional pruning as the minhash index: a (band, chunk) bucket
+    lives entirely inside one pb partition, and a delta touches at
+    most ``|delta| x (max_hamming + 1)`` of them, resolved through ONE
+    manifest read. ``max_hamming`` is pinned in the manifest because
+    it determines the band boundaries — probing with a different
+    radius than the build banded with would silently miss pairs.
+    Size ``n_subparts`` with ``lsh_subparts_for`` at real corpus
+    scale."""
+    sigs = simhash_signatures_wide(docs, text_col, id_col)
+    banded = simhash_wide_banded(sigs, id_col, max_hamming=max_hamming)
+    _with_pb(banded, max_hamming + 1, n_subparts, bucket_col="chunk").write.partitionBy(
+        "pb"
+    ).mode("overwrite").parquet(path)
+    from .index_store import IndexManifest
+
+    IndexManifest.commit(
+        path,
+        "pb",
+        meta={
+            "kind": "simhash_wide",
+            "max_hamming": max_hamming,
+            "id_col": id_col,
+            "text_col": text_col,
+            "n_subparts": n_subparts,
+        },
+    )
+
+
+def simhash_candidates_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+) -> DataFrame:
+    """Hamming-ball near-dup pairs (<= the index's pinned
+    ``max_hamming``) INVOLVING the delta, against a persisted
+    ``build_simhash_index`` table — ``lsh_candidates_incremental``'s
+    contract for the simhash family: sign and band ONLY ``new_docs``,
+    then
+
+    - delta x index: equi-join on (band, chunk) against ONLY the index
+      partitions the delta hashes into (pb values collected from the
+      checkpointed delta -> one manifest read -> file list), delta side
+      broadcast so the index side streams map-side; Hamming verify uses
+      the signatures stored IN the index rows — no corpus join;
+    - delta x delta: the usual pigeonhole self-join over the same
+      checkpointed banding.
+
+    Returns exactly the pairs a full ``simhash_wide_banded_pairs`` over
+    (corpus + delta) would emit that touch at least one delta doc
+    (parity-tested; the pigeonhole completeness guarantee holds
+    per-pair, so restricting one side to the delta loses nothing).
+    Delta ids must be disjoint from indexed ids. Commit the delta
+    afterwards with ``append_simhash_index``."""
+    m = _checked_simhash_manifest(path)
+    id_col = m.meta["id_col"]
+    mh = int(m.meta["max_hamming"])
+    n_subparts = int(m.meta["n_subparts"])
+    sigs = simhash_signatures_wide(new_docs, m.meta["text_col"], id_col)
+    # one banding feeds three consumers (pb probe, index join, both
+    # sides of the delta self-join) — materialize once; deltas are
+    # small by the operator's premise
+    delta = _with_pb(
+        simhash_wide_banded(sigs, id_col, max_hamming=mh),
+        mh + 1,
+        n_subparts,
+        bucket_col="chunk",
+    ).localCheckpoint(eager=True)
+    probe_pbs = [r["pb"] for r in delta.select("pb").distinct().collect()]
+    files = m.files_for(probe_pbs)
+    if files:
+        idx = (
+            spark.read.option("basePath", str(m.root))
+            .parquet(*files)
+            .select(
+                F.col(id_col).alias("_idx_id"),
+                F.col("sim_hi").alias("_idx_hi"),
+                F.col("sim_lo").alias("_idx_lo"),
+                "band",
+                "chunk",
+            )
+        )
+        ham = hamming64(F.col("sim_hi"), F.col("_idx_hi")) + hamming64(
+            F.col("sim_lo"), F.col("_idx_lo")
+        )
+        cross = (
+            F.broadcast(delta.select(id_col, "sim_hi", "sim_lo", "band", "chunk"))
+            .join(idx, ["band", "chunk"])
+            .filter(F.col(id_col) != F.col("_idx_id"))
+            .select(
+                F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= mh)
+        )
+    else:  # a fresh index with no data at all: only delta-delta pairs
+        cross = None
+    within = _banded_wide_pairs(delta, id_col, max_hamming=mh)
+    pairs = within if cross is None else cross.unionByName(within)
+    return pairs.distinct()
+
+
+def append_simhash_index(new_docs: DataFrame, path: str) -> None:
+    """Commit a delta into the persisted simhash index: sign and band
+    the new docs with the manifest's PINNED ``max_hamming``, append
+    into the existing pb partitions, publish a new manifest version
+    (atomic ``_HEAD`` swap). Cost is one scan + write of the delta."""
+    m = _checked_simhash_manifest(path)
+    sigs = simhash_signatures_wide(new_docs, m.meta["text_col"], m.meta["id_col"])
+    banded = simhash_wide_banded(
+        sigs, m.meta["id_col"], max_hamming=int(m.meta["max_hamming"])
+    )
+    _with_pb(
+        banded,
+        int(m.meta["max_hamming"]) + 1,
+        int(m.meta["n_subparts"]),
+        bucket_col="chunk",
+    ).write.partitionBy("pb").mode("append").parquet(path)
+    from .index_store import IndexManifest
+
+    IndexManifest.commit(path, "pb", meta=m.meta)
