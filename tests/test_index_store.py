@@ -510,3 +510,119 @@ def test_simhash_index_refuses_wrong_kind(spark, tmp_path):
     dedup.build_simhash_index(docs, sh, "text", "doc_id", n_subparts=16)
     with pytest.raises(ValueError, match="not a banded-minhash"):
         dedup.lsh_candidates_incremental(spark, docs, sh)
+
+
+def _emb_neardup_corpus(spark):
+    """sf0.001 embeddings + two planted scaled-duplicate families:
+    x2.0 copies of vec_id%5==0 at +1e8, x3.0 copies of vec_id%10==0
+    at +2e8 — scaling preserves direction, so every planted pair has
+    cosine 1.0 and identical sign bits in every band."""
+    e = _embeddings(spark).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    p1 = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    p2 = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 200_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    return e.unionByName(p1).unionByName(p2)
+
+
+def test_emb_lsh_index_incremental_parity(spark, tmp_path):
+    """The embedding member of the incremental contract: banding only
+    the DELTA against a persisted banded embedding-LSH index must emit
+    exactly the cosine>=tau pairs the full banded_lsh_candidates +
+    embedding_near_dups pipeline emits over (corpus + delta) that touch
+    the delta — across TWO increments, cosines bit-identical (one
+    verify code path on both sides)."""
+    corpus = _emb_neardup_corpus(spark).cache()
+    cands = similarity.banded_lsh_candidates(corpus, dim=64, n_bands=4, bits_per_band=8)
+    full = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.embedding_near_dups(
+            corpus, tau=0.99, candidates=cands
+        ).collect()
+    }
+
+    def in_d1(i):
+        return 100_000_000 <= i < 100_000_250 or 200_000_000 <= i < 200_000_250
+
+    def in_d2(i):
+        return 100_000_250 <= i < 200_000_000 or i >= 200_000_250
+
+    old = corpus.filter(F.col("vec_id") < 100_000_000)
+    delta1 = corpus.filter(
+        (F.col("vec_id") % 100_000_000 < 250) & (F.col("vec_id") >= 100_000_000)
+    )
+    delta2 = corpus.filter(F.col("vec_id") % 100_000_000 >= 250)
+    idx = str(tmp_path / "emb_lsh")
+    similarity.build_emb_lsh_index(old, idx, dim=64, n_subparts=16)
+
+    got1 = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.emb_near_dups_incremental(
+            spark, delta1, idx, tau=0.99
+        ).collect()
+    }
+    want1 = {
+        (a, b, c)
+        for a, b, c in full
+        if (in_d1(a) or in_d1(b)) and not (in_d2(a) or in_d2(b))
+    }
+    assert got1 == want1 and len(want1) >= 75
+
+    v1 = IndexManifest.load(idx).version
+    similarity.append_emb_lsh_index(delta1, idx)
+    assert IndexManifest.load(idx).version == v1 + 1
+
+    got2 = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.emb_near_dups_incremental(
+            spark, delta2, idx, tau=0.99
+        ).collect()
+    }
+    want2 = {(a, b, c) for a, b, c in full if in_d2(a) or in_d2(b)}
+    corpus.unpersist()
+    assert got2 == want2 and len(want2) >= 75
+
+
+def test_emb_lsh_index_prunes_and_refuses_wrong_kind(spark, tmp_path):
+    import pytest
+
+    corpus = _emb_neardup_corpus(spark)
+    idx = str(tmp_path / "emb_prune")
+    similarity.build_emb_lsh_index(
+        corpus.filter(F.col("vec_id") < 100_000_000), idx, dim=64, n_subparts=64
+    )
+    delta = corpus.filter(F.col("vec_id") >= 200_000_450)  # 5 vectors
+    pairs = similarity.emb_near_dups_incremental(spark, delta, idx, tau=0.99)
+    pairs.collect()
+    m = IndexManifest.load(idx)
+
+    def norm(p: str) -> str:
+        p = p.removeprefix("file:")
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+
+    read = {norm(p) for p in pairs.inputFiles()}
+    allowed = {norm(p) for p in m.files_for(sorted(m.partitions))}
+    assert read <= allowed  # index files only (delta side is a checkpoint)
+    assert 0 < len(read) < m.n_files() / 2, (len(read), m.n_files())
+
+    with pytest.raises(ValueError, match="no embedding LSH index manifest"):
+        similarity.emb_near_dups_incremental(spark, delta, str(tmp_path / "nope"))
+    # occupancy-drift trigger: fires once the corpus outgrows the
+    # build's per-band bits (8 -> lsh_bits_for(10_000_000) > 8)
+    assert not similarity.emb_lsh_index_needs_reindex(idx, 1000)
+    assert similarity.emb_lsh_index_needs_reindex(idx, 10_000_000)
+    # a simhash text index is refused by the embedding probe
+    docs = synth_documents(spark, 50, dup_frac=0.10)
+    sh = str(tmp_path / "sim_for_emb")
+    dedup.build_simhash_index(docs, sh, "text", "doc_id", n_subparts=16)
+    with pytest.raises(ValueError, match="not a banded embedding-LSH"):
+        similarity.emb_near_dups_incremental(spark, delta, sh)

@@ -400,16 +400,39 @@ def banded_lsh_candidates(
     exact-direction duplicates are never lost."""
     from .dedup import bucket_pairs
 
+    banded = emb_banded(embeddings, dim, n_bands, bits_per_band, id_col, vec_col)
+    return bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket, materialize)
+
+
+def emb_banded(
+    embeddings: DataFrame,
+    dim: int,
+    n_bands: int,
+    bits_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Explode an embedding table into its banded hyperplane-LSH
+    ``(band, bucket)`` rows (md5-derived planes — engine-portable and
+    fully determined by ``(dim, n_bands, bits_per_band)``). Shared by
+    the self-join candidate search (``banded_lsh_candidates``) and the
+    persisted index (``build_emb_lsh_index`` /
+    ``emb_near_dups_incremental``) so the two sides of an incremental
+    join can never band with different planes. ``keep_vec=True``
+    carries the vector through (the index stores it per band row so
+    incremental verifies never join back to the corpus)."""
     all_planes = md5_hyperplanes(dim, n_bands * bits_per_band)
     bands = []
     for b in range(n_bands):
         planes = all_planes[b * bits_per_band : (b + 1) * bits_per_band]
         bucket = lsh_bucket_col(F.col(vec_col), planes)
         bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-    banded = embeddings.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
-    return bucket_pairs(banded, id_col, ["band", "bucket"], max_bucket, materialize)
+    cols = [F.col(id_col)] + ([F.col(vec_col)] if keep_vec else [])
+    out = [id_col] + ([vec_col] if keep_vec else []) + ["bb.band", "bb.bucket"]
+    return embeddings.select(*cols, F.explode(F.array(*bands)).alias("bb")).select(
+        *out
+    )
 
 
 def ivf_assign(
@@ -779,3 +802,192 @@ def ivf_topk_indexed(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def _checked_emb_lsh_manifest(path: str):
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(
+            f"no embedding LSH index manifest at {path} — build with "
+            "build_emb_lsh_index first (banding a delta against a bare "
+            "tree could silently use different hyperplanes)"
+        )
+    missing = [
+        k
+        for k in ("kind", "dim", "n_bands", "bits_per_band", "id_col", "vec_col", "n_subparts")
+        if k not in m.meta
+    ]
+    if m.key != "pb" or missing or m.meta.get("kind") != "emb_lsh_banded":
+        raise ValueError(
+            f"index at {path} is not a banded embedding-LSH index "
+            f"(manifest key={m.key!r}, kind={m.meta.get('kind')!r}, "
+            f"missing meta {missing})"
+        )
+    return m
+
+
+def build_emb_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subparts: int = 64,
+) -> None:
+    """Persist the banded hyperplane-LSH table — the intermediate of
+    ``banded_lsh_candidates`` — as a ``pb``-partitioned parquet table
+    under an ``IndexManifest``: the incremental-index pattern
+    (``build_lsh_text_index`` / ``build_simhash_index``) applied to
+    the EMBEDDING near-dup family, so a crawl delta's near-dups cost
+    one delta projection instead of re-bucketing the whole corpus.
+
+    Each band row stores the full vector alongside its
+    ``(band, bucket)`` — an ``n_bands``-fold storage multiplication,
+    deliberately: the incremental cosine verify then reads partner
+    vectors from the SAME pb-pruned files its band join touches,
+    never the corpus table (a join back to an id-keyed corpus would
+    re-introduce a corpus-proportional scan, the cost this index
+    exists to delete; n_bands=4 x an embedding column is the price).
+    ``pb = band * n_subparts + (bucket mod n_subparts)`` gives the
+    delta-proportional prune; the planes are pinned by
+    ``(dim, n_bands, bits_per_band)`` in the manifest — md5-derived,
+    so pinning the three ints pins the geometry. Size
+    ``bits_per_band`` with ``lsh_bits_for`` at build time and rebuild
+    when ``emb_lsh_index_needs_reindex`` fires."""
+    from .dedup import _with_pb
+
+    banded = emb_banded(
+        embeddings, dim, n_bands, bits_per_band, id_col, vec_col, keep_vec=True
+    )
+    _with_pb(banded, n_bands, n_subparts, bucket_col="bucket").write.partitionBy(
+        "pb"
+    ).mode("overwrite").parquet(path)
+    IndexManifest.commit(
+        path,
+        "pb",
+        meta={
+            "kind": "emb_lsh_banded",
+            "dim": dim,
+            "n_bands": n_bands,
+            "bits_per_band": bits_per_band,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_subparts": n_subparts,
+        },
+    )
+
+
+def emb_near_dups_incremental(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    tau: float = 0.95,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cosine >= ``tau`` near-dup pairs INVOLVING the delta, against a
+    persisted ``build_emb_lsh_index`` table — the embedding member of
+    the incremental family (minhash: ``lsh_candidates_incremental``,
+    simhash: ``simhash_candidates_incremental``): project and band
+    ONLY ``new_embeddings`` with the manifest's pinned planes, then
+
+    - delta x index: equi-join on (band, bucket) against only the pb
+      partitions the delta hashes into (one manifest read -> file
+      list), delta side broadcast;
+    - delta x delta: ``bucket_pairs`` over the same checkpointed
+      banding.
+
+    Both candidate sets hydrate through ONE verify path —
+    ``dedup.embedding_near_dups(candidates=...)`` over the union of
+    the delta's vectors and the vectors stored in the scanned index
+    rows (every cross partner lives in a scanned file by
+    construction) — so incremental cosines are bit-identical to the
+    full pipeline's. Returns exactly the pairs
+    ``banded_lsh_candidates`` + ``embedding_near_dups`` over
+    (corpus + delta) would emit that touch at least one delta vector
+    (parity-tested). Delta ids must be disjoint from indexed ids.
+    Commit the delta afterwards with ``append_emb_lsh_index``."""
+    from .dedup import _with_pb, bucket_pairs, embedding_near_dups
+
+    m = _checked_emb_lsh_manifest(path)
+    id_col, vec_col = m.meta["id_col"], m.meta["vec_col"]
+    n_bands, n_subparts = int(m.meta["n_bands"]), int(m.meta["n_subparts"])
+    banded = emb_banded(
+        new_embeddings,
+        int(m.meta["dim"]),
+        n_bands,
+        int(m.meta["bits_per_band"]),
+        id_col,
+        vec_col,
+        keep_vec=True,
+    )
+    # one banding feeds four consumers (pb probe, vector hydration,
+    # index join, delta self-join) — materialize once; deltas are
+    # small by the operator's premise
+    delta = _with_pb(banded, n_bands, n_subparts, bucket_col="bucket").localCheckpoint(
+        eager=True
+    )
+    probe_pbs = [r["pb"] for r in delta.select("pb").distinct().collect()]
+    files = m.files_for(probe_pbs)
+    vectors = delta.select(id_col, vec_col).dropDuplicates([id_col])
+    within = bucket_pairs(
+        delta.select(id_col, "band", "bucket"), id_col, ["band", "bucket"], max_bucket
+    )
+    if files:
+        idx = spark.read.option("basePath", str(m.root)).parquet(*files)
+        cross = (
+            F.broadcast(delta.select(id_col, "band", "bucket"))
+            .join(
+                idx.select(F.col(id_col).alias("_idx_id"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col(id_col) != F.col("_idx_id"))
+            .select(
+                F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+            )
+        )
+        cands = cross.unionByName(within).distinct()
+        vectors = vectors.unionByName(
+            idx.select(id_col, vec_col).dropDuplicates([id_col])
+        )
+    else:  # a fresh index with no data at all: only delta-delta pairs
+        cands = within
+    return embedding_near_dups(vectors, id_col, vec_col, tau, candidates=cands)
+
+
+def append_emb_lsh_index(new_embeddings: DataFrame, path: str) -> None:
+    """Commit a delta into the persisted embedding-LSH index: band the
+    new vectors with the manifest's PINNED planes, append into the
+    existing pb partitions, publish a new manifest version (atomic
+    ``_HEAD`` swap). Cost is one scan + write of the delta."""
+    from .dedup import _with_pb
+
+    m = _checked_emb_lsh_manifest(path)
+    banded = emb_banded(
+        new_embeddings,
+        int(m.meta["dim"]),
+        int(m.meta["n_bands"]),
+        int(m.meta["bits_per_band"]),
+        m.meta["id_col"],
+        m.meta["vec_col"],
+        keep_vec=True,
+    )
+    _with_pb(
+        banded, int(m.meta["n_bands"]), int(m.meta["n_subparts"]), bucket_col="bucket"
+    ).write.partitionBy("pb").mode("append").parquet(path)
+    IndexManifest.commit(path, "pb", meta=m.meta)
+
+
+def emb_lsh_index_needs_reindex(
+    path: str, n_vecs_total: int, target_occupancy: int = 8
+) -> bool:
+    """Occupancy-drift re-index trigger for the banded embedding index
+    (the ``ann_index_needs_reindex`` rule applied per band): once the
+    grown corpus would size to more bits than the build's
+    ``bits_per_band``, expected bucket occupancy — and with it the
+    candidate count per delta row — has drifted >= 2x past target;
+    rebuild with ``bits_per_band=lsh_bits_for(n_total)``."""
+    m = _checked_emb_lsh_manifest(path)
+    return lsh_bits_for(n_vecs_total, target_occupancy) > int(m.meta["bits_per_band"])
