@@ -59,10 +59,11 @@ def _ann_index_bits(n_vecs: int) -> int:
     return max(4, min(12, math.ceil(math.log2(max(n_vecs, 2) / 256))))
 
 
-DELTA_DOCS = 60  # fixed-size crawl delta for the incremental leg
+DELTA_DOCS = 60  # fixed-size crawl delta for the incremental text legs
+DELTA_VECS = 20  # fixed-size delta for the incremental embedding leg
 
 
-def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str, str]:
+def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
     """Generate-once parquet corpora (and the persisted ANN + LSH-text
     indexes) so every timed query starts from a real columnar scan —
     generation and index-build cost excluded from query timings (the
@@ -117,16 +118,49 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> tuple[str, str, str
             5,
             n_subparts=subparts,
         )
-    return str(docs), str(vecs), str(idx), str(lsh_idx)
+    sim_idx = root / f"docs_{n_docs}_sim{subparts}"
+    if IndexManifest.load(sim_idx) is None:
+        dedup.build_simhash_index(
+            spark.read.parquet(str(docs)).filter(
+                FF.col("doc_id") < n_docs - DELTA_DOCS
+            ),
+            str(sim_idx),
+            "text",
+            "doc_id",
+            n_subparts=subparts,
+        )
+    emb_bits = similarity.lsh_bits_for(n_vecs)
+    emb_sub = dedup.lsh_subparts_for(n_vecs, rows_per_part=2500)
+    emb_idx = root / f"vecs_{n_vecs}_emblsh{emb_bits}_{emb_sub}"
+    if IndexManifest.load(emb_idx) is None:
+        similarity.build_emb_lsh_index(
+            spark.read.parquet(str(vecs)).filter(
+                FF.col("vec_id") < n_vecs - DELTA_VECS
+            ),
+            str(emb_idx),
+            dim=DIM,
+            n_bands=4,
+            bits_per_band=emb_bits,
+            n_subparts=emb_sub,
+        )
+    return {
+        "docs": str(docs),
+        "vecs": str(vecs),
+        "ann": str(idx),
+        "lsh": str(lsh_idx),
+        "sim": str(sim_idx),
+        "emb": str(emb_idx),
+    }
 
 
-def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, lsh_idx_path: str, n_docs: int, n_vecs: int):
+def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
     """The flagship near-dup pipelines, parameterized exactly like the
     driver headline queries (16 minhashes / 4x4 bands, jaccard >= 0.5,
     simhash hamming <= 6 via 7-band pigeonhole, 4x8 hyperplane LSH +
     cosine >= 0.99)."""
-    docs = spark.read.parquet(docs_path)
-    vecs = spark.read.parquet(vecs_path)
+    docs = spark.read.parquet(paths["docs"])
+    vecs = spark.read.parquet(paths["vecs"])
+    idx_path, lsh_idx_path = paths["ann"], paths["lsh"]
 
     def exact_dedup_groups():
         fp = docs.select("doc_id", analysis.fingerprint(F.col("text")).alias("fp"))
@@ -211,6 +245,22 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, lsh_idx_path:
             vecs, n_cells=16, n_iters=3, seed=7, dim=DIM, tol=0.0
         )
 
+    def simhash_incremental():
+        # the simhash twin of lsh_incremental: the fixed delta is
+        # signed/banded alone and Hamming-verified against signatures
+        # stored in the pb-pruned index rows
+        delta = docs.filter(F.col("doc_id") >= n_docs - DELTA_DOCS)
+        return dedup.simhash_candidates_incremental(spark, delta, paths["sim"])
+
+    def emb_incremental():
+        # the embedding member: 20 new vectors banded with the
+        # manifest's pinned planes, verified against vectors stored in
+        # the scanned band rows — no corpus re-projection
+        delta = vecs.filter(F.col("vec_id") >= n_vecs - DELTA_VECS)
+        return similarity.emb_near_dups_incremental(
+            spark, delta, paths["emb"], tau=0.99
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -222,6 +272,8 @@ def _queries(spark, docs_path: str, vecs_path: str, idx_path: str, lsh_idx_path:
         "ann_probe_indexed": ann_probe_indexed,
         "ivf_train_c16": ivf_train,
         "lsh_incremental_d60": lsh_incremental,
+        "simhash_incremental_d60": simhash_incremental,
+        "emb_incremental_d20": emb_incremental,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -245,17 +297,17 @@ def main() -> None:
 
     # untimed warmup leg at 1/10 scale: JVM + codegen + parquet reader
     nwd, nwv = max(200, base_docs // 10), max(100, base_vecs // 10)
-    wd, wv, wi, wl = _corpora(spark, root, nwd, nwv)
-    for fn in _queries(spark, wd, wv, wi, wl, nwd, nwv).values():
+    wp = _corpora(spark, root, nwd, nwv)
+    for fn in _queries(spark, wp, nwd, nwv).values():
         res = fn()
         _ = len(res) if isinstance(res, list) else res.count()
 
     results: dict[int, dict[str, dict[str, float]]] = {}
     for f in factors:
-        dp, vp, ip, lp = _corpora(spark, root, base_docs * f, base_vecs * f)
+        fp = _corpora(spark, root, base_docs * f, base_vecs * f)
         results[f] = {}
         for name, fn in _queries(
-            spark, dp, vp, ip, lp, base_docs * f, base_vecs * f
+            spark, fp, base_docs * f, base_vecs * f
         ).items():
             t0 = time.monotonic()
             res = fn()
@@ -348,6 +400,15 @@ def main() -> None:
         "full-rebuild twin (`minhash_lsh_pairs`, which re-signs every",
         "historical document) grows linearly forever. The widening gap",
         "between those two rows IS the incremental-maintenance saving.",
+        "",
+        "`simhash_incremental_d60` and `emb_incremental_d20` are the same",
+        "contract for the other two near-dup families (persisted",
+        "`build_simhash_index` / `build_emb_lsh_index` trees, the same",
+        "pb-pruned manifest-resolved delta joins; both parity-tested",
+        "against their full-rebuild pipelines in",
+        "`tests/test_index_store.py`) — with these legs every near-dup",
+        "family has a measured delta-proportional incremental path, vs",
+        "its full-rebuild twin directly above in the table.",
         "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
