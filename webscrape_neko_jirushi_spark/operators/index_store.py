@@ -107,15 +107,90 @@ class IndexManifest:
 
     # -- write side ---------------------------------------------------------
     @staticmethod
-    def commit(path: str | Path, key: str, meta: dict | None = None) -> "IndexManifest":
-        """Snapshot the current partition tree into a new manifest
-        version and atomically swap ``_HEAD`` to it.
+    def _disk_files(root: Path, key: str, values=None) -> dict[str, list[str]]:
+        """Current on-disk data files per partition value (the walk
+        ``commit`` snapshots); restricted to ``values`` when given."""
+        partitions: dict[str, list[str]] = {}
+        prefix = f"{key}="
+        wanted = None if values is None else {str(v) for v in values}
+        for d in sorted(root.iterdir()):
+            if not d.is_dir() or not d.name.startswith(prefix):
+                continue
+            value = d.name[len(prefix):]
+            if wanted is not None and value not in wanted:
+                continue
+            files = sorted(
+                str(f.relative_to(root))
+                for f in d.iterdir()
+                if f.is_file()
+                and f.suffix == ".parquet"
+                and not f.name.startswith((".", "_"))
+            )
+            if files:
+                partitions[value] = files
+        return partitions
 
-        Called once per build/overwrite and once per append — the
-        enumeration walks only this index's tree, at write time. The
-        file set is re-listed from scratch (not diffed), so a commit is
-        always consistent with the tree regardless of how the writer
-        got it there (overwrite, append, compaction).
+    @staticmethod
+    def all_referenced_files(path: str | Path) -> set[str]:
+        """Union of every remaining manifest version's file lists —
+        the liveness set ``vacuum`` protects and the baseline
+        ``uncommitted_files`` diffs against."""
+        root = IndexManifest._local_root(path)
+        mdir = root / "_manifests"
+        live: set[str] = set()
+        for mp in sorted(mdir.glob("v*.json")) if mdir.is_dir() else []:
+            with open(mp) as f:
+                m = json.load(f)
+            for files in m["partitions"].values():
+                live.update(files)
+        return live
+
+    @staticmethod
+    def uncommitted_files(path: str | Path, key: str, values) -> dict[str, list[str]]:
+        """Per-partition files currently on disk in ``values`` that NO
+        manifest version references — i.e. exactly what a just-finished
+        append wrote there. The building block of a copy-on-write
+        partition REWRITE: write replacement rows with mode=append
+        (part-file names are unique, nothing collides), resolve them
+        here, then ``commit`` an explicit partitions dict in which the
+        rewritten values list only these files. Same caveat as
+        ``commit``'s re-list: run ``vacuum`` after a KILLED append, or
+        its stray files would be adopted as if they were the rewrite."""
+        root = IndexManifest._local_root(path)
+        live = IndexManifest.all_referenced_files(root)
+        on_disk = IndexManifest._disk_files(root, key, values)
+        return {
+            v: fresh
+            for v, files in on_disk.items()
+            if (fresh := [f for f in files if f not in live])
+        }
+
+    @staticmethod
+    def commit(
+        path: str | Path,
+        key: str,
+        meta: dict | None = None,
+        partitions: dict[str, list[str]] | None = None,
+    ) -> "IndexManifest":
+        """Publish a new manifest version and atomically swap ``_HEAD``
+        to it.
+
+        With ``partitions=None`` (build/append): snapshot the current
+        partition tree — the enumeration walks only this index's tree,
+        at write time, and the file set is re-listed from scratch (not
+        diffed), so the commit is always consistent with the tree
+        regardless of how the writer got it there (overwrite, append,
+        compaction).
+
+        With an explicit ``partitions`` dict (relative file paths per
+        partition value): commit exactly that file set — the
+        copy-on-write form for partition REWRITES. Files a previous
+        version references but this dict omits are NOT deleted: older
+        manifest versions keep resolving them (time travel), and they
+        become reclaimable by ``vacuum`` once ``expire_versions``
+        drops the last version naming them. Callers build the dict as
+        ``prev.partitions`` with the rewritten values' lists replaced
+        by ``uncommitted_files(...)``.
 
         Local paths only (see ``_local_root``).
 
@@ -129,21 +204,8 @@ class IndexManifest:
         real Iceberg adds optimistic-locking commits for this.
         """
         root = IndexManifest._local_root(path)
-        partitions: dict[str, list[str]] = {}
-        prefix = f"{key}="
-        for d in sorted(root.iterdir()):
-            if not d.is_dir() or not d.name.startswith(prefix):
-                continue
-            value = d.name[len(prefix):]
-            files = sorted(
-                str(f.relative_to(root))
-                for f in d.iterdir()
-                if f.is_file()
-                and f.suffix == ".parquet"
-                and not f.name.startswith((".", "_"))
-            )
-            if files:
-                partitions[value] = files
+        if partitions is None:
+            partitions = IndexManifest._disk_files(root, key)
 
         prev = IndexManifest.load(root)
         version = (prev.version if prev else 0) + 1
@@ -226,14 +288,12 @@ class IndexManifest:
 
         root = IndexManifest._local_root(path)
         mdir = root / "_manifests"
-        live: set[str] = set()
+        live = IndexManifest.all_referenced_files(root)
         key = None
         for mp in sorted(mdir.glob("v*.json")) if mdir.is_dir() else []:
             with open(mp) as f:
-                m = json.load(f)
-            key = m["key"]
-            for files in m["partitions"].values():
-                live.update(files)
+                key = json.load(f)["key"]
+            break
         if key is None:
             raise ValueError(
                 f"vacuum: no manifest versions at {path} — vacuuming a "
