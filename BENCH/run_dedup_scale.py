@@ -322,7 +322,9 @@ def main() -> None:
     lines = [
         "# BENCH/DEDUP_SCALE.md — near-dup family scale-growth evidence",
         "",
-        f"Generated {stamp} by `SPARK_GRAFT_CPUS={cpus} python BENCH/run_dedup_scale.py`",
+        f"Generated {stamp} by `SPARK_GRAFT_CPUS={cpus} "
+        f"DEDUP_SCALE_FACTORS={','.join(str(f) for f in factors)} "
+        "python BENCH/run_dedup_scale.py`",
         f"(local[{cpus}], 64 shuffle partitions, one session, untimed warmup leg).",
         "",
         "Deterministic synthetic corpora (`sources/synth_corpus.py`) with a",
