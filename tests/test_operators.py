@@ -451,3 +451,94 @@ def test_hot_bucket_star_cap_bounds_pairs_and_keeps_clusters(spark):
     # uncapped semantics unchanged (exhaustive pairs inside the bucket)
     uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
     assert uncapped.count() >= 300 * 299 // 2
+
+
+def test_ivf_train_centroids_matches_duckdb_lloyd(spark):
+    """Differential check of the DISTRIBUTED part of k-means training
+    (X10): inject the same deterministic init (the driver-side
+    _sample_for_init + _greedy_spread helpers are shared by
+    construction) and unroll two Lloyd rounds in DuckDB SQL — assign =
+    argmax of ROUND(cosine, 9) with ties to the lowest cell (exactly
+    ivf_assign's contract), update = per-dim AVG with empty cells
+    keeping their previous centroid. Final centroids must agree
+    coordinate-for-coordinate at 6 decimals (the only legitimate
+    divergence is double summation order inside AVG)."""
+    import duckdb
+
+    from webscrape_neko_jirushi_spark.operators.similarity import (
+        _greedy_spread,
+        _sample_for_init,
+        ivf_train_centroids,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_cells, n_iters, seed, dim = 4, 2, 7, 64
+
+    got_cents = ivf_train_centroids(
+        e, n_cells, n_iters=n_iters, seed=seed, tol=0.0
+    )
+    got = {
+        (cid, d): round(x, 6)
+        for cid, c in enumerate(got_cents)
+        for d, x in enumerate(c, start=1)
+    }
+
+    init = _greedy_spread(
+        _sample_for_init(e, 8 * n_cells, seed, "vec_id", "embedding"), n_cells
+    )
+    init_values = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in c)}])"
+        for cid, c in enumerate(init)
+    )
+    cos = (
+        "(list_aggregate(list_transform(range(1, 65), i -> m.e[i] * c.c[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(range(1, 65), i -> m.e[i] * m.e[i]), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(range(1, 65), i -> c.c[i] * c.c[i]), 'sum'))))"
+    )
+    avg_list = "[" + ", ".join(f"avg(e[{i}])" for i in range(1, dim + 1)) + "]"
+
+    def assign(cents: str) -> str:
+        return f"""
+          SELECT vec_id, e, cid FROM (
+            SELECT m.vec_id, m.e, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                     ORDER BY ROUND({cos}, 9) DESC, c.cid) AS rn
+            FROM emb m CROSS JOIN {cents} c
+          ) t WHERE rn = 1
+        """
+
+    def update(prev: str, assigned: str) -> str:
+        return f"""
+          SELECT p.cid, COALESCE(u.c, p.c) AS c
+          FROM {prev} p LEFT JOIN (
+            SELECT cid, {avg_list} AS c FROM {assigned} GROUP BY cid
+          ) u USING (cid)
+        """
+
+    sql = f"""
+      WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+      ),
+      c0(cid, c) AS (VALUES {init_values}),
+      a1 AS ({assign('c0')}),
+      c1 AS ({update('c0', 'a1')}),
+      a2 AS ({assign('c1')}),
+      c2 AS ({update('c1', 'a2')})
+      SELECT cid, d.i AS dim, ROUND(c[d.i], 6) AS coord
+      FROM c2, range(1, 65) d(i)
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = {
+        (int(cid), int(d)): float(coord)
+        for cid, d, coord in con.execute(sql).fetchall()
+    }
+    assert got == want
+    # and the rounds actually moved the centroids off the init
+    assert any(
+        abs(init[cid][d - 1] - got[(cid, d)]) > 1e-6 for (cid, d) in got
+    )
