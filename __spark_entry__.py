@@ -1279,6 +1279,17 @@ _MINHASH_HS_SQL = f"""list_transform({_SHINGLES}, s -> struct_pack(
         h1 := CAST(CONCAT('0x', substr(md5(s), 1, 12)) AS BIGINT),
         h2 := CAST(CONCAT('0x', substr(md5(s), 13, 12)) AS BIGINT) | 1)) AS hs"""
 
+# DuckDB twin of dedup.simhash_signatures (one md5 per token, 60
+# majority counters): shared between the simhash_near_dups oracle
+# below and tests/test_fuzz_simhash.py, so the fuzz leg indicts the
+# exact expression the driver gate runs.
+_SIMHASH_SQL = f"""list_aggregate(list_transform(range(0, 60), i ->
+          CASE WHEN 2 * length(list_filter(
+                 list_transform({_WORDS}, w -> CAST(CONCAT('0x', substr(md5(w), 1, 15)) AS BIGINT)),
+                 h -> (h >> i) & 1 = 1))
+               > length({_WORDS})
+               THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), 'sum')"""
+
 
 @q(
     "minhash_signatures",
@@ -1429,13 +1440,7 @@ def q_near_dup_clusters(spark, sf_dir):
     "simhash_near_dups",
     f"""
     WITH sh AS (
-      SELECT doc_id,
-        list_aggregate(list_transform(range(0, 60), i ->
-          CASE WHEN 2 * length(list_filter(
-                 list_transform({_WORDS}, w -> CAST(CONCAT('0x', substr(md5(w), 1, 15)) AS BIGINT)),
-                 h -> (h >> i) & 1 = 1))
-               > length({_WORDS})
-               THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
+      SELECT doc_id, {_SIMHASH_SQL} AS simhash
       FROM ({_CORPUS_SQL})
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1534,11 +1539,12 @@ _EMB_LSH_BANDS = 4
 # because the oracle SQL twin must carry the identical constant.
 _EMB_LSH_BITS = 8
 
-@q(
-    "embedding_near_dup_pairs",
-    f"""
-    WITH emb AS ({_EMB_CORPUS_SQL}),
-    planes AS (
+# DuckDB twin of similarity.emb_banded (md5-derived hyperplanes ->
+# 9-decimal-rounded sign bits -> packed band buckets) over an ``emb``
+# CTE of (vec_id, embedding DOUBLE[]): shared between the
+# embedding_near_dup_pairs oracle below and tests/test_fuzz_emblsh.py,
+# so the fuzz leg indicts the exact expression the driver gate runs.
+_EMB_BUCKETS_CTES = f"""planes AS (
       SELECT CAST(p.p // {_EMB_LSH_BITS} AS INTEGER) AS band,
              CAST(p.p % {_EMB_LSH_BITS} AS INTEGER) AS bit,
              CAST(j.dim AS INTEGER) AS dim,
@@ -1555,7 +1561,14 @@ _EMB_LSH_BITS = 8
       SELECT vec_id, band,
         SUM(CASE WHEN ROUND(s, 9) >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS bucket
       FROM proj GROUP BY vec_id, band
-    ),
+    )"""
+
+
+@q(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH emb AS ({_EMB_CORPUS_SQL}),
+    {_EMB_BUCKETS_CTES},
     cands AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM buckets a JOIN buckets b
