@@ -18,6 +18,7 @@ truth (``base_id``), so recall is directly measurable:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from webscrape_neko_jirushi_spark.operators import dedup, similarity
@@ -246,3 +247,52 @@ def test_ivf_training_is_deterministic_and_feeds_the_index(spark, tmp_path):
     indexed = similarity.ivf_topk_indexed(spark, path, qv, c1, k=5, nprobe=2).collect()
     vecs.unpersist()
     assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+
+def test_ivf_subset_training_recovers_planted_clusters(spark):
+    """``train_sample`` (the 100-TB training path: Lloyd over a
+    hash-filtered bounded subset instead of the full corpus) must lose
+    nothing on a clusterable corpus: centroids trained on ~1/4 of the
+    vectors still reach the near-perfect spherical objective and map
+    every planted cluster to exactly one cell. Also pins determinism
+    (same seed -> identical centroids, with and without the ``n_vecs``
+    count-skipping hint) and that the subset really is a subset."""
+    n, c, dim = 2000, 8, 32
+    vecs = synth_clustered_embeddings(spark, n, n_clusters=c, dim=dim).cache()
+    e = vecs.select("vec_id", "embedding")
+
+    sub = similarity.ivf_train_centroids(
+        e, c, n_iters=10, seed=7, train_sample=n // 4
+    )
+    # hinted n_vecs skips the sizing count job but must select the
+    # same threshold, hence the same subset, hence the same centroids
+    sub_hinted = similarity.ivf_train_centroids(
+        e, c, n_iters=10, seed=7, train_sample=n // 4, n_vecs=n
+    )
+    assert sub == sub_hinted
+
+    obj = _mean_assigned_cosine(spark, e, sub)
+    assert obj >= 0.95, obj
+    cells = (
+        similarity.ivf_assign(e, sub)
+        .join(vecs.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster")
+        .agg(F.countDistinct("cell").alias("n_cells"))
+        .collect()
+    )
+    vecs.unpersist()
+    assert len(cells) == c
+    assert all(r["n_cells"] == 1 for r in cells), cells
+
+
+def test_ivf_train_sample_validates_and_bounds(spark):
+    vecs = synth_clustered_embeddings(spark, 300, n_clusters=4, dim=16)
+    e = vecs.select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="train_sample"):
+        similarity.ivf_train_centroids(e, 8, train_sample=4)
+    # train_sample >= corpus degenerates to full-corpus training
+    full = similarity.ivf_train_centroids(e, 4, n_iters=3, seed=5)
+    wide = similarity.ivf_train_centroids(
+        e, 4, n_iters=3, seed=5, train_sample=10_000
+    )
+    assert full == wide

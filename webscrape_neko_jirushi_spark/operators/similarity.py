@@ -585,30 +585,26 @@ def _greedy_spread(sample: list[list[float]], n_cells: int) -> list[list[float]]
     """k-center-style farthest-point init over the (tiny, driver-side)
     sample: start from the sample's first vector, then repeatedly add
     the sample vector whose max cosine to the already-chosen set is
-    smallest. Deterministic (ties by sample order); O(n_cells * |sample|)
-    driver work over at most a few thousand floats — the k-means++
-    spread property without per-step cluster jobs (k-means|| would buy
-    the same quality distributed; overkill for |sample| this small)."""
+    smallest. Deterministic (ties by sample order, numpy argmin takes
+    the first minimum); one matvec per chosen centroid keeps a running
+    max-cosine array, so the sweep is O(n_cells * |sample| * dim)
+    vectorized flops — a few thousand cells over a
+    hundreds-per-cell sample stays sub-second driver work."""
+    import numpy as np
 
-    def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(x * x for x in b)) or 1.0
-        return dot / (na * nb)
-
-    chosen = [sample[0]]
-    chosen_idx = {0}
+    arr = np.asarray(sample, dtype=float)
+    norms = np.linalg.norm(arr, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = arr / norms[:, None]
+    chosen = [0]
+    run = unit @ unit[0]  # max cosine to the chosen set, so far
+    run[0] = np.inf       # never re-pick a chosen vector
     while len(chosen) < min(n_cells, len(sample)):
-        best_i, best_score = None, None
-        for i, v in enumerate(sample):
-            if i in chosen_idx:
-                continue
-            score = max(cos(v, c) for c in chosen)  # closeness to the set
-            if best_score is None or score < best_score:
-                best_i, best_score = i, score
-        chosen.append(sample[best_i])
-        chosen_idx.add(best_i)
-    return chosen
+        i = int(np.argmin(run))
+        chosen.append(i)
+        run = np.maximum(run, unit @ unit[i])
+        run[i] = np.inf
+    return [[float(x) for x in arr[i]] for i in chosen]
 
 
 def ivf_train_centroids(
@@ -621,6 +617,8 @@ def ivf_train_centroids(
     dim: int | None = None,
     init_sample: int | None = None,
     tol: float = 1e-4,
+    train_sample: int | None = None,
+    n_vecs: int | None = None,
 ) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's) centroid training — the
     missing first-class piece of the IVF story: ``build_ivf_index``
@@ -652,7 +650,27 @@ def ivf_train_centroids(
     Per-round cost: one corpus scan + one C x dim aggregate — linear in
     n, measured at 1x/10x/100x in ``BENCH/DEDUP_SCALE.md``. Callers
     looping many rounds over a hot corpus should ``.persist()`` it
-    first; training reads it ``n_iters + 1`` times. The assign stage
+    first; training reads it ``n_iters + 1`` times.
+
+    **``train_sample``** decouples training cost from corpus size — the
+    way production IVF training works (centroids are statistics of the
+    distribution; a bounded sample of a few hundred vectors per cell
+    estimates them as well as the full corpus): when set, Lloyd rounds
+    run over a deterministic pseudo-random subset of ~``train_sample``
+    vectors, selected by a pure hash-threshold FILTER
+    (``xxhash64(id) mod 1e6 < t`` — no global sort, no shuffle, exact
+    same rows on any partitioning; size is binomial around the target,
+    never exact) and pinned with one ``localCheckpoint`` so the
+    ``n_iters + 1`` re-reads scan sample-sized data instead of
+    re-filtering the corpus each round. At 100 TB this is the
+    difference between per-round cost O(train_sample x C) and O(n x C);
+    ``train_sample=256 * n_cells`` is a sound default choice. Pass
+    ``n_vecs`` (the corpus row count, if known) to skip the one count
+    job that sizes the threshold. Default ``None`` trains on the full
+    corpus — exact Lloyd, and what the DuckDB differential twin
+    (tests/test_operators.py) pins coordinate-for-coordinate.
+
+    The assign stage
     auto-selects its form: the JVM literal-expression ``ivf_assign``
     up to 128 cells (zero Python, shares the probe operator), the
     Arrow-batched matmul ``ivf_assign_pandas`` above (the expression
@@ -666,6 +684,27 @@ def ivf_train_centroids(
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     base = embeddings.select(F.col(id_col), F.col(vec_col))
+    if train_sample is not None:
+        if train_sample < n_cells:
+            raise ValueError(
+                f"train_sample={train_sample} < n_cells={n_cells} — "
+                "every cell needs at least one training vector"
+            )
+        if n_vecs is None:
+            n_vecs = base.count()
+        if train_sample < n_vecs:
+            scale = 1_000_000
+            thresh = max(1, math.ceil(scale * train_sample / n_vecs))
+            # seed+1 decorrelates the subset hash from the min-hash
+            # init ordering below (init draws FROM the subset either
+            # way, but the two selections shouldn't share a function)
+            base = base.filter(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1)),
+                    F.lit(scale),
+                )
+                < F.lit(thresh)
+            ).localCheckpoint(eager=True)
     if dim is None:
         first = base.select(vec_col).head()
         if first is None:
