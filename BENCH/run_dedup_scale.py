@@ -245,6 +245,17 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             vecs, n_cells=16, n_iters=3, seed=7, dim=DIM, tol=0.0
         )
 
+    def ivf_train_sub():
+        # the 100-TB training path: same 3 Lloyd rounds, but over a
+        # FIXED ~2048-vector hash-filtered subset (one corpus-scan
+        # filter + localCheckpoint, then sample-sized rounds) — the
+        # per-round cost no longer grows with the corpus, so expected
+        # growth ~ the one filter scan, flatter than ivf_train_c16
+        return similarity.ivf_train_centroids(
+            vecs, n_cells=16, n_iters=3, seed=7, dim=DIM, tol=0.0,
+            train_sample=2048, n_vecs=n_vecs,
+        )
+
     def simhash_incremental():
         # the simhash twin of lsh_incremental: the fixed delta is
         # signed/banded alone and Hamming-verified against signatures
@@ -271,6 +282,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "embedding_near_dups": embedding_near_dups,
         "ann_probe_indexed": ann_probe_indexed,
         "ivf_train_c16": ivf_train,
+        "ivf_train_sub_c16": ivf_train_sub,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,
@@ -370,6 +382,11 @@ def main() -> None:
         "at 1x) is the linear-scaling evidence; none of these pipelines may",
         "approach the quadratic column. Pair/cluster row counts in",
         "parentheses confirm constant duplicate density (rows ~ n).",
+        "Absolute times (and therefore growth ratios, whose 100x leg is",
+        "the longest-exposed) carry the sandbox's external-load variance",
+        "— repeated identical legs vary up to ~2x under host waves (see",
+        "BENCH/BASELINE.md); the claim defended here is the distance to",
+        "the quadratic column, not the exact ratio.",
         "",
         "Scale-path parameterization applied per the operators' own sizing",
         "rules: embedding LSH band width from `similarity.lsh_bits_for(n)`",
@@ -418,7 +435,11 @@ def main() -> None:
         "C x dim partial+final aggregate, plus one constant-size",
         "TakeOrdered init sample — expected growth ~ the size ratio",
         "(row count in parentheses is the centroid count, constant by",
-        "construction).",
+        "construction). `ivf_train_sub_c16` is the 100-TB form of the",
+        "same training (`train_sample=2048`): one hash-threshold filter",
+        "scan + localCheckpoint pins a fixed-size subset, the Lloyd",
+        "rounds then scan sample-sized data — growth should track the",
+        "single filter scan, not rounds x corpus.",
         "",
     ]
     (REPO / "BENCH" / "DEDUP_SCALE.md").write_text("\n".join(lines))
