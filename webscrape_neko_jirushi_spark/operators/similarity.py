@@ -1030,3 +1030,312 @@ def emb_lsh_index_needs_reindex(
     rebuild with ``bits_per_band=lsh_bits_for(n_total)``."""
     m = _checked_emb_lsh_manifest(path)
     return lsh_bits_for(n_vecs_total, target_occupancy) > int(m.meta["bits_per_band"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN. 100 TB of float32
+# embeddings is ~25-100x smaller as PQ codes, which is the difference
+# between "the probe scans object storage" and "the probe scans a
+# table that fits in cluster memory". No reference analog (its only
+# ANN is none at all); standard method per Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI 2011.
+# ---------------------------------------------------------------------------
+
+
+def _pq_check_geometry(dim: int, m: int, ksub: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"pq: dim={dim} not divisible by m={m} subspaces")
+    if not 1 <= ksub <= 256:
+        raise ValueError(f"pq: ksub={ksub} outside [1, 256] (codes are bytes)")
+    return dim // m
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 10,
+    seed: int = 7,
+    train_sample: int = 65_536,
+    n_vecs: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the ``m x ksub`` PQ codebooks (one ksub-center L2 k-means
+    per ``dim/m``-wide subspace) on a bounded hash-sampled subset —
+    PQ codebooks are distribution statistics exactly like IVF
+    centroids, so the ``train_sample`` rationale (and the xxhash64
+    threshold-filter mechanics, seed-decorrelated, ``n_vecs`` hint to
+    skip the sizing count) carries over from ``ivf_train_centroids``;
+    the sample is collected driver-side (id-sorted for determinism —
+    a hash filter returns rows in partition order) and all m Lloyd
+    loops run as seeded numpy, which is how production PQ trainers
+    work: the DISTRIBUTED stage of PQ is encoding the corpus
+    (``pq_encode``), never training the 1-2 MB codebook.
+
+    Vectors are unit-normalized before slicing, so asymmetric L2 over
+    codes ranks like cosine (the family metric) — ``pq_topk`` relies
+    on this. Init per subspace is ``_greedy_spread`` over the first
+    ``8 * ksub`` sample slices; Lloyd assign is argmin squared L2 with
+    ties to the lowest code, empty cells keep their center (the
+    ``ivf_train_centroids`` conventions). Returns
+    ``codebooks[m][ksub][dim/m]``."""
+    import numpy as np
+
+    dsub = _pq_check_geometry(dim, m, ksub)
+    base = embeddings.select(F.col(id_col), F.col(vec_col))
+    if n_vecs is None:
+        n_vecs = base.count()
+    if train_sample < n_vecs:
+        scale = 1_000_000
+        thresh = max(1, math.ceil(scale * train_sample / n_vecs))
+        base = base.filter(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1)),
+                F.lit(scale),
+            )
+            < F.lit(thresh)
+        )
+    rows = base.collect()
+    if len(rows) < ksub:
+        raise ValueError(
+            f"pq_train: only {len(rows)} sampled vectors for ksub={ksub} "
+            "centers — every code needs at least one training vector"
+        )
+    rows.sort(key=lambda r: r[0])
+    v = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if v.shape[1] != dim:
+        raise ValueError(f"pq_train: vectors have dim {v.shape[1]}, expected {dim}")
+    norms = np.linalg.norm(v, axis=1)
+    norms[norms == 0.0] = 1.0
+    v = v / norms[:, None]
+
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = v[:, j * dsub : (j + 1) * dsub]
+        cents = np.asarray(
+            _greedy_spread([list(x) for x in sub[: 8 * ksub]], ksub)
+        )
+        if len(cents) < ksub:  # tiny sample: pad by repeating centers
+            cents = np.vstack([cents] * (ksub // len(cents) + 1))[:ksub]
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first minimum = lowest code
+            new = cents.copy()
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+            if np.allclose(new, cents, rtol=0.0, atol=1e-12):
+                cents = new
+                break
+            cents = new
+        codebooks.append([[float(x) for x in c] for c in cents])
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-center codes — the
+    distributed half of PQ: one Arrow ``mapInPandas`` scan, codebooks
+    shipped once per executor via an explicit broadcast (the
+    ``ivf_assign_pandas`` pattern), one numpy distance matrix per
+    (batch x subspace), no per-row Python. Rows are unit-normalized
+    first (the metric contract from ``pq_train``). Assign contract
+    mirrors ``ivf_assign``: squared distances HALF_UP-rounded to 9
+    decimals, ties to the LOWEST code — pinned against an unrolled
+    DuckDB twin in tests/test_pq.py, so an engine can re-derive the
+    exact same codes from the codebook alone. Output:
+    ``(id_col, code array<smallint> length m)`` — m bytes of payload
+    per vector vs ``4 * dim`` for the float32 embedding."""
+    import numpy as np
+    import pandas as pd
+
+    mlen = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = embeddings.sparkSession
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    bc = spark.sparkContext.broadcast(cb)
+
+    out_schema = T.StructType(
+        [
+            embeddings.select(id_col).schema.fields[0],
+            T.StructField("code", T.ArrayType(T.ShortType())),
+        ]
+    )
+
+    def encode(batches):
+        cbm = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "code": []})
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(v, axis=1)
+            norms[norms == 0.0] = 1.0
+            v = v / norms[:, None]
+            codes = np.empty((n, mlen), dtype=np.int16)
+            for j in range(mlen):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - cbm[j][None, :, :]) ** 2).sum(axis=2)
+                # HALF_UP at 9 decimals (d2 >= 0, so plain floor+0.5),
+                # first minimum = lowest code: the ivf_assign contract
+                q = np.floor(d2 * 1e9 + 0.5)
+                codes[:, j] = q.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "code": [list(c) for c in codes]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_distance_col(
+    code_col, codebooks: list[list[list[float]]], query: list[float]
+):
+    """Asymmetric PQ distance as a pure Column expression: the driver
+    precomputes the ``m x ksub`` table of squared L2 between the
+    normalized query's subvectors and every center, flattens it into
+    one literal array, and the per-row distance is an m-term
+    ``zip_with`` lookup + ``aggregate`` sum — whole-stage-codegen
+    JVM work, no Python at probe time, scanning only the code column
+    (the probe never touches the original embeddings)."""
+    mlen = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if len(query) != mlen * dsub:
+        raise ValueError(
+            f"pq_distance_col: query dim {len(query)} != m*dsub {mlen * dsub}"
+        )
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    q = [x / qn for x in query]
+    flat: list[float] = []
+    for j in range(mlen):
+        sub = q[j * dsub : (j + 1) * dsub]
+        for c in codebooks[j]:
+            flat.append(sum((a - b) ** 2 for a, b in zip(sub, c)))
+    table = F.array(*[F.lit(float(x)) for x in flat])
+    terms = F.zip_with(
+        code_col,
+        F.sequence(F.lit(0), F.lit(mlen - 1)),
+        lambda c, j: F.element_at(table, (j * ksub + c.cast("int") + 1)),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ distance over the code
+    table: ascending distance (equivalent to descending cosine for
+    the unit-normalized corpus), ties by id, TakeOrderedAndProject —
+    the ``cosine_topk`` shape at ~1/32nd the bytes scanned."""
+    return (
+        codes.select(
+            id_col,
+            pq_distance_col(F.col("code"), codebooks, query).alias("pq_dist"),
+        )
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    n_shards: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ codes as a shard-partitioned parquet table
+    under an ``IndexManifest`` with the codebooks pinned in the
+    manifest meta — the ``build_ivf_index`` contract: an append can
+    never encode with different codebooks than the build, and a probe
+    resolves every shard file from ONE manifest read. Shards exist
+    for append/manifest mechanics and write parallelism, not pruning:
+    a PQ probe scans ALL codes by design (that is what the 25-100x
+    compression buys)."""
+    pq_encode(embeddings, codebooks, id_col, vec_col).withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+            "int"
+        ),
+    ).write.partitionBy("shard").mode("overwrite").parquet(path)
+    IndexManifest.commit(
+        path,
+        "shard",
+        meta={
+            "codebooks": [
+                [[float(x) for x in c] for c in book] for book in codebooks
+            ],
+            "n_shards": int(n_shards),
+        },
+    )
+
+
+def append_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental PQ maintenance: encode only the NEW vectors with
+    the manifest's pinned codebooks, append into the existing shard
+    partitions, publish a new manifest version atomically. Codebooks
+    are distribution statistics — after heavy corpus drift, retrain
+    and rebuild (the index is derived data)."""
+    m = _checked_manifest(path, "shard", ["codebooks", "n_shards"])
+    if m is None:
+        raise ValueError(
+            f"append_pq_index: no codebook-bearing manifest at {path} — "
+            "build with build_pq_index first"
+        )
+    pq_encode(embeddings, m.meta["codebooks"], id_col, vec_col).withColumn(
+        "shard",
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")),
+            F.lit(int(m.meta["n_shards"])),
+        ).cast("int"),
+    ).write.partitionBy("shard").mode("append").parquet(path)
+    IndexManifest.commit(path, "shard", meta=m.meta)
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ top-k over a persisted ``build_pq_index`` table: codebooks
+    AND the full shard file list come from one manifest read (no
+    partition-tree listing), then the probe is the same
+    TakeOrderedAndProject over the code column as ``pq_topk``."""
+    m = _checked_manifest(path, "shard", ["codebooks", "n_shards"])
+    if m is None:
+        raise ValueError(f"pq_topk_indexed: no manifest at {path}")
+    if len(query) != len(m.meta["codebooks"]) * len(m.meta["codebooks"][0][0]):
+        raise ValueError(
+            f"pq_topk_indexed: query dim {len(query)} does not match the "
+            "index codebook geometry — probing would rank garbage"
+        )
+    files = m.files_for(m.partitions.keys())
+    if not files:
+        return _empty_probe_result(spark, m, id_col).select(
+            id_col, F.lit(0.0).alias("pq_dist")
+        ).limit(0)
+    codes = spark.read.parquet(*files)
+    return pq_topk(codes, m.meta["codebooks"], query, k, id_col)
