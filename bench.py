@@ -21,6 +21,7 @@ BENCH_SKIP_CRAWL=1 to skip the crawl stage.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -63,7 +64,21 @@ def run_query(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    # Release per-query session state OUTSIDE the timed window: the
+    # materialize=True queries eagerly localCheckpoint their banded
+    # tables and broadcast-hint whole sides; those storage blocks and
+    # broadcast variables are only reclaimed by the ContextCleaner
+    # after the py4j proxies are garbage-collected, which Python does
+    # lazily — left alone they shrink executor execution memory and
+    # measurably degrade every LATER query (r5: tail queries 2-4x
+    # slower in full bench order than standalone). A real long-lived
+    # session has the same lifecycle; the explicit gc is the
+    # benchmark-hygiene equivalent of its idle time.
+    del df
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    return dt
 
 
 def run_crawl(spark, n_pages: int, n_cpus: int) -> dict:
