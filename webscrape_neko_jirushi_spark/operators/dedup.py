@@ -424,13 +424,21 @@ def lsh_candidates_incremental(
     return pairs.distinct()
 
 
-def append_lsh_text_index(new_docs: DataFrame, path: str) -> None:
+def append_lsh_text_index(
+    new_docs: DataFrame, path: str, meta_update: dict | None = None
+) -> None:
     """Commit a delta into the persisted banded-minhash index: band the
     new docs with the manifest's PINNED params, append their files into
     the existing pb partitions, publish a new manifest version (atomic
     ``_HEAD`` swap — concurrent incremental queries see the old or the
     new version, never a torn one). Cost is one scan + write of the
-    delta; the manifest re-list is write-time metadata work."""
+    delta; the manifest re-list is write-time metadata work.
+
+    ``meta_update`` merges extra keys into the manifest meta in the
+    same atomic commit — the streaming layer stores its replay
+    watermark (``last_stream_epoch``) this way, making "delta is in
+    the index" and "epoch is done" one atomic fact (the build params
+    themselves stay pinned: updates may add keys, not reband)."""
     m = _checked_lsh_manifest(path)
     sigs = minhash_signatures(
         new_docs,
@@ -447,7 +455,7 @@ def append_lsh_text_index(new_docs: DataFrame, path: str) -> None:
     ).write.partitionBy("pb").mode("append").parquet(path)
     from .index_store import IndexManifest
 
-    IndexManifest.commit(path, "pb", meta=m.meta)
+    IndexManifest.commit(path, "pb", meta={**m.meta, **(meta_update or {})})
 
 
 def simhash64(text_col, k_tokens_hash_bits: int = 60):
