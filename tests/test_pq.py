@@ -194,3 +194,92 @@ def test_pq_probe_is_jvm_side_and_compressed(spark, corpus):
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pq_topk_matches_duckdb_end_to_end(spark, corpus):
+    """Full-probe differential gate: DuckDB independently re-derives
+    the ENTIRE PQ pipeline from (vectors, codebook literals, query) —
+    normalize -> encode (the pinned HALF_UP/ties-to-lowest contract)
+    -> asymmetric-distance lookup-sum in j-order (mirroring the
+    ``zip_with``/``aggregate`` left fold of ``pq_distance_col``,
+    so double addition associates identically) -> rank asc with
+    vec_id ties — and the two engines must produce the same top-10
+    (ids AND distances). The encode twin above pins the codes; this
+    pins the ADC ranking those codes feed."""
+    import duckdb
+
+    vecs, e, books = corpus
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [
+        (int(r["vec_id"]), float(r["pq_dist"]))
+        for r in similarity.pq_topk(similarity.pq_encode(e, books), books, qv, k=10)
+        .select("vec_id", F.round("pq_dist", 6).alias("pq_dist"))
+        .collect()
+    ]
+
+    dsub = DIM // M
+    # the SAME flattened distance-table doubles pq_distance_col builds
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+    q = [x / qn for x in qv]
+    flat = []
+    for j in range(M):
+        sub = q[j * dsub : (j + 1) * dsub]
+        for c in books[j]:
+            flat.append(sum((a - b) ** 2 for a, b in zip(sub, c)))
+    flat_lit = "[" + ", ".join(repr(float(x)) for x in flat) + "]"
+
+    cb_values = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}])"
+        for j in range(M)
+        for c in range(KSUB)
+    )
+    vec_values = ", ".join(
+        f"({r['vec_id']}, [{', '.join(repr(float(x)) for x in r['embedding'])}])"
+        for r in e.collect()
+    )
+    d2 = (
+        "list_aggregate(list_transform(range(1, %d), i -> "
+        "(n.e[cb.j * %d + i] - cb.c[i]) * (n.e[cb.j * %d + i] - cb.c[i])), 'sum')"
+        % (dsub + 1, dsub, dsub)
+    )
+    rows = duckdb.connect().execute(
+        f"""
+        WITH raw(vec_id, e0) AS (VALUES {vec_values}),
+        dbl AS (
+          SELECT vec_id, list_transform(e0, x -> CAST(x AS DOUBLE)) AS e FROM raw
+        ),
+        n AS (
+          SELECT vec_id, list_transform(e, x -> x /
+            CASE WHEN sqrt(list_aggregate(list_transform(e, y -> y*y), 'sum')) = 0
+                 THEN 1.0
+                 ELSE sqrt(list_aggregate(list_transform(e, y -> y*y), 'sum')) END
+          ) AS e FROM dbl
+        ),
+        cb0(j, code, c0) AS (VALUES {cb_values}),
+        cb AS (
+          SELECT j, code, list_transform(c0, x -> CAST(x AS DOUBLE)) AS c FROM cb0
+        ),
+        scored AS (
+          SELECT n.vec_id, cb.j, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id, cb.j
+                   ORDER BY ROUND({d2}, 9), cb.code) AS rn
+          FROM n CROSS JOIN cb
+        ),
+        codes AS (
+          SELECT vec_id, list(code ORDER BY j) AS code
+          FROM scored WHERE rn = 1 GROUP BY vec_id
+        ),
+        dist AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(range(0, {M}),
+                   j -> ({flat_lit})[j * {KSUB} + code[j + 1] + 1]), 'sum') AS d
+          FROM codes
+        )
+        SELECT vec_id, ROUND(d, 6) AS pq_dist
+        FROM dist ORDER BY d ASC, vec_id ASC LIMIT 10
+        """
+    ).fetchall()
+    want = [(int(v), float(d)) for v, d in rows]
+    assert got == want
