@@ -454,6 +454,15 @@ def main() -> None:
         "family has a measured delta-proportional incremental path, vs",
         "its full-rebuild twin directly above in the table.",
         "",
+        "All pruned-probe index writers repartition on the partition",
+        "key before `partitionBy`, so each build/append lands ONE file",
+        "per partition dir: probe latency is O(probed dirs) file-opens,",
+        "not O(probed dirs x write tasks). Before that fix the simhash",
+        "index carried 45 files per pb dir at the 100x tier and the",
+        "incremental probe read 31.5 s (~18k file opens for a 60-doc",
+        "delta); the layout is pinned by",
+        "`test_index_builds_write_one_file_per_partition_dir`.",
+        "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
         "fixed round count via tol=0): per round one corpus scan + one",

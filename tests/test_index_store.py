@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from webscrape_neko_jirushi_spark.operators import dedup, similarity
 from webscrape_neko_jirushi_spark.operators.index_store import IndexManifest
-from webscrape_neko_jirushi_spark.sources.synth_corpus import synth_documents
+from webscrape_neko_jirushi_spark.sources.synth_corpus import (
+    synth_documents,
+    synth_embeddings,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -626,3 +629,57 @@ def test_emb_lsh_index_prunes_and_refuses_wrong_kind(spark, tmp_path):
     dedup.build_simhash_index(docs, sh, "text", "doc_id", n_subparts=16)
     with pytest.raises(ValueError, match="not a banded embedding-LSH"):
         similarity.emb_near_dups_incremental(spark, delta, sh)
+
+
+def test_index_builds_write_one_file_per_partition_dir(spark, tmp_path):
+    """Pruned probes pay one file-OPEN per (probed dir x file), so the
+    build/append writers must repartition on the partition key before
+    partitionBy — otherwise every upstream write task emits a file
+    into every dir it holds rows for and probe latency multiplies by
+    the writer's task count (the bucketing.py small-files footgun;
+    measured as most of simhash_incremental's 100x growth before the
+    fix). Build => exactly 1 data file per dir; one append => <= 2."""
+    docs = synth_documents(spark, 400, dup_frac=0.10).repartition(8).cache()
+    old = docs.filter(F.col("doc_id") < 350)
+    delta = docs.filter(F.col("doc_id") >= 350)
+
+    def files_per_dir(root: Path) -> list[int]:
+        counts = [
+            len([f for f in d.iterdir() if f.suffix == ".parquet"])
+            for d in root.iterdir()
+            if d.is_dir() and "=" in d.name
+        ]
+        assert counts, f"no partition dirs under {root}"
+        return counts
+
+    lsh = tmp_path / "lsh"
+    dedup.build_lsh_text_index(old, str(lsh), "text", "doc_id", 16, 4, 5, n_subparts=4)
+    assert max(files_per_dir(lsh)) == 1
+    dedup.append_lsh_text_index(delta, str(lsh))
+    assert max(files_per_dir(lsh)) <= 2
+
+    sim = tmp_path / "sim"
+    dedup.build_simhash_index(old, str(sim), "text", "doc_id", n_subparts=4)
+    assert max(files_per_dir(sim)) == 1
+    dedup.append_simhash_index(delta, str(sim))
+    assert max(files_per_dir(sim)) <= 2
+
+    e = synth_embeddings(spark, 300, dim=16).repartition(8).cache()
+    eold = e.filter(F.col("vec_id") < 250)
+    edelta = e.filter(F.col("vec_id") >= 250)
+
+    ann = tmp_path / "ann"
+    similarity.build_ann_index(eold, str(ann), dim=16, bits=3, seed=7)
+    assert max(files_per_dir(ann)) == 1
+    similarity.append_ann_index(edelta, str(ann))
+    assert max(files_per_dir(ann)) <= 2
+
+    emb = tmp_path / "emb"
+    similarity.build_emb_lsh_index(
+        eold, str(emb), dim=16, n_bands=2, bits_per_band=3, n_subparts=4
+    )
+    assert max(files_per_dir(emb)) == 1
+    similarity.append_emb_lsh_index(edelta, str(emb))
+    assert max(files_per_dir(emb)) <= 2
+    docs.unpersist()
+    e.unpersist()

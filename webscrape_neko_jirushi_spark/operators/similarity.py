@@ -189,9 +189,12 @@ def build_ann_index(
     the entire residual 100x probe growth in ``BENCH/DEDUP_SCALE.md``.
     ``manifest=False`` keeps the bare partitioned table (probed via
     Catalyst partition pruning, plan-gated in test_plans.py)."""
-    lsh_buckets(embeddings, dim, bits=bits, seed=seed, vec_col=vec_col).write.partitionBy(
+    # one file per bucket dir (see dedup.build_lsh_text_index): the
+    # multiprobe opens <= bits+1 dirs, and files-per-dir multiplies
+    # directly into probe file-open latency
+    lsh_buckets(embeddings, dim, bits=bits, seed=seed, vec_col=vec_col).repartition(
         "bucket"
-    ).mode("overwrite").parquet(path)
+    ).write.partitionBy("bucket").mode("overwrite").parquet(path)
     if manifest:
         IndexManifest.commit(
             path, "bucket", meta={"dim": dim, "bits": bits, "seed": seed}
@@ -221,9 +224,9 @@ def append_ann_index(
             "tree would leave probes unaware of the new files)"
         )
     planes = _hyperplanes(int(m.meta["dim"]), int(m.meta["bits"]), int(m.meta["seed"]))
-    embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes)).write.partitionBy(
-        "bucket"
-    ).mode("append").parquet(path)
+    embeddings.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), planes)
+    ).repartition("bucket").write.partitionBy("bucket").mode("append").parquet(path)
     IndexManifest.commit(path, "bucket", meta=m.meta)
 
 
@@ -900,9 +903,10 @@ def build_emb_lsh_index(
     banded = emb_banded(
         embeddings, dim, n_bands, bits_per_band, id_col, vec_col, keep_vec=True
     )
-    _with_pb(banded, n_bands, n_subparts, bucket_col="bucket").write.partitionBy(
-        "pb"
-    ).mode("overwrite").parquet(path)
+    # one file per pb dir (see dedup.build_lsh_text_index)
+    _with_pb(
+        banded, n_bands, n_subparts, bucket_col="bucket"
+    ).repartition("pb").write.partitionBy("pb").mode("overwrite").parquet(path)
     IndexManifest.commit(
         path,
         "pb",
@@ -1015,7 +1019,7 @@ def append_emb_lsh_index(new_embeddings: DataFrame, path: str) -> None:
     )
     _with_pb(
         banded, int(m.meta["n_bands"]), int(m.meta["n_subparts"]), bucket_col="bucket"
-    ).write.partitionBy("pb").mode("append").parquet(path)
+    ).repartition("pb").write.partitionBy("pb").mode("append").parquet(path)
     IndexManifest.commit(path, "pb", meta=m.meta)
 
 
