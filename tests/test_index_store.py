@@ -683,3 +683,67 @@ def test_index_builds_write_one_file_per_partition_dir(spark, tmp_path):
     assert max(files_per_dir(emb)) <= 2
     docs.unpersist()
     e.unpersist()
+
+
+def test_compact_index_cow_rewrite_parity_and_lifecycle(spark, tmp_path):
+    """compact_index is the append lifecycle's third verb: after a
+    build + 3 appends some pb dirs carry 4 files; compaction must (a)
+    leave probe results byte-identical, (b) bring every HEAD partition
+    back to one file, (c) keep the PRE-compaction version resolvable
+    (time travel) until expire+vacuum reclaims the superseded files,
+    and (d) be a no-op when nothing exceeds max_files."""
+    from webscrape_neko_jirushi_spark.operators.index_store import compact_index
+
+    docs = synth_documents(spark, 600, dup_frac=0.10).cache()
+    idx = str(tmp_path / "lsh")
+    dedup.build_lsh_text_index(
+        docs.filter(F.col("doc_id") < 300), idx, "text", "doc_id", 16, 4, 5,
+        n_subparts=4,
+    )
+    for lo, hi in ((300, 400), (400, 500), (500, 580)):
+        dedup.append_lsh_text_index(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), idx
+        )
+    delta = docs.filter(F.col("doc_id") >= 580)
+
+    m0 = IndexManifest.load(idx)
+    assert max(len(f) for f in m0.partitions.values()) == 4
+    assert IndexManifest.partitions_needing_compaction(idx)
+    before = sorted(
+        map(tuple, dedup.lsh_candidates_incremental(spark, delta, idx).collect())
+    )
+    rows_before = spark.read.option("basePath", idx).parquet(
+        *m0.files_for(m0.partitions)
+    ).count()
+
+    n = compact_index(spark, idx)
+    assert n > 0
+    m1 = IndexManifest.load(idx)
+    assert m1.version == m0.version + 1
+    assert max(len(f) for f in m1.partitions.values()) == 1
+    assert sorted(m1.partitions) == sorted(m0.partitions)
+    after = sorted(
+        map(tuple, dedup.lsh_candidates_incremental(spark, delta, idx).collect())
+    )
+    assert before == after
+    rows_after = spark.read.option("basePath", idx).parquet(
+        *m1.files_for(m1.partitions)
+    ).count()
+    assert rows_before == rows_after
+    # time travel: every pre-compaction file still on disk
+    assert all(
+        (Path(idx) / f).exists()
+        for files in m0.partitions.values()
+        for f in files
+    )
+
+    # reclaim: drop old versions, vacuum superseded files, probe intact
+    IndexManifest.expire_versions(idx, keep_last=1)
+    assert IndexManifest.vacuum(idx, older_than_sec=0) > 0
+    again = sorted(
+        map(tuple, dedup.lsh_candidates_incremental(spark, delta, idx).collect())
+    )
+    assert before == again
+    # idempotent: a compacted index has nothing above max_files
+    assert compact_index(spark, idx) == 0
+    docs.unpersist()

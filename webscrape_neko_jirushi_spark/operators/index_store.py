@@ -244,6 +244,26 @@ class IndexManifest:
         )
 
     @staticmethod
+    def partitions_needing_compaction(
+        path: str | Path, max_files: int = 1
+    ) -> list[str]:
+        """Partition values whose HEAD file list exceeds ``max_files``
+        — the compaction trigger. Builds land one file per partition
+        (the writers repartition on the key), but every append adds
+        one more, so after N deltas a pruned probe pays N file-opens
+        per probed dir again; check this after append bursts the way
+        ``ann_index_needs_reindex`` is checked after occupancy
+        drift."""
+        m = IndexManifest.load(path)
+        if m is None:
+            raise ValueError(
+                f"partitions_needing_compaction: no manifest at {path}"
+            )
+        return sorted(
+            v for v, files in m.partitions.items() if len(files) > max_files
+        )
+
+    @staticmethod
     def expire_versions(path: str | Path, keep_last: int) -> int:
         """Metadata GC, the index twin of ``snapshots.expire_snapshots``:
         drop manifest versions older than the newest ``keep_last``.
@@ -333,3 +353,59 @@ class IndexManifest:
             if not any(d.iterdir()):
                 d.rmdir()
         return deleted
+
+def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
+    """Copy-on-write file compaction — the Iceberg ``rewrite_data_files``
+    maintenance action for these indexes, and the append lifecycle's
+    missing third verb (build lands ONE file per partition dir, every
+    append adds one more; after N crawl deltas a pruned probe pays N
+    file-opens per probed dir again).
+
+    For every partition whose HEAD file list exceeds ``max_files``:
+    read exactly those files (manifest-resolved, one Spark job for all
+    of them), rewrite the rows back into the same partition dirs with
+    ``mode=append`` (part-file names are unique — nothing collides,
+    readers of the committed version are untouched), resolve the fresh
+    files via ``uncommitted_files``, and commit a manifest version in
+    which the compacted partitions list ONLY the fresh files. The
+    superseded files stay on disk for older versions (time travel)
+    until ``expire_versions`` + ``vacuum`` reclaim them; a crash at
+    ANY point leaves the committed version intact and at worst some
+    uncommitted litter for ``vacuum``.
+
+    Probe results are byte-identical before/after (same rows, fewer
+    files); parity is pinned in ``tests/test_index_store.py``. Works
+    on any manifest-backed index (pb/bucket/cell/shard) — row order
+    within a partition is not part of any probe's contract.
+
+    Returns the number of partitions compacted (0 = nothing to do).
+    Single-writer, like every commit here: don't run concurrently
+    with an append."""
+    root = IndexManifest._local_root(path)
+    m = IndexManifest.load(root)
+    if m is None:
+        raise ValueError(f"compact_index: no manifest at {path}")
+    values = IndexManifest.partitions_needing_compaction(root, max_files)
+    if not values:
+        return 0
+    files = m.files_for(values)
+    (
+        spark.read.option("basePath", str(root))
+        .parquet(*files)
+        .repartition(m.key)
+        .write.partitionBy(m.key)
+        .mode("append")
+        .parquet(str(root))
+    )
+    fresh = IndexManifest.uncommitted_files(root, m.key, values)
+    missing = [v for v in values if v not in fresh]
+    if missing:
+        raise RuntimeError(
+            f"compact_index: rewrite produced no files for partitions "
+            f"{missing[:5]} at {path} — tree left as-is (nothing was "
+            "committed); run vacuum to reclaim the partial rewrite"
+        )
+    partitions = dict(m.partitions)
+    partitions.update(fresh)
+    IndexManifest.commit(root, m.key, meta=m.meta, partitions=partitions)
+    return len(values)

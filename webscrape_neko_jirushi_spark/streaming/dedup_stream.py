@@ -32,6 +32,14 @@ sink write and manifest commit -> replay recomputes the same pairs
 the commit -> replay no-ops. Orphaned parquet from a torn append is
 invisible to manifest-resolved readers and reclaimed by
 ``index_store`` vacuum.
+
+Maintenance: each committed epoch appends one file per touched pb
+dir, so a long-running stream re-grows the per-dir file count the
+build's one-file-per-dir writer eliminated. Run
+``index_store.compact_index`` periodically (gate on
+``IndexManifest.partitions_needing_compaction``) from OUTSIDE the
+stream — both are single-writer commits, so pause the stream or run
+it between batches.
 """
 
 from __future__ import annotations
