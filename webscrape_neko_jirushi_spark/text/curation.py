@@ -1,0 +1,170 @@
+"""Deterministic training-corpus curation: hash-stratified sampling
+and weighted multi-corpus interleaving.
+
+The operators a 100-TB pretraining pipeline runs BETWEEN dedup and
+tokenization: pick a reproducible subset of each stratum (language,
+quality band, source domain) and mix several corpora at target rates.
+Both are expressed so a re-run over the same inputs emits the same
+rows in the same mixture order — no RNG state, no
+``DataFrame.sample`` (whose output depends on partitioning), no
+driver-side shuffling:
+
+- ``hash_stratified_sample`` keeps a row iff the 60-bit portable hash
+  of its key falls under ``fraction x 2^60`` for its stratum — a pure
+  map-side filter (no shuffle, pushdown-friendly) that is NESTED by
+  construction: the 10% sample is a subset of the 20% sample, so
+  scaling a mixture up or down never churns previously-selected
+  documents (the property data-version control depends on).
+- ``weighted_interleave`` is stride scheduling (the classic
+  deterministic weighted-fair-queueing discipline) over per-source
+  hash-ranked rows: source ``s`` with weight ``w`` emits its ``i``-th
+  row at ``mix_key = i / w``, so ANY prefix of the output ordered by
+  ``mix_key`` contains exactly ``floor(t * w)`` rows of each source —
+  rates proportional to the weights until a source exhausts,
+  independent of source sizes. The per-source rank comes from
+  ``reorganize.global_sequence`` (bucketed two-phase ranking, no
+  single-partition window) above the same auto-gate threshold as
+  ``renumber_groups``, with the same ``n_rows`` hint to skip the
+  construction-time probe.
+
+Both use ``portable_hash64`` so a DuckDB twin reproduces the exact
+row sets and mix keys (differentially tested in
+``tests/test_curation.py``). Beyond the reference (its dataset is one
+source, sampled by hand); first-class per the build brief's
+training-data-pipeline mandate, alongside text/analysis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+
+HASH_SPACE = 1 << 60  # portable_hash64 is 60 bits, always positive
+
+
+def sample_threshold(fraction: float) -> int:
+    """The inclusive-exclusive hash cutoff for ``fraction``: a row is
+    kept iff ``hash < threshold``. Exposed (with the SQL twin below)
+    so any engine reproduces the exact row set from the fraction
+    alone."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} not in [0, 1]")
+    return int(fraction * HASH_SPACE)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Reproducible per-stratum sampling: keep a row iff
+    ``portable_hash64(salt + key) < fraction(stratum) * 2^60``.
+
+    Pure map-side filter — no shuffle, no job, survives predicate
+    pushdown — and deterministic in the KEY, not the partitioning
+    (``DataFrame.sample`` changes output when the input repartitions;
+    this never does). Nested: for the same salt, a smaller fraction's
+    sample is a strict subset of a larger one's, so mixture rebalances
+    only add or remove the marginal rows. Strata absent from
+    ``fractions`` are DROPPED (the dict is the whole mixture spec —
+    an explicit 0.0 and an omitted stratum mean the same thing);
+    a NULL stratum is likewise dropped. Change ``salt`` to draw an
+    independent sample (held-out eval split vs train split)."""
+    thresholds = F.create_map(
+        *[
+            lit
+            for stratum, frac in fractions.items()
+            for lit in (F.lit(stratum), F.lit(sample_threshold(frac)))
+        ]
+    )
+    h = portable_hash64(F.col(key_col).cast("string"), salt=salt)
+    # missing stratum -> NULL threshold -> NULL predicate -> filtered
+    return df.filter(h < thresholds[F.col(strata_col)])
+
+
+def hash_stratified_sample_sql(
+    strata_expr: str, fractions: dict[str, float], key_expr: str, salt: str = "strat"
+) -> str:
+    """DuckDB WHERE-clause twin of ``hash_stratified_sample`` (same
+    thresholds, same portable hash) for differential tests and
+    cross-engine reproduction."""
+    cases = " ".join(
+        f"WHEN {stratum!r} THEN CAST({sample_threshold(frac)} AS BIGINT)"
+        for stratum, frac in fractions.items()
+    )
+    h = portable_hash64_sql(key_expr, salt=salt)
+    return f"({h} < CASE {strata_expr} {cases} END)"
+
+
+def weighted_interleave(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+    buckets: int | None = None,
+    auto_threshold: int = 2_000_000,
+    n_rows: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic weighted mixing of same-schema corpora: the
+    output carries ``source`` and ``mix_key`` columns, and a consumer
+    reading in ``(mix_key, source)`` order sees source ``s``'s rows
+    arriving at rate proportional to its weight — exactly
+    ``floor(t * w_s)`` rows of ``s`` in any prefix ``mix_key <= t``
+    (stride scheduling), until ``s`` runs out of rows.
+
+    Per source the emission order is its rows ranked by portable hash
+    of the key (a deterministic shuffle — adjacent input rows land far
+    apart), and ``mix_key = rank / weight`` as one double division so
+    any engine reproduces the keys bit-identically. The rank uses one
+    parallel window per source below ``auto_threshold`` rows and
+    ``global_sequence``'s bucketed two-phase ranking above it
+    (``buckets``/``n_rows`` follow ``renumber_groups``' contract:
+    ``buckets=0`` forces the single window, ``>0`` the bucketed path,
+    ``n_rows[name]`` resolves the auto gate with no probe job).
+    Deterministic for unique keys; 60-bit hash ties are window-order
+    ties, the ``global_sequence`` caveat.
+
+    The result is NOT materialized in mix order — ordering is the
+    consumer's terminal sort (or the write's sort-by), exactly like
+    any other Spark ORDER BY; the operator's job is that the order
+    EXISTS as a column."""
+    from ..operators.reorganize import global_sequence
+
+    if not sources:
+        raise ValueError("weighted_interleave: no sources")
+    out = None
+    for name, (df, weight) in sources.items():
+        if weight <= 0:
+            raise ValueError(f"weighted_interleave: weight {weight} for {name!r}")
+        hashed = df.withColumn(
+            "_mix_hash", portable_hash64(F.col(key_col).cast("string"), salt=salt)
+        )
+        use_buckets = buckets
+        if use_buckets is None:
+            if n_rows is not None and name in n_rows:
+                over = n_rows[name] > auto_threshold
+            else:
+                over = (
+                    df.select(key_col).limit(auto_threshold + 1).count()
+                    > auto_threshold
+                )
+            use_buckets = 32 if over else 0
+        if use_buckets:
+            ranked = global_sequence(
+                hashed, "_mix_hash", buckets=use_buckets, out_col="_mix_rank"
+            )
+        else:
+            w = Window.orderBy("_mix_hash")
+            ranked = hashed.withColumn("_mix_rank", F.row_number().over(w))
+        tagged = ranked.select(
+            "*",
+            F.lit(name).alias("source"),
+            (F.col("_mix_rank").cast("double") / F.lit(float(weight))).alias(
+                "mix_key"
+            ),
+        ).drop("_mix_hash", "_mix_rank")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
