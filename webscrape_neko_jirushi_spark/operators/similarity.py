@@ -1065,6 +1065,7 @@ def pq_train(
     n_vecs: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train the ``m x ksub`` PQ codebooks (one ksub-center L2 k-means
     per ``dim/m``-wide subspace) on a bounded hash-sampled subset —
@@ -1078,9 +1079,14 @@ def pq_train(
     work: the DISTRIBUTED stage of PQ is encoding the corpus
     (``pq_encode``), never training the 1-2 MB codebook.
 
-    Vectors are unit-normalized before slicing, so asymmetric L2 over
-    codes ranks like cosine (the family metric) — ``pq_topk`` relies
-    on this. Init per subspace is ``_greedy_spread`` over the first
+    Vectors are unit-normalized before slicing (``normalize=True``),
+    so asymmetric L2 over codes ranks like cosine (the family metric)
+    — ``pq_topk`` relies on this. ``normalize=False`` trains on the
+    vectors AS GIVEN: the IVF-PQ path, where the inputs are residuals
+    of already-normalized vectors against their cell centroid and a
+    second normalization would destroy the ``v_n = c + r`` identity
+    the probe's distance tables assume. Init per subspace is
+    ``_greedy_spread`` over the first
     ``8 * ksub`` sample slices; Lloyd assign is argmin squared L2 with
     ties to the lowest code, empty cells keep their center (the
     ``ivf_train_centroids`` conventions). Returns
@@ -1111,9 +1117,10 @@ def pq_train(
     v = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     if v.shape[1] != dim:
         raise ValueError(f"pq_train: vectors have dim {v.shape[1]}, expected {dim}")
-    norms = np.linalg.norm(v, axis=1)
-    norms[norms == 0.0] = 1.0
-    v = v / norms[:, None]
+    if normalize:
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        v = v / norms[:, None]
 
     codebooks: list[list[list[float]]] = []
     for j in range(m):
@@ -1144,6 +1151,8 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to its ``m`` nearest-center codes — the
     distributed half of PQ: one Arrow ``mapInPandas`` scan, codebooks
@@ -1155,8 +1164,11 @@ def pq_encode(
     decimals, ties to the LOWEST code — pinned against an unrolled
     DuckDB twin in tests/test_pq.py, so an engine can re-derive the
     exact same codes from the codebook alone. Output:
-    ``(id_col, code array<smallint> length m)`` — m bytes of payload
-    per vector vs ``4 * dim`` for the float32 embedding."""
+    ``(id_col, *carry_cols, code array<smallint> length m)`` — m bytes
+    of payload per vector vs ``4 * dim`` for the float32 embedding.
+    ``normalize=False`` encodes the vectors AS GIVEN (the IVF-PQ
+    residual path — see ``pq_train``); ``carry_cols`` pass through
+    untouched (e.g. the IVF ``cell``) so the caller never re-joins."""
     import numpy as np
     import pandas as pd
 
@@ -1168,25 +1180,26 @@ def pq_encode(
     bc = spark.sparkContext.broadcast(cb)
 
     out_schema = T.StructType(
-        [
-            embeddings.select(id_col).schema.fields[0],
-            T.StructField("code", T.ArrayType(T.ShortType())),
-        ]
+        [embeddings.select(id_col).schema.fields[0]]
+        + [embeddings.select(c).schema.fields[0] for c in carry_cols]
+        + [T.StructField("code", T.ArrayType(T.ShortType()))]
     )
 
     def encode(batches):
         cbm = bc.value
         for pdf in batches:
             n = len(pdf)
+            carried = {c: pdf[c] for c in carry_cols}
             if n == 0:
-                yield pd.DataFrame({id_col: pdf[id_col], "code": []})
+                yield pd.DataFrame({id_col: pdf[id_col], **carried, "code": []})
                 continue
             v = np.asarray(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
-            norms = np.linalg.norm(v, axis=1)
-            norms[norms == 0.0] = 1.0
-            v = v / norms[:, None]
+            if normalize:
+                norms = np.linalg.norm(v, axis=1)
+                norms[norms == 0.0] = 1.0
+                v = v / norms[:, None]
             codes = np.empty((n, mlen), dtype=np.int16)
             for j in range(mlen):
                 sub = v[:, j * dsub : (j + 1) * dsub]
@@ -1196,10 +1209,12 @@ def pq_encode(
                 q = np.floor(d2 * 1e9 + 0.5)
                 codes[:, j] = q.argmin(axis=1).astype(np.int16)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "code": [list(c) for c in codes]}
+                {id_col: pdf[id_col], **carried, "code": [list(c) for c in codes]}
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(encode, out_schema)
+    return embeddings.select(id_col, *carry_cols, vec_col).mapInPandas(
+        encode, out_schema
+    )
 
 
 def pq_distance_col(
@@ -1343,3 +1358,216 @@ def pq_topk_indexed(
         ).limit(0)
     codes = spark.read.parquet(*files)
     return pq_topk(codes, m.meta["codebooks"], query, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual product quantization (the FAISS
+# IVFPQ layout — Jegou et al. 2011 §IV) composed from the two halves
+# above. The 100-TB read path: a probe scans nprobe cell PARTITIONS
+# (manifest-resolved, like IVF-flat) of m-smallint CODES (25-100x
+# smaller than float32, like PQ-flat) — partition pruning AND
+# compression in one index, which is why this is the production
+# default everywhere.
+# ---------------------------------------------------------------------------
+
+def _normalized_vec(vec_col):
+    """Unit-normalize an array column (doubles out), zero-safe."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return F.transform(vd, lambda x: x / safe)
+
+
+def _residual_col(vec_col, cell_col, centroids: list[list[float]]):
+    """``v_n - c[cell]`` as a pure Column: the centroid matrix enters
+    the plan as one literal array-of-arrays indexed by the row's cell
+    (fine for the nprobe-scale C this module targets; a thousands-of-
+    cells layout would move this into the ``pq_encode`` Arrow kernel)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cent = F.element_at(cents, cell_col.cast("int") + 1)
+    return F.zip_with(_normalized_vec(vec_col), cent, lambda x, y: x - y)
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 10,
+    seed: int = 7,
+    train_sample: int = 65_536,
+    n_vecs: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the IVF-PQ index: assign each vector to its nearest
+    centroid (``ivf_assign`` — same contract as IVF-flat), train PQ
+    codebooks on the RESIDUALS ``v_n - c[cell]`` (``pq_train`` with
+    ``normalize=False`` — residuals are already in metric space; the
+    probe's distance tables assume ``v_n = c + r`` exactly), encode
+    every residual distributedly (Arrow ``pq_encode``, the ``cell``
+    carried through so nothing re-joins), and persist
+    ``(id, code)`` partitioned by ``cell`` with centroids + codebooks
+    + geometry pinned in the manifest — an append can never assign or
+    encode differently than the build, and a probe resolves its
+    nprobe cells' files from ONE manifest read.
+
+    Unlike the bucket/pb writers, cells are FEW and LARGE, so the
+    build deliberately keeps multi-file cells (intra-cell read
+    parallelism; see the IVF/PQ note on the one-file-per-dir fix)."""
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    res = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        _residual_col(F.col(vec_col), F.col("cell"), centroids).alias("_res"),
+    )
+    books = pq_train(
+        res,
+        dim,
+        m=m,
+        ksub=ksub,
+        n_iters=n_iters,
+        seed=seed,
+        train_sample=train_sample,
+        n_vecs=n_vecs,
+        id_col=id_col,
+        vec_col="_res",
+        normalize=False,
+    )
+    pq_encode(
+        res, books, id_col, "_res", normalize=False, carry_cols=("cell",)
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+    IndexManifest.commit(
+        path,
+        "cell",
+        meta={
+            "kind": "ivfpq",
+            "dim": dim,
+            "m": m,
+            "ksub": ksub,
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "codebooks": books,
+        },
+    )
+
+
+def _checked_ivfpq_manifest(path: str):
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(
+            f"no IVF-PQ manifest at {path} — build with build_ivfpq_index "
+            "first (probing a bare tree could use different centroids or "
+            "codebooks than the data was encoded with)"
+        )
+    missing = [
+        k
+        for k in ("kind", "dim", "m", "ksub", "centroids", "codebooks")
+        if k not in m.meta
+    ]
+    if m.key != "cell" or missing or m.meta.get("kind") != "ivfpq":
+        raise ValueError(
+            f"index at {path} is not an IVF-PQ index (manifest "
+            f"key={m.key!r}, kind={m.meta.get('kind')!r}, missing {missing})"
+        )
+    return m
+
+
+def append_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ maintenance: assign + residual-encode only
+    the NEW vectors with the manifest's pinned centroids AND
+    codebooks, append into the existing cell partitions, publish a
+    new manifest version atomically (the ``append_ivf_index`` /
+    ``append_pq_index`` contract in one)."""
+    m = _checked_ivfpq_manifest(path)
+    cents = m.meta["centroids"]
+    assigned = ivf_assign(embeddings, cents, id_col=id_col, vec_col=vec_col)
+    res = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        _residual_col(F.col(vec_col), F.col("cell"), cents).alias("_res"),
+    )
+    pq_encode(
+        res, m.meta["codebooks"], id_col, "_res", normalize=False,
+        carry_cols=("cell",),
+    ).write.partitionBy("cell").mode("append").parquet(path)
+    IndexManifest.commit(path, "cell", meta=m.meta)
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a persisted IVF-PQ index: the query's
+    ``nprobe`` nearest cells come from the pinned centroids
+    (``_probe_cells`` — identical tie-break to every other IVF probe),
+    their code files from one manifest read, and the ranking is
+    asymmetric distance with a PER-CELL lookup table: for probed cell
+    ``c`` the driver precomputes the ``m x ksub`` squared-L2 table
+    between ``(q_n - centroid[c])``'s subvectors and the residual
+    codebooks, all tables enter the plan as one literal map keyed by
+    cell, and the per-row distance is the same ``zip_with`` lookup +
+    ``aggregate`` fold as ``pq_distance_col`` — pure codegen over
+    ``nprobe`` partitions of smallint codes. Ascending distance
+    (``v_n = c + r`` makes it rank like cosine), ties by id."""
+    m = _checked_ivfpq_manifest(path)
+    if len(query) != int(m.meta["dim"]):
+        raise ValueError(
+            f"ivfpq_topk: query dim {len(query)} != index dim "
+            f"{m.meta['dim']} at {path}"
+        )
+    cents = m.meta["centroids"]
+    books = m.meta["codebooks"]
+    mlen, ksub = int(m.meta["m"]), int(m.meta["ksub"])
+    dsub = len(books[0][0])
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    q = [x / qn for x in query]
+    probe = _probe_cells(query, cents, nprobe)
+
+    files = m.files_for(probe)
+    if not files:
+        return (
+            _empty_probe_result(spark, m, id_col)
+            .select(id_col, F.lit(0.0).alias("pq_dist"))
+            .limit(0)
+        )
+
+    map_args = []
+    for cell in probe:
+        qr = [a - b for a, b in zip(q, cents[cell])]
+        flat = []
+        for j in range(mlen):
+            sub = qr[j * dsub : (j + 1) * dsub]
+            for c in books[j]:
+                flat.append(sum((a - b) ** 2 for a, b in zip(sub, c)))
+        map_args.append(F.lit(int(cell)))
+        map_args.append(F.array(*[F.lit(float(x)) for x in flat]))
+    tables = F.create_map(*map_args)
+
+    codes = spark.read.option("basePath", str(m.root)).parquet(*files)
+    table = tables[F.col("cell").cast("int")]
+    terms = F.zip_with(
+        F.col("code"),
+        F.sequence(F.lit(0), F.lit(mlen - 1)),
+        lambda c, j: F.element_at(table, (j * ksub + c.cast("int") + 1)),
+    )
+    dist = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        codes.select(F.col(id_col), dist.alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
