@@ -150,6 +150,17 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
             e, DIM, m=8, ksub=16, seed=7, n_vecs=n_vecs
         )
         similarity.build_pq_index(e, str(pq_idx), books)
+    ivfpq_idx = root / f"vecs_{n_vecs}_ivfpq16_8x16"
+    if IndexManifest.load(ivfpq_idx) is None:
+        e = spark.read.parquet(str(vecs))
+        cents = similarity.ivf_train_centroids(
+            e, n_cells=16, n_iters=3, seed=7, dim=DIM, tol=0.0,
+            train_sample=2048, n_vecs=n_vecs,
+        )
+        similarity.build_ivfpq_index(
+            e, str(ivfpq_idx), cents, dim=DIM, m=8, ksub=16, seed=7,
+            n_vecs=n_vecs,
+        )
     return {
         "docs": str(docs),
         "vecs": str(vecs),
@@ -158,6 +169,7 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
         "sim": str(sim_idx),
         "emb": str(emb_idx),
         "pq": str(pq_idx),
+        "ivfpq": str(ivfpq_idx),
     }
 
 
@@ -261,6 +273,15 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         # a far smaller constant than any full-precision scan
         return similarity.pq_topk_indexed(spark, pq_idx_path, query_vec, k=10)
 
+    def ivfpq_probe():
+        # nprobe cell partitions of smallint codes, manifest-resolved:
+        # partition pruning AND compression — expected ~flat like the
+        # ann probe, with the per-cell scan shrinking as cells split
+        # the corpus (nprobe/C of the rows, 8 smallints per row)
+        return similarity.ivfpq_topk(
+            spark, paths["ivfpq"], query_vec, k=10, nprobe=2
+        )
+
     def ivf_train_sub():
         # the 100-TB training path: same 3 Lloyd rounds, but over a
         # FIXED ~2048-vector hash-filtered subset (one corpus-scan
@@ -298,6 +319,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "embedding_near_dups": embedding_near_dups,
         "ann_probe_indexed": ann_probe_indexed,
         "pq_probe_indexed": pq_probe,
+        "ivfpq_probe_indexed": ivfpq_probe,
         "ivf_train_c16": ivf_train,
         "ivf_train_sub_c16": ivf_train_sub,
         "lsh_incremental_d60": lsh_incremental,
@@ -430,6 +452,12 @@ def main() -> None:
         "literal-table `zip_with`/`aggregate` lookup sum in pure codegen",
         "— linear growth with a constant small enough that the",
         "compressed scan is the memory-resident path at 100 TB.",
+        "`ivfpq_probe_indexed` composes both index ideas",
+        "(`similarity.ivfpq_topk`, 16 cells x 8x16 residual codebooks):",
+        "the probe reads only nprobe manifest-resolved CELL partitions",
+        "of smallint codes, ranked by per-cell asymmetric-distance",
+        "lookup tables in pure codegen — pruning AND compression, the",
+        "production ANN layout, expected ~flat.",
         "",
         "`lsh_incremental_d60` queries a FIXED 60-document crawl delta",
         "against the persisted banded-minhash text index",
