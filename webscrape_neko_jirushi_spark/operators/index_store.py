@@ -380,7 +380,10 @@ def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
 
     Returns the number of partitions compacted (0 = nothing to do).
     Single-writer, like every commit here: don't run concurrently
-    with an append."""
+    with an append — and like ``commit``'s re-list, run ``vacuum``
+    after any KILLED append first, or its stray files in the rewritten
+    partitions would be adopted into the compacted manifest as if they
+    were part of the rewrite (the ``uncommitted_files`` caveat)."""
     root = IndexManifest._local_root(path)
     m = IndexManifest.load(root)
     if m is None:

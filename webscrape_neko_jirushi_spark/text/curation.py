@@ -139,6 +139,12 @@ def weighted_interleave(
     for name, (df, weight) in sources.items():
         if weight <= 0:
             raise ValueError(f"weighted_interleave: weight {weight} for {name!r}")
+        clash = {"source", "mix_key"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"weighted_interleave: source {name!r} already has column(s) "
+                f"{sorted(clash)} — they are this operator's output columns"
+            )
         hashed = df.withColumn(
             "_mix_hash", portable_hash64(F.col(key_col).cast("string"), salt=salt)
         )
