@@ -45,7 +45,7 @@ from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
     synth_documents,
     synth_embeddings,
 )
-from webscrape_neko_jirushi_spark.text import analysis  # noqa: E402
+from webscrape_neko_jirushi_spark.text import analysis, curation  # noqa: E402
 
 DIM = 64  # matches the driver embeddings table
 
@@ -282,6 +282,19 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             spark, paths["ivfpq"], query_vec, k=10, nprobe=2
         )
 
+    def interleave_mix():
+        # X20: stride-scheduled 3:1 mix of the corpus's two halves.
+        # buckets=32 pins global_sequence's bucketed two-phase ranking
+        # at EVERY tier (the auto gate would pick the single window
+        # below 2M rows) so the measured plan is the scale path:
+        # one approxQuantile sketch + 32 parallel windows + a
+        # broadcast offset join per source — expected ~linear
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        return curation.weighted_interleave(
+            {"a": (a, 3.0), "b": (b, 1.0)}, "doc_id", buckets=32
+        )
+
     def ivf_train_sub():
         # the 100-TB training path: same 3 Lloyd rounds, but over a
         # FIXED ~2048-vector hash-filtered subset (one corpus-scan
@@ -320,6 +333,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "ann_probe_indexed": ann_probe_indexed,
         "pq_probe_indexed": pq_probe,
         "ivfpq_probe_indexed": ivfpq_probe,
+        "weighted_interleave_3to1": interleave_mix,
         "ivf_train_c16": ivf_train,
         "ivf_train_sub_c16": ivf_train_sub,
         "lsh_incremental_d60": lsh_incremental,
@@ -490,6 +504,14 @@ def main() -> None:
         "incremental probe read 31.5 s (~18k file opens for a 60-doc",
         "delta); the layout is pinned by",
         "`test_index_builds_write_one_file_per_partition_dir`.",
+        "",
+        "`weighted_interleave_3to1` is the corpus-curation mixing",
+        "operator (`text/curation.py`, stride scheduling): per source",
+        "one hash-rank via `global_sequence`'s bucketed two-phase",
+        "ranking (pinned to the bucketed path at every tier) + the",
+        "mix-key projection — row count = full corpus, so ~linear",
+        "growth is the contract and the single-partition window the",
+        "bucketing replaces is the scale-killer being avoided.",
         "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
