@@ -45,7 +45,7 @@ from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
     synth_documents,
     synth_embeddings,
 )
-from webscrape_neko_jirushi_spark.text import analysis, curation  # noqa: E402
+from webscrape_neko_jirushi_spark.text import analysis, curation, substrings  # noqa: E402
 
 DIM = 64  # matches the driver embeddings table
 
@@ -295,6 +295,20 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             {"a": (a, 3.0), "b": (b, 1.0)}, "doc_id", buckets=32
         )
 
+    def substr_dup():
+        # X22: stride-1 8-gram inversion over the whole corpus —
+        # ~n x 33 hashed window rows (8-byte payload) through one
+        # hash-keyed aggregate + join back, rolled up per doc.
+        # Expected ~linear; the planted near-dups give every corpus
+        # a real duplicated-span population. The terminal sum FORCES
+        # the joins: a bare count() lets Catalyst eliminate the
+        # cardinality-preserving unique-key left joins and measures
+        # nothing but the id scan
+        return substrings.substr_dup_ratio(docs, k=8).agg(
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_dup_grams").alias("n_dup_grams"),
+        )
+
     def ivf_train_sub():
         # the 100-TB training path: same 3 Lloyd rounds, but over a
         # FIXED ~2048-vector hash-filtered subset (one corpus-scan
@@ -334,6 +348,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "pq_probe_indexed": pq_probe,
         "ivfpq_probe_indexed": ivfpq_probe,
         "weighted_interleave_3to1": interleave_mix,
+        "substr_dup_ratio_k8": substr_dup,
         "ivf_train_c16": ivf_train,
         "ivf_train_sub_c16": ivf_train_sub,
         "lsh_incremental_d60": lsh_incremental,
@@ -512,6 +527,14 @@ def main() -> None:
         "mix-key projection — row count = full corpus, so ~linear",
         "growth is the contract and the single-partition window the",
         "bucketing replaces is the scale-killer being avoided.",
+        "",
+        "`substr_dup_ratio_k8` is span-level exact-substring",
+        "duplication (`text/substrings.py`): stride-1 8-gram",
+        "inversion, windows hashed to 8 bytes before the fan-out, one",
+        "hash-keyed aggregate + join back, per-doc rollup — the",
+        "suffix-array idea's distributed form, expected ~linear in",
+        "corpus size (the window fan-out is ~33x the row count and",
+        "entirely map-side).",
         "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
