@@ -60,6 +60,13 @@ QUERIES = [
     "simhash_near_dups",
     "embedding_near_dup_pairs",
     "near_dup_clusters",
+    # round-5 additions: the substring/k-gram rollup is the new heavy
+    # query; the other three are cheap but rounding/window-sensitive,
+    # so their hash parity earns the 10x-tier check too
+    "substr_dup_ratio",
+    "pq_adc_topk",
+    "stratified_sample",
+    "weighted_interleave_mix",
 ]
 
 

@@ -43,7 +43,7 @@ from webscrape_neko_jirushi_spark.sources.analog import (
     images_analog,
     load,
 )
-from webscrape_neko_jirushi_spark.text import analysis
+from webscrape_neko_jirushi_spark.text import analysis, curation, substrings
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -1780,6 +1780,238 @@ def q_ann_topk_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(
         e, query, k=10, bits=8, seed=7, multiprobe_hamming=1
     )
+
+
+# ===========================================================================
+# corpus curation (X20), exact-substring dedup (X21), PQ ADC probe (X17)
+# ===========================================================================
+
+_STRAT_FRACS = {"a": 0.25, "b": 0.5, "c": 0.05}
+_STRAT_CASE = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END"
+)
+
+
+@q(
+    "stratified_sample",
+    f"""
+    WITH s AS (SELECT doc_id, {_STRAT_CASE} AS stratum FROM documents)
+    SELECT doc_id, stratum FROM s
+    WHERE {curation.hash_stratified_sample_sql("stratum", _STRAT_FRACS, "CAST(doc_id AS VARCHAR)")}
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Nested deterministic hash-stratified sampling
+    (curation.hash_stratified_sample): keep a row iff the 60-bit
+    portable hash of its key falls under fraction(stratum) * 2^60 —
+    a pure map-side filter, reproduced verbatim by the exported
+    WHERE-clause twin (curation.hash_stratified_sample_sql)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("stratum"),
+    )
+    return curation.hash_stratified_sample(d, "stratum", _STRAT_FRACS, "doc_id")
+
+
+_MIX_H = portable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="mix")
+
+
+@q(
+    "weighted_interleave_mix",
+    f"""
+    SELECT source, doc_id, ROUND(mix_key, 9) AS mix_key FROM (
+      SELECT 'head' AS source, doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY {_MIX_H}) AS DOUBLE) / 2.5 AS mix_key
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'tail' AS source, doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY {_MIX_H}) AS DOUBLE) / 1.0 AS mix_key
+      FROM documents WHERE doc_id % 2 = 1
+    ) t
+    """,
+)
+def q_weighted_interleave_mix(spark, sf_dir):
+    """Stride-scheduled weighted corpus mixing
+    (curation.weighted_interleave): source s with weight w emits its
+    i-th hash-ranked row at mix_key = i/w, so any prefix in mix_key
+    order carries floor(t*w) rows per source. buckets=0 forces the
+    single-window rank at this tier; the >2M-row bucketed path
+    (global_sequence) is parity-gated in tests/test_curation.py."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    out = curation.weighted_interleave(
+        {
+            "head": (d.filter(F.col("doc_id") % 2 == 0), 2.5),
+            "tail": (d.filter(F.col("doc_id") % 2 == 1), 1.0),
+        },
+        "doc_id",
+        buckets=0,
+    )
+    return out.select(
+        "source", "doc_id", F.round("mix_key", 9).alias("mix_key")
+    )
+
+
+_K_SUBSTR = 8
+_GRAM_H = portable_hash64_sql(f"array_to_string(w[i : i + {_K_SUBSTR - 1}], ' ')")
+
+
+@q(
+    "substr_dup_ratio",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    words AS (
+      SELECT doc_id, trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM corpus
+    ),
+    spans AS (
+      SELECT doc_id, u.gh AS gram_hash
+      FROM words,
+      UNNEST(CASE WHEN tt != '' AND len(w) >= {_K_SUBSTR}
+                  THEN list_transform(range(1, len(w) - {_K_SUBSTR} + 2),
+                                      i -> struct_pack(i := i, gh := {_GRAM_H}))
+                  ELSE [] END) AS s(u)
+    ),
+    dup AS (
+      SELECT gram_hash FROM spans
+      GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM spans GROUP BY doc_id),
+    dup_per_doc AS (
+      SELECT s.doc_id, COUNT(*) AS n_dup_grams
+      FROM spans s JOIN dup d USING (gram_hash) GROUP BY s.doc_id
+    )
+    SELECT c.doc_id,
+      CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(COALESCE(dp.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+      CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+           ELSE ROUND(CAST(COALESCE(dp.n_dup_grams, 0) AS DOUBLE) / p.n_grams, 6)
+      END AS dup_ratio
+    FROM corpus c
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN dup_per_doc dp USING (doc_id)
+    """,
+)
+def q_substr_dup_ratio(spark, sf_dir):
+    """Exact-substring duplication rollup (substrings.substr_dup_ratio,
+    the Lee-et-al. span-level dedup re-expressed as k-gram inversion):
+    per document, the fraction of its k-token windows whose 60-bit
+    window hash occurs in >= 2 distinct documents. Runs over the
+    planted-dup corpus so the exact copies light up at ratio 1.0."""
+    r = substrings.substr_dup_ratio(_corpus(spark, sf_dir), k=_K_SUBSTR)
+    return r.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round("dup_ratio", 6).alias("dup_ratio"),
+    )
+
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8  # 64-dim embeddings, 8 bytes/vector
+
+
+def _pq_books() -> list[list[list[float]]]:
+    """Seeded LCG codebooks (scaled similarity._hyperplanes rows) —
+    literal on BOTH sides because codebooks are training artifacts,
+    not query logic: pq_train's determinism and its Lloyd rounds are
+    pytest-gated (tests/test_pq.py); this driver gate pins the
+    ENCODE + asymmetric-distance pipeline cross-engine."""
+    return [
+        [
+            [0.25 * x for x in c]
+            for c in similarity._hyperplanes(_PQ_DSUB, _PQ_KSUB, seed=31 + j)
+        ]
+        for j in range(_PQ_M)
+    ]
+
+
+def _pq_cb_values() -> str:
+    return ", ".join(
+        f"({j}, {code}, [{', '.join(repr(float(x)) for x in cvec)}])"
+        for j, book in enumerate(_pq_books())
+        for code, cvec in enumerate(book)
+    )
+
+
+def _pq_d2_sql() -> str:
+    """Squared L2 between a normalized corpus subvector and a center,
+    summed in strict i-order (left fold) — the pq_encode contract."""
+    d = _PQ_DSUB
+    return (
+        f"list_aggregate(list_transform(range(1, {d + 1}), i -> "
+        f"(n.e[cb.j * {d} + i] - cb.c[i]) * (n.e[cb.j * {d} + i] - cb.c[i])), 'sum')"
+    )
+
+
+@q(
+    "pq_adc_topk",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, list_transform(e, x -> x /
+        CASE WHEN sqrt(list_aggregate(list_transform(e, y -> y*y), 'sum')) = 0
+             THEN 1.0
+             ELSE sqrt(list_aggregate(list_transform(e, y -> y*y), 'sum')) END
+      ) AS e FROM emb
+    ),
+    qn AS (SELECT e FROM n WHERE vec_id = 0),
+    cb0(j, code, c0) AS (VALUES {_pq_cb_values()}),
+    cb AS (
+      SELECT j, code, list_transform(c0, x -> CAST(x AS DOUBLE)) AS c FROM cb0
+    ),
+    scored AS (
+      SELECT n.vec_id, cb.j, cb.code,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id, cb.j
+               ORDER BY ROUND({_pq_d2_sql()}, 9), cb.code) AS rn
+      FROM n CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, list(code ORDER BY j) AS code
+      FROM scored WHERE rn = 1 GROUP BY vec_id
+    ),
+    adc AS (
+      SELECT list(d ORDER BY j, code) AS flat FROM (
+        SELECT cb.j, cb.code,
+          list_aggregate(list_transform(range(1, {_PQ_DSUB + 1}), i ->
+            (q.e[cb.j * {_PQ_DSUB} + i] - cb.c[i]) * (q.e[cb.j * {_PQ_DSUB} + i] - cb.c[i])),
+            'sum') AS d
+        FROM cb, qn q
+      )
+    ),
+    dist AS (
+      SELECT c.vec_id,
+        list_aggregate(list_transform(range(0, {_PQ_M}),
+          j -> a.flat[j * {_PQ_KSUB} + c.code[j + 1] + 1]), 'sum') AS d
+      FROM codes c, adc a
+    )
+    SELECT vec_id, ROUND(d, 6) AS pq_dist
+    FROM dist ORDER BY d ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization top-10 (similarity.pq_encode + pq_topk):
+    every vector compressed to m=8 one-byte codes, ranked by the
+    asymmetric-distance lookup-sum against the query's precomputed
+    m x ksub table. The oracle re-derives the ENTIRE pipeline —
+    normalize -> HALF_UP/ties-to-lowest encode -> j-order ADC fold —
+    from the same literal codebooks (tests/test_pq.py pins the
+    contract; this pins it on the driver corpus)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[
+            "embedding"
+        ]
+    ]
+    books = _pq_books()
+    out = similarity.pq_topk(similarity.pq_encode(e, books), books, qv, k=10)
+    return out.select("vec_id", F.round("pq_dist", 6).alias("pq_dist"))
 
 
 # ===========================================================================
