@@ -67,6 +67,7 @@ QUERIES = [
     "pq_adc_topk",
     "stratified_sample",
     "weighted_interleave_mix",
+    "ivf_train_lloyd",
 ]
 
 

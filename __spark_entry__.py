@@ -2014,6 +2014,97 @@ def q_pq_adc_topk(spark, sf_dir):
     return out.select("vec_id", F.round("pq_dist", 6).alias("pq_dist"))
 
 
+_IVF_TRAIN_CELLS, _IVF_TRAIN_ITERS, _IVF_DIM = 4, 2, 64
+
+
+def _ivf_init() -> list[list[float]]:
+    """Literal warm-start centroids (seeded LCG rows) shared verbatim
+    with the oracle's c0 VALUES — the reproducible-from-literals path
+    ivf_train_centroids(init=...) exists for."""
+    return similarity._hyperplanes(_IVF_DIM, _IVF_TRAIN_CELLS, seed=53)
+
+
+def _lloyd_sql() -> str:
+    """Two Lloyd rounds unrolled in DuckDB from the same init:
+    assign = argmax of ROUND(cosine, 9) with ties to the lowest cell
+    (the ivf_assign contract), update = per-dim AVG with empty cells
+    keeping their previous centroid (tests/test_operators.py pins the
+    same unroll against a sampled init at sf0.001)."""
+    d = _IVF_DIM
+    init_values = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in c)}])"
+        for cid, c in enumerate(_ivf_init())
+    )
+    cos = (
+        f"(list_aggregate(list_transform(range(1, {d + 1}), i -> m.e[i] * c.c[i]), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform(range(1, {d + 1}), i -> m.e[i] * m.e[i]), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform(range(1, {d + 1}), i -> c.c[i] * c.c[i]), 'sum'))))"
+    )
+    avg_list = "[" + ", ".join(f"avg(e[{i}])" for i in range(1, d + 1)) + "]"
+
+    def assign(cents: str) -> str:
+        return f"""
+          SELECT vec_id, e, cid FROM (
+            SELECT m.vec_id, m.e, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                     ORDER BY ROUND({cos}, 9) DESC, c.cid) AS rn
+            FROM emb m CROSS JOIN {cents} c
+          ) t WHERE rn = 1
+        """
+
+    def update(prev: str, assigned: str) -> str:
+        return f"""
+          SELECT p.cid, COALESCE(u.c, p.c) AS c
+          FROM {prev} p LEFT JOIN (
+            SELECT cid, {avg_list} AS c FROM {assigned} GROUP BY cid
+          ) u USING (cid)
+        """
+
+    return f"""
+      WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+      ),
+      c0(cid, c) AS (VALUES {init_values}),
+      a1 AS ({assign('c0')}),
+      c1 AS ({update('c0', 'a1')}),
+      a2 AS ({assign('c1')}),
+      c2 AS ({update('c1', 'a2')})
+      SELECT CAST(cid AS INT) AS cell, CAST(d.i AS INT) AS dim,
+             ROUND(c[d.i], 6) AS coord
+      FROM c2, range(1, {d + 1}) d(i)
+    """
+
+
+@q("ivf_train_lloyd", _lloyd_sql())
+def q_ivf_train_lloyd(spark, sf_dir):
+    """Distributed spherical k-means training
+    (similarity.ivf_train_centroids, X10's training half): two Lloyd
+    rounds from literal warm-start centroids, emitted as one
+    (cell, dim, coord) row per coordinate. The oracle unrolls the
+    SAME two rounds in SQL, so every assign (broadcast-literal
+    cosine argmax) and every update (per-dim partial+final AVG) is
+    pinned cross-engine — the per-round collect is C rows of
+    centroid statistics, the operator's documented driver-side
+    footprint, not a data collect."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train_centroids(
+        e,
+        _IVF_TRAIN_CELLS,
+        n_iters=_IVF_TRAIN_ITERS,
+        tol=0.0,
+        dim=_IVF_DIM,
+        init=_ivf_init(),
+    )
+    rows = [
+        (cid, d, float(x))
+        for cid, c in enumerate(cents)
+        for d, x in enumerate(c, start=1)
+    ]
+    raw = spark.createDataFrame(rows, "cell int, dim int, coord double")
+    return raw.select("cell", "dim", F.round("coord", 6).alias("coord"))
+
+
 # ===========================================================================
 # entry + registry
 # ===========================================================================

@@ -542,3 +542,28 @@ def test_ivf_train_centroids_matches_duckdb_lloyd(spark):
     assert any(
         abs(init[cid][d - 1] - got[(cid, d)]) > 1e-6 for (cid, d) in got
     )
+
+
+def test_ivf_train_centroids_init_warm_start(spark):
+    """init= skips the sample/greedy-spread init but changes NOTHING
+    about the rounds: warm-starting from the exact centroids the
+    default path would have drawn yields the identical result, and
+    shape mismatches fail loudly."""
+    from webscrape_neko_jirushi_spark.operators.similarity import (
+        _greedy_spread,
+        _sample_for_init,
+        ivf_train_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    inits = _greedy_spread(
+        _sample_for_init(e, 16, 7, "vec_id", "embedding"), 2
+    )
+    a = ivf_train_centroids(e, 2, n_iters=1, seed=7, tol=0.0)
+    b = ivf_train_centroids(e, 2, n_iters=1, seed=7, tol=0.0, init=inits)
+    assert a == b
+
+    with pytest.raises(ValueError, match="init has"):
+        ivf_train_centroids(e, 2, init=[inits[0]])
+    with pytest.raises(ValueError, match="centroid dim"):
+        ivf_train_centroids(e, 2, init=[[1.0, 2.0], [3.0, 4.0]])

@@ -622,6 +622,7 @@ def ivf_train_centroids(
     tol: float = 1e-4,
     train_sample: int | None = None,
     n_vecs: int | None = None,
+    init: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's) centroid training — the
     missing first-class piece of the IVF story: ``build_ivf_index``
@@ -680,6 +681,14 @@ def ivf_train_centroids(
     tree and per-row HOF work grow with C; one numpy matmul per batch
     does not) — both parity-tested on cell assignment.
 
+    **``init``** warm-starts Lloyd from caller-supplied centroids and
+    skips the min-hash sample + farthest-point sweep entirely — the
+    incremental-retraining path (seed the new rounds with the OLD
+    index's manifest-pinned centroids after corpus drift, so cells
+    move only as far as the data did), and what makes the rounds
+    fully reproducible from literals (the driver-level DuckDB Lloyd
+    gate unrolls the same init).
+
     Returns centroids as ``list[list[float]]`` ready for
     ``build_ivf_index`` / ``ivf_topk`` (manifest pinning, appends and
     probes all work unchanged downstream).
@@ -714,15 +723,27 @@ def ivf_train_centroids(
             raise ValueError("ivf_train_centroids: empty embeddings input")
         dim = len(first[0])
 
-    sample = _sample_for_init(
-        base, max(init_sample or 8 * n_cells, n_cells), seed, id_col, vec_col
-    )
-    if len(sample) < n_cells:
-        raise ValueError(
-            f"ivf_train_centroids: corpus has only {len(sample)} vectors "
-            f"for {n_cells} cells — every cell needs at least one vector"
+    if init is not None:
+        if len(init) != n_cells:
+            raise ValueError(
+                f"ivf_train_centroids: init has {len(init)} centroids "
+                f"for n_cells={n_cells}"
+            )
+        if any(len(c) != dim for c in init):
+            raise ValueError(
+                f"ivf_train_centroids: init centroid dim != vector dim {dim}"
+            )
+        centroids = [[float(x) for x in c] for c in init]
+    else:
+        sample = _sample_for_init(
+            base, max(init_sample or 8 * n_cells, n_cells), seed, id_col, vec_col
         )
-    centroids = _greedy_spread(sample, n_cells)
+        if len(sample) < n_cells:
+            raise ValueError(
+                f"ivf_train_centroids: corpus has only {len(sample)} vectors "
+                f"for {n_cells} cells — every cell needs at least one vector"
+            )
+        centroids = _greedy_spread(sample, n_cells)
 
     def _drift(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
