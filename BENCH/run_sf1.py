@@ -68,6 +68,7 @@ QUERIES = [
     "stratified_sample",
     "weighted_interleave_mix",
     "ivf_train_lloyd",
+    "pack_sequences",
 ]
 
 

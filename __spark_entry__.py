@@ -43,7 +43,12 @@ from webscrape_neko_jirushi_spark.sources.analog import (
     images_analog,
     load,
 )
-from webscrape_neko_jirushi_spark.text import analysis, curation, substrings
+from webscrape_neko_jirushi_spark.text import (
+    analysis,
+    curation,
+    packing,
+    substrings,
+)
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -2103,6 +2108,19 @@ def q_ivf_train_lloyd(spark, sf_dir):
     ]
     raw = spark.createDataFrame(rows, "cell int, dim int, coord double")
     return raw.select("cell", "dim", F.round("coord", 6).alias("coord"))
+
+
+@q("pack_sequences", packing.pack_sequences_sql(256))
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-then-chunk sequence packing
+    (packing.pack_sequences): documents concatenated in hash order
+    into one virtual token stream, cut every 256 tokens — one row per
+    (document x sequence) fragment with both offsets, so a consumer
+    reconstructs padding-free training rows. buckets=0 at this tier;
+    the >2M-row bucketed prefix sum is parity-gated in
+    tests/test_packing.py."""
+    d = load(spark, sf_dir, "documents")
+    return packing.pack_sequences(d, 256, buckets=0)
 
 
 # ===========================================================================
