@@ -45,7 +45,12 @@ from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
     synth_documents,
     synth_embeddings,
 )
-from webscrape_neko_jirushi_spark.text import analysis, curation, substrings  # noqa: E402
+from webscrape_neko_jirushi_spark.text import (  # noqa: E402
+    analysis,
+    curation,
+    packing,
+    substrings,
+)
 
 DIM = 64  # matches the driver embeddings table
 
@@ -309,6 +314,19 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.sum("n_dup_grams").alias("n_dup_grams"),
         )
 
+    def pack_seq():
+        # X23: concat-then-chunk packing at budget 256. buckets=32
+        # pins the bucketed two-phase prefix sum at EVERY tier (the
+        # scale plan: one approxQuantile sketch + 32 parallel window
+        # sums + a broadcast offset join), same rationale as
+        # interleave_mix. The terminal agg forces the explode and
+        # the offset arithmetic; expected ~linear
+        return packing.pack_sequences(docs, 256, buckets=32).agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max("seq_id").alias("last_seq"),
+            F.count("*").alias("fragments"),
+        )
+
     def ivf_train_sub():
         # the 100-TB training path: same 3 Lloyd rounds, but over a
         # FIXED ~2048-vector hash-filtered subset (one corpus-scan
@@ -349,6 +367,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "ivfpq_probe_indexed": ivfpq_probe,
         "weighted_interleave_3to1": interleave_mix,
         "substr_dup_ratio_k8": substr_dup,
+        "pack_sequences_b256": pack_seq,
         "ivf_train_c16": ivf_train,
         "ivf_train_sub_c16": ivf_train_sub,
         "lsh_incremental_d60": lsh_incremental,
@@ -535,6 +554,14 @@ def main() -> None:
         "suffix-array idea's distributed form, expected ~linear in",
         "corpus size (the window fan-out is ~33x the row count and",
         "entirely map-side).",
+        "",
+        "`pack_sequences_b256` is concat-then-chunk sequence packing",
+        "(`text/packing.py`): exclusive prefix sum of token counts in",
+        "hash order via the bucketed two-phase path (pinned with",
+        "buckets=32 at every tier), then sequence+explode of the",
+        "straddled chunks — the padding-free training-batch step,",
+        "expected ~linear (one sketch + 32 parallel window sums + a",
+        "broadcast offset join, never a single-partition sort).",
         "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
