@@ -47,6 +47,7 @@ from webscrape_neko_jirushi_spark.text import (
     analysis,
     curation,
     packing,
+    repetition,
     substrings,
 )
 
@@ -2121,6 +2122,105 @@ def q_pack_sequences(spark, sf_dir):
     tests/test_packing.py."""
     d = load(spark, sf_dir, "documents")
     return packing.pack_sequences(d, 256, buckets=0)
+
+
+def _gram_branch_sql(n: int) -> str:
+    h = portable_hash64_sql(f"array_to_string(w[i : i + {n - 1}], ' ')")
+    return f"""
+      CASE WHEN tt != '' AND len(w) >= {n}
+           THEN list_transform(range(1, len(w) - {n} + 2),
+                i -> struct_pack(n := {n}, gh := {h},
+                     gl := CAST(length(array_to_string(w[i : i + {n - 1}], ' ')) AS BIGINT)))
+           ELSE [] END
+    """
+
+
+_REP_STATS_CTES = f"""
+    words AS (
+      SELECT doc_id, length(text) AS nch, trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+        CAST(CASE WHEN tt = '' THEN 0 ELSE len(w) END AS INT) AS n_words,
+        CAST(nch AS INT) AS n_chars,
+        CASE WHEN tt = '' THEN 0.0
+             ELSE ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+        END AS dup_word_frac
+      FROM words
+    ),
+    grams AS (
+      SELECT doc_id, g.n AS n, g.gh AS gh, g.gl AS gl
+      FROM words, UNNEST({_gram_branch_sql(2)} || {_gram_branch_sql(3)}) AS t(g)
+    ),
+    counted AS (
+      SELECT doc_id, n, gh, gl, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, n, gh, gl
+    ),
+    tops AS (
+      SELECT doc_id, n, cnt, gl FROM (
+        SELECT doc_id, n, cnt, gl,
+          ROW_NUMBER() OVER (PARTITION BY doc_id, n
+            ORDER BY cnt DESC, gl DESC, gh DESC) AS rn
+        FROM counted
+      ) WHERE rn = 1
+    ),
+    rep_stats AS (
+      SELECT b.doc_id, b.n_words, b.n_chars, b.dup_word_frac,
+        COALESCE(ROUND(CAST(t2.cnt * t2.gl AS DOUBLE) / b.n_chars, 6), 0.0) AS top2gram_frac,
+        COALESCE(ROUND(CAST(t3.cnt * t3.gl AS DOUBLE) / b.n_chars, 6), 0.0) AS top3gram_frac
+      FROM base b
+      LEFT JOIN tops t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+      LEFT JOIN tops t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+    )
+"""
+
+
+@q("repetition_stats", f"WITH {_REP_STATS_CTES} SELECT * FROM rep_stats")
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition profile (repetition.repetition_stats):
+    per doc, the duplicate-word fraction (pure HOF, map-side) and the
+    top-2/3-gram character fractions — grams hashed BEFORE the one
+    shared explode+aggregate (16-byte shuffle payload, never gram
+    text), per-doc winner picked by max(struct(cnt, len, hash))
+    inside the same aggregate. The oracle re-derives the identical
+    winner via a ROW_NUMBER with the same tie-break."""
+    d = load(spark, sf_dir, "documents")
+    return repetition.repetition_stats(d, ngrams=(2, 3))
+
+
+@q(
+    "gopher_admission",
+    f"""
+    WITH {_REP_STATS_CTES}
+    SELECT COALESCE(
+      CASE WHEN n_words < 50 THEN 'too_few_words'
+           WHEN n_words > 100000 THEN 'too_many_words'
+           WHEN dup_word_frac > 0.55 THEN 'dup_words'
+           WHEN top2gram_frac > 0.20 THEN 'top2gram'
+           WHEN top3gram_frac > 0.18 THEN 'top3gram'
+      END, 'keep') AS reason,
+      CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM rep_stats GROUP BY 1
+    """,
+)
+def q_gopher_admission(spark, sf_dir):
+    """Admission breakdown under the repetition cascade
+    (repetition.gopher_repetition_filter, first-match-wins reject
+    reasons): how many documents each rule removes. dup_words is
+    raised to 0.55 for this small-vocabulary corpus (the Gopher 0.3
+    default would shadow every later rule here); thresholds compare
+    the ROUND(,6) fractions on both engines, so classification can
+    never diverge on representation."""
+    d = load(spark, sf_dir, "documents")
+    out = repetition.gopher_repetition_filter(
+        d, max_dup_word_frac=0.55, max_topgram_frac={2: 0.20, 3: 0.18}
+    )
+    return (
+        out.groupBy(F.coalesce("reason", F.lit("keep")).alias("reason"))
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 # ===========================================================================
