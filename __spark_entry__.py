@@ -48,6 +48,7 @@ from webscrape_neko_jirushi_spark.text import (
     curation,
     packing,
     repetition,
+    scrubbing,
     substrings,
 )
 
@@ -2220,6 +2221,74 @@ def q_gopher_admission(spark, sf_dir):
     return (
         out.groupBy(F.coalesce("reason", F.lit("keep")).alias("reason"))
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_PII_PLANT_SQL = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call +81 3-1234-5678' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+            ELSE '' END AS text
+  FROM documents
+"""
+
+
+@q(
+    "pii_scrub_stats",
+    f"""
+    WITH planted AS ({_PII_PLANT_SQL})
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+      md5(scrubbed) AS scrub_md5,
+      CAST(length(scrubbed) AS INT) AS scrub_len
+    FROM ({scrubbing.scrub_pii_sql(relation="planted")}) s
+    """,
+)
+def q_pii_scrub_stats(spark, sf_dir):
+    """PII redaction audit (scrubbing.scrub_pii) over the corpus with
+    deterministically planted emails/phones/IPs: per-type match
+    counts plus the md5 + length of the redacted text, so the oracle
+    pins the EXACT output bytes of every replacement, not just the
+    counts. Same pattern strings verbatim on both engines (the
+    Java-regex/RE2 common subset, scrubbing.REDACTIONS)."""
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" call +81 3-1234-5678")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    s = scrubbing.scrub_pii(planted)
+    return s.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.length("scrubbed").alias("scrub_len"),
     )
 
 
