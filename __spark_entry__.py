@@ -2292,6 +2292,74 @@ def q_pii_scrub_stats(spark, sf_dir):
     )
 
 
+@q(
+    "benchmark_contamination",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    cw AS (
+      SELECT doc_id, trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM corpus
+    ),
+    bw AS (
+      SELECT trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM bench
+    ),
+    spans AS (
+      SELECT doc_id, u AS gram_hash
+      FROM cw,
+      UNNEST(CASE WHEN tt != '' AND len(w) >= {_K_SUBSTR}
+                  THEN list_transform(range(1, len(w) - {_K_SUBSTR} + 2),
+                                      i -> {_GRAM_H})
+                  ELSE [] END) AS t(u)
+    ),
+    bg AS (
+      SELECT DISTINCT u AS gram_hash
+      FROM bw,
+      UNNEST(CASE WHEN tt != '' AND len(w) >= {_K_SUBSTR}
+                  THEN list_transform(range(1, len(w) - {_K_SUBSTR} + 2),
+                                      i -> {_GRAM_H})
+                  ELSE [] END) AS t(u)
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM spans GROUP BY doc_id),
+    hit AS (
+      SELECT s.doc_id, COUNT(*) AS n_contaminated
+      FROM spans s JOIN bg USING (gram_hash) GROUP BY s.doc_id
+    )
+    SELECT c.doc_id,
+      CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+           ELSE ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / p.n_grams, 6)
+      END AS contamination_frac
+    FROM corpus c
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def q_benchmark_contamination(spark, sf_dir):
+    """Eval-set decontamination (substrings.contamination_stats):
+    every 97th base document plays the benchmark; the planted-dup
+    corpus then contains each benchmark doc's exact copy (and a
+    near copy), which light up at contamination ~1.0 while unrelated
+    docs stay at 0.0. Benchmark gram hashes are broadcast — the
+    100-TB plan never shuffles the corpus side against an eval set
+    (plan-gated in tests/test_substrings.py)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    s = substrings.contamination_stats(
+        _corpus(spark, sf_dir), bench, k=_K_SUBSTR
+    )
+    return s.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round("contamination_frac", 6).alias("contamination_frac"),
+    )
+
+
 # ===========================================================================
 # entry + registry
 # ===========================================================================

@@ -108,3 +108,39 @@ def test_spans_shuffle_payload_is_hashes_not_text(spark, corpus):
     spans = substrings.kgram_spans(corpus, k=K)
     assert set(spans.columns) == {"doc_id", "pos", "gram_hash"}
     assert dict(spans.dtypes)["gram_hash"] == "bigint"
+
+
+def test_contamination_stats_and_decontaminate(spark, corpus):
+    """Benchmark = the boilerplate text alone: doc 10/11 share exactly
+    the 5 boiler-internal windows; the distinct docs share none."""
+    bench = spark.createDataFrame([(0, BOILER)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+        for r in substrings.contamination_stats(corpus, bench, k=K).collect()
+    }
+    assert len(got) == 13
+    for d in range(10):
+        assert got[d] == (13, 0, 0.0)
+    for d in (10, 11):
+        n, nc, frac = got[d]
+        assert (n, nc) == (13, 5) and abs(frac - 5 / 13) < 1e-12
+    assert got[12] == (0, 0, 0.0)
+
+    # the benchmark side is broadcast by default (the 100-TB plan:
+    # never shuffle the corpus side against a small eval set)
+    plan = (
+        substrings.contamination_stats(corpus, bench, k=K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan
+
+    kept = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in substrings.decontaminate(corpus, bench, k=K).collect()
+    }
+    for d in range(10):
+        assert kept[d] == (True, None)
+    for d in (10, 11):
+        keep, reason = kept[d]
+        assert keep is False and reason == "contamination>0.0"
+    assert kept[12] == (True, None)

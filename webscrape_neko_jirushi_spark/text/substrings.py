@@ -156,3 +156,84 @@ def substr_dup_filter(
             F.format_string("substr_dup_ratio>%s", F.lit(str(max_dup_ratio))),
         ).alias("reject_reason"),
     )
+
+
+def contamination_stats(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the eval-set twin of
+    ``substr_dup_ratio``: per training document, how many of its
+    k-token windows appear ANYWHERE in the benchmark corpus
+    (``n_grams``, ``n_contaminated``, ``contamination_frac``). A doc
+    quoting an eval question verbatim lights up with a run of
+    contaminated windows; the standard pre-training hygiene check
+    (the GPT-3 appendix-C / Lee et al. procedure, distributed as the
+    same k-gram inversion both dedup ops use).
+
+    The benchmark side reduces to DISTINCT gram hashes and is
+    ``broadcast`` by default — eval sets are thousands of documents,
+    so the right plan is a map-side semi-join against the corpus scan
+    (no shuffle of the 100-TB side); pass
+    ``broadcast_benchmark=False`` if the "benchmark" is itself
+    corpus-sized (the plan degrades to a hash-keyed shuffle
+    semi-join, which is what that case needs). 60-bit collisions only
+    ever OVER-count contamination — the safe direction for a
+    hygiene filter."""
+    spans = kgram_spans(documents, k, text_col, id_col)
+    bench = kgram_spans(benchmark, k, text_col, id_col).select(
+        "gram_hash"
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = spans.join(bench, "gram_hash", "left_semi")
+    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hit_per_doc = hits.groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated")
+    )
+    return (
+        documents.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hit_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_grams")
+            )
+            .alias("contamination_frac"),
+        )
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    max_frac: float = 0.0,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admission form of ``contamination_stats`` (the
+    ``training_filter`` convention): any doc whose contamination
+    fraction EXCEEDS ``max_frac`` leaves the set with a stated
+    reason. The strict default 0.0 removes a doc for a single shared
+    window — the usual eval-hygiene posture."""
+    stats = contamination_stats(documents, benchmark, k, text_col, id_col)
+    return documents.join(
+        stats.select(id_col, "contamination_frac"), id_col
+    ).select(
+        "*",
+        (F.col("contamination_frac") <= F.lit(float(max_frac))).alias("keep"),
+        F.when(
+            F.col("contamination_frac") > F.lit(float(max_frac)),
+            F.format_string("contamination>%s", F.lit(str(max_frac))),
+        ).alias("reject_reason"),
+    )
