@@ -69,6 +69,10 @@ QUERIES = [
     "weighted_interleave_mix",
     "ivf_train_lloyd",
     "pack_sequences",
+    "repetition_stats",
+    "gopher_admission",
+    "pii_scrub_stats",
+    "benchmark_contamination",
 ]
 
 

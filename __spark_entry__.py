@@ -2360,6 +2360,65 @@ def q_benchmark_contamination(spark, sf_dir):
     )
 
 
+@q(
+    "source_mixture_report",
+    f"""
+    SELECT source, lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      ROUND(AVG(quality), 6) AS avg_quality,
+      ROUND(SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS admission_rate
+    FROM (
+      SELECT source, lang, text,
+        CASE
+          WHEN n IS NULL OR n < 50 THEN 'too_short'
+          WHEN n > 5000 THEN 'too_long'
+          WHEN mean_wl < 2 OR mean_wl > 12 THEN 'word_length'
+          WHEN punct >= 0.1 THEN 'punctuation'
+          WHEN stopr < 0.05 OR stopr > 0.6 THEN 'stopwords'
+        END AS reason,
+        (CASE WHEN n BETWEEN 50 AND 5000 THEN 1 ELSE 0 END
+         + CASE WHEN mean_wl BETWEEN 2 AND 12 AND mean_wl > 0 THEN 1 ELSE 0 END
+         + CASE WHEN punct < 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN stopr BETWEEN 0.05 AND 0.6 THEN 1 ELSE 0 END) AS quality
+      FROM (
+        SELECT source, lang, text, doc_id, length(text) AS n,
+          CASE WHEN {_TOKENS_SQL} > 0
+               THEN length(text) * 1.0 / ({_TOKENS_SQL}) ELSE 0.0 END AS mean_wl,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END AS punct,
+          CASE WHEN length(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+               ELSE length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      w -> list_contains({_STOPWORDS_SQL}, w))) * 1.0
+                    / length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopr
+        FROM documents
+      ) m
+    ) r
+    GROUP BY source, lang
+    """,
+)
+def q_source_mixture_report(spark, sf_dir):
+    """Per-(source, lang) curation rollup — the report a mixture
+    designer reads before setting hash_stratified_sample fractions:
+    doc/token volumes, mean 0-4 quality score, and the admission rate
+    under the training_filter cascade. One partial+final hash
+    aggregate over map-side Column metrics; int sums are order-free,
+    so cross-engine AVG/rate equality is exact."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    f = analysis.training_filter(d)
+    return f.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(analysis.token_count(t)).cast("long").alias("n_tokens"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_admitted"),
+        F.round(F.avg(analysis.quality_score(t)), 6).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("keep").cast("int")) / F.count("*"), 6
+        ).alias("admission_rate"),
+    )
+
+
 # ===========================================================================
 # entry + registry
 # ===========================================================================
