@@ -49,6 +49,7 @@ from webscrape_neko_jirushi_spark.text import (  # noqa: E402
     analysis,
     curation,
     packing,
+    repetition,
     substrings,
 )
 
@@ -327,6 +328,28 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.count("*").alias("fragments"),
         )
 
+    def gopher_stats():
+        # X24: top-2/3-gram repetition profile — one hashed explode
+        # (~2n x 16-byte rows) through one hash aggregate with the
+        # in-aggregate struct-max winner, then the doc-side join.
+        # Terminal agg forces the winners; expected ~linear
+        return repetition.repetition_stats(docs, ngrams=(2, 3)).agg(
+            F.sum("n_words").alias("n_words"),
+            F.round(F.avg("dup_word_frac"), 4).alias("avg_dup"),
+            F.round(F.avg("top2gram_frac"), 4).alias("avg_top2"),
+        )
+
+    def contamination_fixed_bench():
+        # X26: a FIXED 60-doc benchmark against the growing corpus —
+        # the eval set does not grow with the training data, so the
+        # broadcast gram semi-join should keep this ~corpus-scan-
+        # linear (the map-side filter), never a shuffle of the corpus
+        bench = docs.filter(F.col("doc_id") < DELTA_DOCS)
+        return substrings.contamination_stats(docs, bench, k=8).agg(
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_contaminated").alias("n_contaminated"),
+        )
+
     def ivf_train_sub():
         # the 100-TB training path: same 3 Lloyd rounds, but over a
         # FIXED ~2048-vector hash-filtered subset (one corpus-scan
@@ -368,6 +391,8 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "weighted_interleave_3to1": interleave_mix,
         "substr_dup_ratio_k8": substr_dup,
         "pack_sequences_b256": pack_seq,
+        "gopher_stats_2_3": gopher_stats,
+        "contamination_fixed_bench": contamination_fixed_bench,
         "ivf_train_c16": ivf_train,
         "ivf_train_sub_c16": ivf_train_sub,
         "lsh_incremental_d60": lsh_incremental,
@@ -562,6 +587,17 @@ def main() -> None:
         "straddled chunks — the padding-free training-batch step,",
         "expected ~linear (one sketch + 32 parallel window sums + a",
         "broadcast offset join, never a single-partition sort).",
+        "",
+        "`gopher_stats_2_3` is the repetition-quality profile",
+        "(`text/repetition.py`): top-2/3-gram char fractions via one",
+        "hashed explode (~2n x 16-byte rows) + one hash aggregate with",
+        "the in-aggregate struct-max winner — expected ~linear.",
+        "",
+        "`contamination_fixed_bench` is eval-set decontamination",
+        "(`text/substrings.py::contamination_stats`) with a FIXED",
+        "60-doc benchmark against the growing corpus: the benchmark",
+        "grams broadcast, the corpus side never shuffles for the",
+        "semi-join — expected ~corpus-scan-linear.",
         "",
         "`ivf_train_c16` is distributed spherical k-means training",
         "(`similarity.ivf_train_centroids`, 16 cells x 3 Lloyd rounds,",
