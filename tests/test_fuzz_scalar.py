@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from webscrape_neko_jirushi_spark.functions import text as ftext
 from webscrape_neko_jirushi_spark.functions import urls as furls
-from webscrape_neko_jirushi_spark.text import analysis
+from webscrape_neko_jirushi_spark.text import analysis, scrubbing
 
 SEED = 20260817
 
@@ -63,6 +63,13 @@ _DIRECTED = [
     "word " * 100,                               # mean word length 4.0
     ". . . . . . . . . .",                       # punct-heavy
     "CAT", "cAt in the hat", "concatenate",      # interest predicate
+    # PII-shaped edges for the scrubbing pair (Java regex vs RE2 on
+    # \\b word boundaries, greedy classes, unicode adjacency)
+    "mail a@b.c and a@b.io", "猫@例.com", "user@example.com。日本語",
+    "+81 3-1234-5678", "+81 3-1234-5678\n", "call +1 555 123 4567 now",
+    "1.2.3.4", "1.2.3.4.5", "999.999.999.999", "x1.2.3.4y",
+    "ip 10.0.0.1, mail x.y+z@a-b.de, tel +44 20-7946-0958 mixed 日本語",
+    "no pii at all +", "version +1.2", "a+b@c.org",
 ]
 
 
@@ -86,6 +93,13 @@ _STOP_SQL = (
 # SQL twins mirror the driver oracle fragments (proven at sf0.01/sf0.1)
 # so a fuzz failure indicts the function pair, not the test.
 # (A function: building Columns needs an active SparkContext.)
+def _scrub_chain_sql() -> str:
+    e = "s"
+    for _, pattern, token in scrubbing.REDACTIONS:
+        e = f"regexp_replace({e}, '{pattern}', '{token}', 'g')"
+    return e
+
+
 def _cases() -> dict[str, tuple]:
     return {
     "sanitize": (
@@ -203,6 +217,22 @@ def _cases() -> dict[str, tuple]:
              WHEN lower(COALESCE(s, '')) LIKE '%gif%' THEN '.gif'
              ELSE '.jpg' END""",
     ),
+    "pii_email_n": (
+        F.regexp_count(F.col("s"), F.lit(scrubbing.EMAIL_RE)),
+        f"len(regexp_extract_all(s, '{scrubbing.EMAIL_RE}'))",
+    ),
+    "pii_ipv4_n": (
+        F.regexp_count(F.col("s"), F.lit(scrubbing.IPV4_RE)),
+        f"len(regexp_extract_all(s, '{scrubbing.IPV4_RE}'))",
+    ),
+    "pii_phone_n": (
+        F.regexp_count(F.col("s"), F.lit(scrubbing.PHONE_RE)),
+        f"len(regexp_extract_all(s, '{scrubbing.PHONE_RE}'))",
+    ),
+    "pii_scrub": (
+        scrubbing.scrub_text(F.col("s")),
+        _scrub_chain_sql(),
+    ),
     "path_ext": (
         furls.path_to_ext(F.col("s")),
         r"""CASE WHEN lower(regexp_extract(s, '\.([A-Za-z0-9]+)$', 1))
@@ -217,6 +247,7 @@ _CASE_NAMES = [
     "sanitize", "kv_key", "kv_value", "suspicious", "fclass", "tokens",
     "bpe_tokens", "non_ascii", "lang", "punct", "stopwords", "quality",
     "fingerprint", "interest", "cat_id", "ct_ext", "path_ext",
+    "pii_email_n", "pii_ipv4_n", "pii_phone_n", "pii_scrub",
 ]
 
 
