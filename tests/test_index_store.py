@@ -747,3 +747,61 @@ def test_compact_index_cow_rewrite_parity_and_lifecycle(spark, tmp_path):
     # idempotent: a compacted index has nothing above max_files
     assert compact_index(spark, idx) == 0
     docs.unpersist()
+
+
+def test_commit_cas_and_concurrent_serialization(tmp_path):
+    """Optimistic concurrency: expected_version pins a COW commit to
+    the version its file dict was derived from (CommitConflict on a
+    moved HEAD), and racing re-list commits serialize under the flock
+    — every writer gets a distinct version, HEAD ends at the max."""
+    import threading
+
+    import pytest
+
+    from webscrape_neko_jirushi_spark.operators.index_store import (
+        CommitConflict,
+    )
+
+    root = tmp_path / "idx"
+    (root / "bucket=1").mkdir(parents=True)
+    (root / "bucket=1" / "part-0.parquet").write_bytes(b"x")
+    m1 = IndexManifest.commit(root, "bucket", meta={"bits": 3})
+
+    # CAS success at the matching version, conflict on a stale one
+    m2 = IndexManifest.commit(
+        root, "bucket", partitions=dict(m1.partitions),
+        expected_version=m1.version,
+    )
+    assert m2.version == 2
+    with pytest.raises(CommitConflict, match="expected v1"):
+        IndexManifest.commit(
+            root, "bucket", partitions=dict(m1.partitions),
+            expected_version=m1.version,
+        )
+    # conflict commits NOTHING: no manifest file, HEAD untouched
+    names = sorted(p.name for p in (root / "_manifests").glob("v*.json"))
+    assert names == ["v000001.json", "v000002.json"]
+    assert (root / "_HEAD").read_text() == "v000002.json"
+
+    # racing re-list commits: distinct versions, no clobbering
+    n_writers, errs = 8, []
+
+    def write(i):
+        try:
+            (root / "bucket=1" / f"part-{i + 1}.parquet").write_bytes(b"y")
+            IndexManifest.commit(root, "bucket")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    final = IndexManifest.load(root)
+    assert final.version == 2 + n_writers  # every commit got its own version
+    versions = sorted(p.name for p in (root / "_manifests").glob("v*.json"))
+    assert len(versions) == 2 + n_writers
+    # the last version saw every writer's file (re-list semantics)
+    assert len(final.files_for([1])) == 1 + n_writers

@@ -244,4 +244,10 @@ def apply_cluster_update(spark, updates: DataFrame, path: str) -> None:
             new_parts[v] = fresh_files[v]
         else:  # every row left this partition — drop it from the head
             new_parts.pop(v, None)
-    IndexManifest.commit(m.root, "pb", meta=m.meta, partitions=new_parts)
+    # CAS on the version this rewrite was derived from: a concurrent
+    # writer landing mid-update raises CommitConflict instead of its
+    # files silently vanishing from the new label-store head
+    IndexManifest.commit(
+        m.root, "pb", meta=m.meta, partitions=new_parts,
+        expected_version=m.version,
+    )

@@ -34,9 +34,39 @@ write time, where it amortizes over every future probe.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 from pathlib import Path
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the HEAD version moved between
+    a writer's read and its commit (another writer landed first).
+    Raised only when the caller pinned ``expected_version`` — the
+    copy-on-write rewrites do, because their explicit file dict was
+    derived FROM the version they read and would silently drop a
+    concurrent append's files if committed over a newer HEAD.
+    Re-read HEAD, re-derive, retry."""
+
+
+@contextlib.contextmanager
+def _commit_lock(root: Path):
+    """Serialize the read-version -> write-manifest -> swap-HEAD
+    critical section across processes on this host (flock on a
+    sidecar; held for milliseconds — readers never take it, the HEAD
+    swap stays their only synchronization point). This is the local
+    reduction of Iceberg's optimistic commit lock; on a remote
+    filesystem swap the whole class for Iceberg metadata."""
+    root.mkdir(parents=True, exist_ok=True)
+    fd = os.open(root / "_HEAD.lock", os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 class IndexManifest:
@@ -171,6 +201,7 @@ class IndexManifest:
         key: str,
         meta: dict | None = None,
         partitions: dict[str, list[str]] | None = None,
+        expected_version: int | None = None,
     ) -> "IndexManifest":
         """Publish a new manifest version and atomically swap ``_HEAD``
         to it.
@@ -194,21 +225,44 @@ class IndexManifest:
 
         Local paths only (see ``_local_root``).
 
-        Single-writer assumption (same as the snapshot store): readers
-        are always safe (HEAD swap is atomic and every manifest is a
-        full tree snapshot at its list time), but two RACING commits
-        can allocate the same version number and last-HEAD-swap wins —
-        the loser's manifest file is overwritten, though no data file
-        is ever lost (the winner's re-list saw both writers' files if
-        their data writes had landed). Serialize writers externally;
-        real Iceberg adds optimistic-locking commits for this.
+        Concurrency: the read-version -> write-manifest -> swap-HEAD
+        section runs under a per-index flock (``_commit_lock``), so
+        racing commits serialize instead of clobbering each other's
+        version number or moving HEAD backward; readers never lock
+        (the atomic HEAD swap remains their only sync point). The
+        re-list form is always safe to serialize blindly — it
+        snapshots whatever tree it finds. The explicit-``partitions``
+        form is NOT: its dict was derived from some version the caller
+        read earlier, so pass ``expected_version`` (that version) and
+        the commit raises :class:`CommitConflict` if HEAD has moved —
+        otherwise a concurrent append's files would silently vanish
+        from the new version. Real Iceberg makes the same distinction
+        (fast-append vs validate-and-retry rewrites).
         """
         root = IndexManifest._local_root(path)
+        with _commit_lock(root):
+            return IndexManifest._commit_locked(
+                root, key, meta, partitions, expected_version
+            )
+
+    @staticmethod
+    def _commit_locked(
+        root: Path,
+        key: str,
+        meta: dict | None,
+        partitions: dict[str, list[str]] | None,
+        expected_version: int | None,
+    ) -> "IndexManifest":
+        prev = IndexManifest.load(root)
+        head_version = prev.version if prev else 0
+        if expected_version is not None and head_version != expected_version:
+            raise CommitConflict(
+                f"HEAD is v{head_version}, expected v{expected_version} at "
+                f"{root} — a concurrent commit landed; re-read and re-derive"
+            )
         if partitions is None:
             partitions = IndexManifest._disk_files(root, key)
-
-        prev = IndexManifest.load(root)
-        version = (prev.version if prev else 0) + 1
+        version = head_version + 1
         manifest = {
             "version": version,
             "key": key,
@@ -379,11 +433,15 @@ def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
     within a partition is not part of any probe's contract.
 
     Returns the number of partitions compacted (0 = nothing to do).
-    Single-writer, like every commit here: don't run concurrently
-    with an append — and like ``commit``'s re-list, run ``vacuum``
-    after any KILLED append first, or its stray files in the rewritten
-    partitions would be adopted into the compacted manifest as if they
-    were part of the rewrite (the ``uncommitted_files`` caveat)."""
+    The final commit pins ``expected_version`` to the manifest this
+    rewrite was derived FROM, so a concurrent append landing mid-
+    compaction raises :class:`CommitConflict` instead of having its
+    files silently dropped from the compacted version (the Iceberg
+    validate-and-retry rewrite posture) — catch it and re-run the
+    compaction. Run ``vacuum`` after any KILLED append first, or its
+    stray files in the rewritten partitions would be adopted into the
+    compacted manifest as if they were part of the rewrite (the
+    ``uncommitted_files`` caveat)."""
     root = IndexManifest._local_root(path)
     m = IndexManifest.load(root)
     if m is None:
@@ -410,5 +468,11 @@ def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
         )
     partitions = dict(m.partitions)
     partitions.update(fresh)
-    IndexManifest.commit(root, m.key, meta=m.meta, partitions=partitions)
+    IndexManifest.commit(
+        root,
+        m.key,
+        meta=m.meta,
+        partitions=partitions,
+        expected_version=m.version,
+    )
     return len(values)
