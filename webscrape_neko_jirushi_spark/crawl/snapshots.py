@@ -80,8 +80,6 @@ class SnapshotStore:
         produce 1-8 files instead of one per shuffle partition; leave
         None on clusters where wide writes are wanted).
         """
-        m = self._head() or {"version": 0, "epoch": 0, "tables": {}}
-        tables: dict[str, list[str]] = {k: list(v) for k, v in m["tables"].items()}
 
         def _write(df: DataFrame, d: str) -> None:
             if write_partitions:
@@ -92,13 +90,40 @@ class SnapshotStore:
                 df = df.repartition(write_partitions)
             df.write.mode("overwrite").parquet(str(self.root / "data" / d))
 
+        # data dirs first, OUTSIDE the commit lock: uuid-named, so
+        # concurrent writers can never collide on a directory, and the
+        # (long) Spark writes never block another store's commit
+        written_replaces: list[tuple[str, str]] = []
+        written_appends: list[tuple[str, str]] = []
         for name, df in (replaces or {}).items():
             d = f"{name}-{epoch:06d}-{uuid.uuid4().hex[:8]}"
             _write(df, d)
-            tables[name] = [d]
+            written_replaces.append((name, d))
         for name, df in (appends or {}).items():
             d = f"{name}-{epoch:06d}-{uuid.uuid4().hex[:8]}"
             _write(df, d)
+            written_appends.append((name, d))
+
+        # the read-version -> write-manifest -> swap-HEAD section runs
+        # under the flock (index_store._commit_lock): racing commits
+        # serialize onto distinct versions instead of clobbering, and
+        # HEAD never moves backward — readers stay lock-free
+        from ..operators.index_store import _commit_lock
+
+        with _commit_lock(self.root):
+            return self._commit_locked(epoch, written_replaces, written_appends)
+
+    def _commit_locked(
+        self,
+        epoch: int,
+        written_replaces: list[tuple[str, str]],
+        written_appends: list[tuple[str, str]],
+    ) -> int:
+        m = self._head() or {"version": 0, "epoch": 0, "tables": {}}
+        tables: dict[str, list[str]] = {k: list(v) for k, v in m["tables"].items()}
+        for name, d in written_replaces:
+            tables[name] = [d]
+        for name, d in written_appends:
             tables.setdefault(name, []).append(d)
 
         version = m["version"] + 1
