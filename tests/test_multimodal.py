@@ -81,3 +81,55 @@ def test_embed_media_unit_norm(spark):
             v = np.array(r["embedding"])
             assert abs(np.linalg.norm(v) - 1.0) < 1e-5
             assert len(v) == 16
+
+
+def test_resize_images_bounded_box_and_passthrough(spark):
+    from webscrape_neko_jirushi_spark.sources import multimodal
+
+    rows = [(f"/m/{i}.jpg", hashlib.sha256(str(i).encode()).digest() * 8)
+            for i in range(30)]
+    rows.append(("/m/corrupt.jpg", b""))
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in multimodal.resize_images(df, max_side=1024).collect()}
+    assert len(out) == 31
+    assert out["/m/corrupt.jpg"]["valid"] is False
+    assert out["/m/corrupt.jpg"]["content"] is None
+    saw_resize = saw_pass = False
+    for path, content in rows[:-1]:
+        meta = multimodal.fake_decode(content)
+        r = out[path]
+        assert r["valid"] is True
+        assert max(r["width"], r["height"]) <= 1024
+        if max(meta["width"], meta["height"]) <= 1024:
+            saw_pass = True  # pass-through: bytes untouched
+            assert bytes(r["content"]) == content
+            assert (r["width"], r["height"]) == (meta["width"], meta["height"])
+        else:
+            saw_resize = True  # aspect preserved within integer floor
+            assert bytes(r["content"]).startswith(b"resized:")
+            ar_in = meta["width"] / meta["height"]
+            ar_out = r["width"] / r["height"]
+            assert abs(ar_in - ar_out) / ar_in < 0.05
+    assert saw_resize and saw_pass  # the md5-dim corpus hits both paths
+
+
+def test_probe_audio_metadata_and_corrupt(spark):
+    from webscrape_neko_jirushi_spark.sources import multimodal
+
+    rows = [(f"/a/{i}.wav", hashlib.sha256(f"a{i}".encode()).digest() * (100 + i))
+            for i in range(10)]
+    rows.append(("/a/corrupt.wav", b""))
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in multimodal.probe_audio(df).collect()}
+    assert out["/a/corrupt.wav"]["valid"] is False
+    for path, content in rows[:-1]:
+        r = out[path]
+        assert r["valid"] is True
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+        assert r["channels"] in (1, 2)
+        want = round(len(content) / (r["sample_rate"] * 2.0 * r["channels"]), 6)
+        assert abs(r["duration_sec"] - want) < 1e-9
+    # deterministic across partitioning
+    again = {r["path"]: r["duration_sec"]
+             for r in multimodal.probe_audio(df.repartition(5)).collect()}
+    assert again == {p: r["duration_sec"] for p, r in out.items()}

@@ -219,3 +219,113 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
         .load(path)
         .withColumn("ext", F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)\z", 1)))
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def resize_images(
+    binary_files: DataFrame, max_side: int = 512
+) -> DataFrame:
+    """Bounded-box resize (the training-prep normalization step:
+    nothing enters the dataset above ``max_side`` on its longer
+    edge). Aspect-preserving target dims come from the probe
+    metadata; the pixel kernel is the container stub — output bytes
+    are a deterministic function of (input bytes, target dims), and a
+    no-op pass-through when the image already fits (real resizers
+    must also skip: re-encoding an untouched image costs quality AND
+    a full-corpus write). Swap ``_resize_kernel`` for PIL
+    ``Image.thumbnail`` + re-encode on a cluster; the plumbing —
+    Arrow batches, schema, the skip path — is what runs at 100 TB.
+    Corrupt inputs pass through with ``valid=False`` (data, not an
+    error — the cascade filters them)."""
+
+    def _resize_kernel(content: bytes, w: int, h: int) -> bytes:
+        # swap-in point: PIL decode -> thumbnail((w, h)) -> re-encode
+        tag = f"resized:{w}x{h}:".encode()
+        return tag + hashlib.md5(content).digest()
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            paths, ws, hs, outs, valids = [], [], [], [], []
+            for path, c in zip(pdf["path"], pdf["content"]):
+                meta = fake_decode(None if c is None else bytes(c))
+                paths.append(path)
+                if not meta["valid"]:
+                    ws.append(None); hs.append(None)
+                    outs.append(None); valids.append(False)
+                    continue
+                w, h = meta["width"], meta["height"]
+                long_side = max(w, h)
+                if long_side <= max_side:  # already fits: pass through
+                    ws.append(w); hs.append(h)
+                    outs.append(bytes(c)); valids.append(True)
+                    continue
+                scale = max_side / long_side
+                nw = max(1, int(w * scale))
+                nh = max(1, int(h * scale))
+                ws.append(nw); hs.append(nh)
+                outs.append(_resize_kernel(bytes(c), nw, nh))
+                valids.append(True)
+            yield pd.DataFrame(
+                {"path": paths, "width": ws, "height": hs,
+                 "content": outs, "valid": valids}
+            )
+
+    return binary_files.select("path", "content").mapInPandas(
+        _resize, RESIZE_SCHEMA
+    )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def probe_audio(binary_files: DataFrame) -> DataFrame:
+    """Audio metadata probe — the audio member of the media triad
+    (image probe / video frame-sample / audio probe), the admission
+    gate a speech pipeline runs before feature extraction (drop
+    sub-second clips, resample targets, mono/stereo routing).
+    Deterministic stub kernel (no ffmpeg/soundfile in this
+    container): attributes are a pure function of the bytes; swap for
+    ``soundfile.info``/ffprobe on a cluster. Corrupt input ->
+    ``valid=False`` row, never an exception."""
+
+    def _probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, c in zip(pdf["path"], pdf["content"]):
+                if not c:
+                    rows.append((path, None, None, None, False))
+                    continue
+                h = hashlib.md5(bytes(c)).digest()
+                sr = (8000, 16000, 22050, 44100, 48000)[h[0] % 5]
+                channels = 1 + h[1] % 2
+                # duration scales with payload size (a real container
+                # header would carry it): bytes / (sr * 2 * channels)
+                duration = round(len(c) / (sr * 2.0 * channels), 6)
+                rows.append((path, duration, sr, channels, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "duration_sec", "sample_rate",
+                         "channels", "valid"],
+            )
+
+    return binary_files.select("path", "content").mapInPandas(
+        _probe, AUDIO_SCHEMA
+    )
