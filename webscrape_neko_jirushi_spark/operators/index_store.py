@@ -438,7 +438,14 @@ def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
     compaction raises :class:`CommitConflict` instead of having its
     files silently dropped from the compacted version (the Iceberg
     validate-and-retry rewrite posture) — catch it and re-run the
-    compaction. Run ``vacuum`` after any KILLED append first, or its
+    compaction. The CAS protects the MANIFEST; the inverse overlap is
+    still operational: a concurrent append whose re-list commit runs
+    while this rewrite's data files are landing would adopt those
+    half-written files as its own (the same ``uncommitted_files``
+    ambiguity as killed appends — own-vs-foreign uncommitted files
+    are indistinguishable without job-scoped naming), so schedule
+    compaction in the maintenance window, not alongside appends.
+    Run ``vacuum`` after any KILLED append first, or its
     stray files in the rewritten partitions would be adopted into the
     compacted manifest as if they were part of the rewrite (the
     ``uncommitted_files`` caveat)."""

@@ -718,6 +718,10 @@ def ivf_train_centroids(
                 < F.lit(thresh)
             ).localCheckpoint(eager=True)
     if dim is None:
+        # always inferred from the DATA, even with a warm-start init:
+        # inferring from init would make a wrong-dimension init
+        # unverifiable (the mismatch check below would compare init to
+        # itself). Warm-start callers pass dim to skip this one job.
         first = base.select(vec_col).head()
         if first is None:
             raise ValueError("ivf_train_centroids: empty embeddings input")
