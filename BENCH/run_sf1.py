@@ -73,6 +73,7 @@ QUERIES = [
     "gopher_admission",
     "pii_scrub_stats",
     "benchmark_contamination",
+    "token_budget_mix",
 ]
 
 

@@ -2360,6 +2360,48 @@ def q_benchmark_contamination(spark, sf_dir):
     )
 
 
+_TB_BUDGETS = {"a": 5000, "b": 2000}  # tokens; c unlisted -> dropped.
+# Budgets sit far below ANY tier's per-stratum token volume (sf0.01
+# already carries ~8k tokens per stratum), so the cut bites — and the
+# kept set is literally tier-nested (the sf1 lesson: literals must
+# clear every tier; here the semantics make the literal tier-safe)
+
+
+@q(
+    "token_budget_mix",
+    f"""
+    SELECT doc_id, stratum FROM (
+      SELECT doc_id, stratum,
+        CAST(SUM(n_tok) OVER (PARTITION BY stratum ORDER BY {portable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="budget")})
+             - n_tok AS BIGINT) AS before
+      FROM (
+        SELECT doc_id, {_STRAT_CASE} AS stratum,
+               CAST({_TOKENS_SQL} AS BIGINT) AS n_tok
+        FROM documents
+      ) s
+    ) p
+    WHERE before < CASE stratum WHEN 'a' THEN 5000 WHEN 'b' THEN 2000 END
+    """,
+)
+def q_token_budget_mix(spark, sf_dir):
+    """Budget-exact mixture execution (curation.token_budget_sample):
+    per stratum, keep documents in portable-hash order until the token
+    budget is reached (exclusive-prefix-sum cut — overshoot at most
+    one doc, nested in the budget, deterministic in the keys). One
+    window PARTITIONED BY STRATUM, so strata sort in parallel."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("stratum"),
+        analysis.token_count(F.col("text")).alias("n_tok"),
+    )
+    return curation.token_budget_sample(
+        d, _TB_BUDGETS, "stratum", "n_tok", "doc_id"
+    ).select("doc_id", "stratum")
+
+
 @q(
     "source_mixture_report",
     f"""

@@ -184,3 +184,71 @@ def test_weighted_interleave_rejects_bad_weights(spark, corpus):
         curation.weighted_interleave({"A": (a, 0.0)}, "doc_id", buckets=0)
     with pytest.raises(ValueError, match="no sources"):
         curation.weighted_interleave({}, "doc_id")
+
+
+def test_token_budget_sample_exact_nested_deterministic(spark, corpus):
+    import duckdb
+
+    from webscrape_neko_jirushi_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+
+    docs = corpus.withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+    small = {"a": 2000, "b": 1000}  # c unlisted -> dropped
+    out = curation.token_budget_sample(
+        docs, small, "stratum", "n_tok", "doc_id"
+    ).cache()
+
+    # budget semantics: tokens-before-last < budget <= tokens-with-last
+    # (overshoot at most one doc), and 'c' is gone
+    per = {
+        r["stratum"]: r["tok"]
+        for r in out.groupBy("stratum").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    assert set(per) == {"a", "b"}
+    # overshoot is exactly one doc: dropping the LAST-kept (max-hash)
+    # doc lands strictly under budget; keeping it reaches the budget
+    for s, b in small.items():
+        kept = out.filter(F.col("stratum") == s).withColumn(
+            "_h",
+            curation.portable_hash64(F.col("doc_id").cast("string"), salt="budget"),
+        )
+        last_n = kept.orderBy(F.col("_h").desc()).head()["n_tok"]
+        assert per[s] >= b  # never undershoots while docs remain
+        assert per[s] - last_n < b  # ...and by at most the last doc
+
+    # nested: raising budgets only APPENDS documents
+    bigger = {"a": 4000, "b": 1000}
+    more = curation.token_budget_sample(
+        docs, bigger, "stratum", "n_tok", "doc_id"
+    )
+    assert _ids(out) < _ids(more)
+    # deterministic in keys, not partitioning
+    again = curation.token_budget_sample(
+        docs.repartition(11), small, "stratum", "n_tok", "doc_id"
+    )
+    assert _ids(again) == _ids(out)
+
+    # DuckDB twin: same hash order, same exclusive prefix-sum cut
+    rows = docs.select("doc_id", "stratum", "n_tok").collect()
+    vals = ", ".join(
+        f"({r['doc_id']}, '{r['stratum']}', {r['n_tok']})" for r in rows
+    )
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="budget")
+    want = {
+        int(v)
+        for (v,) in duckdb.connect().execute(f"""
+            SELECT doc_id FROM (
+              SELECT doc_id, stratum,
+                CAST(SUM(n_tok) OVER (PARTITION BY stratum ORDER BY {h})
+                     - n_tok AS BIGINT) AS before
+              FROM (VALUES {vals}) t(doc_id, stratum, n_tok)
+            )
+            WHERE before < CASE stratum WHEN 'a' THEN 2000 WHEN 'b' THEN 1000 END
+        """).fetchall()
+    }
+    assert _ids(out) == want
+    out.unpersist()
+
+    with pytest.raises(ValueError, match="negative"):
+        curation.token_budget_sample(docs, {"a": -1}, "stratum", "n_tok", "doc_id")

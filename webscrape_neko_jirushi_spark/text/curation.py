@@ -174,3 +174,56 @@ def weighted_interleave(
         ).drop("_mix_hash", "_mix_rank")
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str,
+    tokens_col: str,
+    key_col: str,
+    salt: str = "budget",
+) -> DataFrame:
+    """Budget-exact mixture execution — the step AFTER
+    ``hash_stratified_sample``'s rate-based draw when the spec is
+    absolute ("200B tokens of web, 40B of code"): per stratum, keep
+    documents in portable-hash order until the token budget is
+    reached. A document is kept iff the tokens BEFORE it (exclusive
+    prefix sum in hash order) fit the budget, so the output overshoots
+    by at most one document and never undershoots while eligible docs
+    remain.
+
+    Properties the data-version-control story needs, both inherited
+    from the hash ordering: deterministic in the keys (not the
+    partitioning), and NESTED in the budget — raising a stratum's
+    budget only APPENDS documents (the kept prefix is a prefix of the
+    larger one), so a mixture re-balance never churns already-selected
+    data. Strata absent from ``budgets`` are dropped (the dict is the
+    whole spec, the ``hash_stratified_sample`` convention).
+
+    Scale shape: ONE window partitioned BY STRATUM — strata run in
+    parallel and a single stratum's sort is bounded by its own rows,
+    not the corpus (the usual mixture has tens of sources, each a
+    shard of the corpus; for one pathologically dominant stratum,
+    pre-filter with ``hash_stratified_sample`` to an over-sampled
+    rate first, then budget-cut the remainder — rate-then-budget is
+    also the cheaper plan at 100 TB because the rate filter is
+    map-side and prunes before the sort)."""
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"token_budget_sample: negative budget in {budgets}")
+    budget_map = F.create_map(
+        *[
+            lit
+            for stratum, b in budgets.items()
+            for lit in (F.lit(stratum), F.lit(int(b)).cast("long"))
+        ]
+    )
+    h = portable_hash64(F.col(key_col).cast("string"), salt=salt)
+    w = Window.partitionBy(strata_col).orderBy(h)
+    before = F.sum(F.col(tokens_col).cast("long")).over(w) - F.col(
+        tokens_col
+    ).cast("long")
+    # missing stratum -> NULL budget -> NULL predicate -> dropped
+    return df.withColumn("_tb_before", before).filter(
+        F.col("_tb_before") < budget_map[F.col(strata_col)]
+    ).drop("_tb_before")
