@@ -805,3 +805,47 @@ def test_commit_cas_and_concurrent_serialization(tmp_path):
     assert len(versions) == 2 + n_writers
     # the last version saw every writer's file (re-list semantics)
     assert len(final.files_for([1])) == 1 + n_writers
+
+
+def test_staged_append_tree_equals_manifest_and_crash_litter(spark, tmp_path):
+    """Job-scoped staged writes: after a build + two staged appends,
+    the partition tree contains EXACTLY the files the HEAD manifest
+    names (nothing for a re-list to mis-adopt, no stray data); a
+    crashed stage (written but never committed) lives only under
+    _staging, invisible to readers, and vacuum reclaims it."""
+    e = _embeddings(spark)
+    idx = str(tmp_path / "ann")
+    similarity.build_ann_index(e, idx, dim=64, bits=6, seed=7)
+    similarity.append_ann_index(
+        e.withColumn("vec_id", F.col("vec_id") + 10_000), idx
+    )
+    similarity.append_ann_index(
+        e.withColumn("vec_id", F.col("vec_id") + 20_000), idx
+    )
+    m = IndexManifest.load(idx)
+    def live_files():
+        return {
+            str(p.relative_to(idx))
+            for p in Path(idx).rglob("*.parquet")
+            if str(p.relative_to(idx)).startswith("bucket=")
+        }
+
+    on_disk = live_files()
+    in_manifest = {f for files in m.partitions.values() for f in files}
+    assert on_disk == in_manifest  # exact: no unreferenced data files
+
+    # a killed writer: staged but never committed
+    stage, files = IndexManifest.stage_write(
+        e.withColumn("vec_id", F.col("vec_id") + 30_000).withColumn(
+            "bucket", F.lit(0)
+        ),
+        idx,
+        "bucket",
+    )
+    assert files and Path(stage).is_dir()
+    # live tree and HEAD untouched; probes resolve only manifest files
+    assert IndexManifest.load(idx).version == m.version
+    assert live_files() == in_manifest
+    # vacuum reclaims the orphaned staging tree
+    assert IndexManifest.vacuum(idx, older_than_sec=0) >= 1
+    assert not (Path(idx) / "_staging").exists()

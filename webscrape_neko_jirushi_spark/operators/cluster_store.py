@@ -28,10 +28,12 @@ yields exactly the labels a full recompute would give the affected
 components — merges can only travel through delta edges, every delta
 endpoint's component is pulled in, and unaffected components cannot
 change (parity-tested). The rewrite is COPY-ON-WRITE: replacement
-rows are appended (part-file names never collide), resolved via
-``IndexManifest.uncommitted_files``, and committed as an explicit
-partitions dict — superseded files stay readable to older manifest
-versions until ``expire_versions`` + ``vacuum`` reclaim them.
+rows are staged into a job-scoped tree (``IndexManifest.stage_write``)
+and moved + published inside one locked, CAS-guarded commit
+(``commit_staged`` with ``expected_version``) — superseded files stay
+readable to older manifest versions until ``expire_versions`` +
+``vacuum`` reclaim them, and concurrent writers surface as
+``CommitConflict`` instead of silent file loss.
 
 Cost per update: O(|delta| + |affected components|) rows read and
 rewritten, resolved through one manifest read — never a corpus scan.
@@ -200,10 +202,9 @@ def apply_cluster_update(spark, updates: DataFrame, path: str) -> None:
     ``i`` partitions plus the old AND new labels' ``l`` partitions
     (a relabeled node's ``l`` row MOVES partition; both sides are in
     the rewrite set, so survivors of each are preserved). Replacement
-    files are appended, resolved via ``uncommitted_files``, and
-    published as an explicit-partitions manifest commit — older
-    versions keep reading the superseded files until
-    ``expire_versions`` + ``vacuum``."""
+    files are staged job-scoped and moved + published in one locked,
+    version-CAS'd commit — older versions keep reading the superseded
+    files until ``expire_versions`` + ``vacuum``."""
     m = _checked_cc_manifest(path)
     n = int(m.meta["n_subparts"])
     upd = updates.select("id", "cluster_id", "old_label").localCheckpoint(eager=True)
@@ -235,19 +236,14 @@ def apply_cluster_update(spark, updates: DataFrame, path: str) -> None:
         out = survivors.unionByName(fresh)
     else:
         out = fresh
-    out.write.partitionBy("pb").mode("append").parquet(str(m.root))
-
-    new_parts = dict(m.partitions)
-    fresh_files = IndexManifest.uncommitted_files(m.root, "pb", pbs)
-    for v in pbs:
-        if v in fresh_files:
-            new_parts[v] = fresh_files[v]
-        else:  # every row left this partition — drop it from the head
-            new_parts.pop(v, None)
-    # CAS on the version this rewrite was derived from: a concurrent
-    # writer landing mid-update raises CommitConflict instead of its
-    # files silently vanishing from the new label-store head
-    IndexManifest.commit(
-        m.root, "pb", meta=m.meta, partitions=new_parts,
-        expected_version=m.version,
+    # staged copy-on-write rewrite: files land under _staging and move
+    # into the live dirs inside the locked commit with the exact list
+    # published — rewritten pbs are replaced, a pb with no staged rows
+    # is dropped from the head, and the CAS on the derivation version
+    # turns a concurrent writer into CommitConflict instead of silent
+    # file loss
+    stage, _ = IndexManifest.stage_write(out.repartition("pb"), m.root, "pb")
+    IndexManifest.commit_staged(
+        m.root, "pb", stage, meta=m.meta,
+        replace_values=pbs, expected_version=m.version,
     )

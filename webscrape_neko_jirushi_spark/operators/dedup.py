@@ -455,12 +455,21 @@ def append_lsh_text_index(
     banded = banded_minhash(
         sigs, m.meta["id_col"], int(m.meta["n_hashes"]), int(m.meta["n_bands"])
     )
-    _with_pb(
-        banded, int(m.meta["n_bands"]), int(m.meta["n_subparts"])
-    ).repartition("pb").write.partitionBy("pb").mode("append").parquet(path)
     from .index_store import IndexManifest
 
-    IndexManifest.commit(path, "pb", meta={**m.meta, **(meta_update or {})})
+    # staged append: files land under _staging and move into the live
+    # dirs inside the locked commit, with the exact list published —
+    # no tree re-list, nothing for a concurrent writer to adopt
+    stage, _ = IndexManifest.stage_write(
+        _with_pb(
+            banded, int(m.meta["n_bands"]), int(m.meta["n_subparts"])
+        ).repartition("pb"),
+        path,
+        "pb",
+    )
+    IndexManifest.commit_staged(
+        path, "pb", stage, meta={**m.meta, **(meta_update or {})}
+    )
 
 
 def simhash64(text_col, k_tokens_hash_bits: int = 60):
@@ -1148,12 +1157,16 @@ def append_simhash_index(new_docs: DataFrame, path: str) -> None:
     banded = simhash_wide_banded(
         sigs, m.meta["id_col"], max_hamming=int(m.meta["max_hamming"])
     )
-    _with_pb(
-        banded,
-        int(m.meta["max_hamming"]) + 1,
-        int(m.meta["n_subparts"]),
-        bucket_col="chunk",
-    ).repartition("pb").write.partitionBy("pb").mode("append").parquet(path)
     from .index_store import IndexManifest
 
-    IndexManifest.commit(path, "pb", meta=m.meta)
+    stage, _ = IndexManifest.stage_write(
+        _with_pb(
+            banded,
+            int(m.meta["max_hamming"]) + 1,
+            int(m.meta["n_subparts"]),
+            bucket_col="chunk",
+        ).repartition("pb"),
+        path,
+        "pb",
+    )
+    IndexManifest.commit_staged(path, "pb", stage, meta=m.meta)

@@ -196,6 +196,116 @@ class IndexManifest:
         }
 
     @staticmethod
+    def stage_write(
+        df, path: str | Path, key: str
+    ) -> tuple[str, dict[str, list[str]]]:
+        """Job-scoped staged write — the Iceberg discipline that makes
+        concurrent writers safe at the DATA level, not just the
+        manifest level: the incoming rows land under
+        ``<root>/_staging/<job-uuid>/`` (Spark-invisible, never inside
+        a live partition dir), so no other writer's tree re-list or
+        ``uncommitted_files`` resolution can ever adopt them, and this
+        writer KNOWS its exact file set instead of inferring it from
+        the tree. Returns ``(stage_dir, {partition value: [file
+        names]})``; hand the stage dir to :meth:`commit_staged`, which
+        moves the files into the live dirs and publishes them in one
+        locked step. A crash before that commit leaves only a staging
+        subtree for ``vacuum`` to reclaim — live data is untouched.
+
+        Callers keep their own ``repartition(key)`` upstream: the
+        one-file-per-partition-dir layout moves over verbatim."""
+        import uuid as _uuid
+
+        root = IndexManifest._local_root(path)
+        stage = root / "_staging" / _uuid.uuid4().hex
+        df.write.partitionBy(key).mode("overwrite").parquet(str(stage))
+        files: dict[str, list[str]] = {}
+        prefix = f"{key}="
+        for d in sorted(stage.iterdir()):
+            if d.is_dir() and d.name.startswith(prefix):
+                files[d.name[len(prefix):]] = sorted(
+                    f.name for f in d.glob("*.parquet")
+                )
+        return str(stage), files
+
+    @staticmethod
+    def commit_staged(
+        path: str | Path,
+        key: str,
+        stage: str | Path,
+        meta: dict | None = None,
+        replace_values=None,
+        expected_version: int | None = None,
+    ) -> "IndexManifest":
+        """Move a :meth:`stage_write` tree into the live partition
+        dirs and publish a manifest naming EXACTLY the moved files —
+        all under the commit lock, so no concurrent commit can
+        observe (or adopt) a half-moved state.
+
+        Default (append): each staged partition's files are ADDED to
+        the previous version's list. With ``replace_values`` (the
+        copy-on-write rewrite form — compaction, label-store
+        updates): those partition values' lists are REPLACED by the
+        staged files, and a listed value with NO staged files is
+        dropped from the head (every row left it); pass
+        ``expected_version`` with this form — the rewrite was derived
+        from that version (:class:`CommitConflict` otherwise). Moves
+        use ``os.rename`` (same filesystem by construction); a crash
+        mid-move leaves already-moved files unreferenced — plain
+        ``vacuum`` litter, the committed head stays intact."""
+        import shutil
+
+        root = IndexManifest._local_root(path)
+        stage = Path(stage)
+        with _commit_lock(root):
+            prev = IndexManifest.load(root)
+            head_version = prev.version if prev else 0
+            if expected_version is not None and head_version != expected_version:
+                raise CommitConflict(
+                    f"HEAD is v{head_version}, expected v{expected_version} "
+                    f"at {root} — a concurrent commit landed; re-read, "
+                    "re-derive, re-stage"
+                )
+            moved: dict[str, list[str]] = {}
+            prefix = f"{key}="
+            for d in sorted(stage.iterdir()):
+                if not (d.is_dir() and d.name.startswith(prefix)):
+                    continue
+                v = d.name[len(prefix):]
+                live = root / d.name
+                live.mkdir(parents=True, exist_ok=True)
+                for f in sorted(d.glob("*.parquet")):
+                    os.rename(f, live / f.name)
+                    moved.setdefault(v, []).append(
+                        str((live / f.name).relative_to(root))
+                    )
+            shutil.rmtree(stage, ignore_errors=True)
+            parts = {
+                k: list(v) for k, v in (prev.partitions if prev else {}).items()
+            }
+            if replace_values is not None:
+                for v in {str(x) for x in replace_values}:
+                    if v in moved:
+                        parts[v] = moved[v]
+                    else:
+                        parts.pop(v, None)
+                extra = set(moved) - {str(x) for x in replace_values}
+                for v in sorted(extra):  # staged values outside the
+                    # rewrite set are plain appends (rows moved
+                    # between partitions during a rewrite)
+                    parts.setdefault(v, []).extend(moved[v])
+            else:
+                for v, files in moved.items():
+                    parts.setdefault(v, []).extend(files)
+            return IndexManifest._commit_locked(
+                root,
+                key,
+                meta if meta is not None else (prev.meta if prev else {}),
+                parts,
+                None,
+            )
+
+    @staticmethod
     def commit(
         path: str | Path,
         key: str,
@@ -384,6 +494,16 @@ class IndexManifest:
                     shutil.rmtree(d)
                     deleted += 1
                 continue
+            if d.name == "_staging" and d.is_dir():
+                # stage_write trees whose commit_staged never ran (a
+                # killed writer): never referenced, safe past retention
+                for sub in sorted(d.iterdir()):
+                    if sub.is_dir() and sub.stat().st_mtime <= cutoff:
+                        shutil.rmtree(sub)
+                        deleted += 1
+                if not any(d.iterdir()):
+                    d.rmdir()
+                continue
             if not d.is_dir() or not d.name.startswith(prefix):
                 continue
             for f in sorted(d.rglob("*")):
@@ -417,15 +537,14 @@ def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
 
     For every partition whose HEAD file list exceeds ``max_files``:
     read exactly those files (manifest-resolved, one Spark job for all
-    of them), rewrite the rows back into the same partition dirs with
-    ``mode=append`` (part-file names are unique — nothing collides,
-    readers of the committed version are untouched), resolve the fresh
-    files via ``uncommitted_files``, and commit a manifest version in
-    which the compacted partitions list ONLY the fresh files. The
-    superseded files stay on disk for older versions (time travel)
-    until ``expire_versions`` + ``vacuum`` reclaim them; a crash at
-    ANY point leaves the committed version intact and at worst some
-    uncommitted litter for ``vacuum``.
+    of them), ``stage_write`` the rows into a job-scoped ``_staging``
+    tree, and ``commit_staged`` them — the files move into the live
+    partition dirs INSIDE the locked commit, which publishes a
+    manifest version where the compacted partitions list ONLY the
+    fresh files. The superseded files stay on disk for older versions
+    (time travel) until ``expire_versions`` + ``vacuum`` reclaim them;
+    a crash at ANY point leaves the committed version intact and at
+    worst a staging subtree for ``vacuum``.
 
     Probe results are byte-identical before/after (same rows, fewer
     files); parity is pinned in ``tests/test_index_store.py``. Works
@@ -433,22 +552,13 @@ def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
     within a partition is not part of any probe's contract.
 
     Returns the number of partitions compacted (0 = nothing to do).
-    The final commit pins ``expected_version`` to the manifest this
-    rewrite was derived FROM, so a concurrent append landing mid-
-    compaction raises :class:`CommitConflict` instead of having its
-    files silently dropped from the compacted version (the Iceberg
-    validate-and-retry rewrite posture) — catch it and re-run the
-    compaction. The CAS protects the MANIFEST; the inverse overlap is
-    still operational: a concurrent append whose re-list commit runs
-    while this rewrite's data files are landing would adopt those
-    half-written files as its own (the same ``uncommitted_files``
-    ambiguity as killed appends — own-vs-foreign uncommitted files
-    are indistinguishable without job-scoped naming), so schedule
-    compaction in the maintenance window, not alongside appends.
-    Run ``vacuum`` after any KILLED append first, or its
-    stray files in the rewritten partitions would be adopted into the
-    compacted manifest as if they were part of the rewrite (the
-    ``uncommitted_files`` caveat)."""
+    Safe to run alongside appends: the commit pins
+    ``expected_version`` to the manifest this rewrite was derived
+    FROM (a concurrent append landing first raises
+    :class:`CommitConflict` — catch and re-run), and because every
+    writer stages into its own job-scoped tree, neither writer can
+    adopt the other's in-flight files (the Iceberg
+    write-unique-paths, commit-exact-list discipline)."""
     root = IndexManifest._local_root(path)
     m = IndexManifest.load(root)
     if m is None:
@@ -457,29 +567,26 @@ def compact_index(spark, path: str | Path, max_files: int = 1) -> int:
     if not values:
         return 0
     files = m.files_for(values)
-    (
+    stage, staged = IndexManifest.stage_write(
         spark.read.option("basePath", str(root))
         .parquet(*files)
-        .repartition(m.key)
-        .write.partitionBy(m.key)
-        .mode("append")
-        .parquet(str(root))
+        .repartition(m.key),
+        root,
+        m.key,
     )
-    fresh = IndexManifest.uncommitted_files(root, m.key, values)
-    missing = [v for v in values if v not in fresh]
+    missing = [v for v in values if v not in staged]
     if missing:
         raise RuntimeError(
             f"compact_index: rewrite produced no files for partitions "
-            f"{missing[:5]} at {path} — tree left as-is (nothing was "
-            "committed); run vacuum to reclaim the partial rewrite"
+            f"{missing[:5]} at {path} — nothing was committed; the "
+            "staging tree is vacuum litter"
         )
-    partitions = dict(m.partitions)
-    partitions.update(fresh)
-    IndexManifest.commit(
+    IndexManifest.commit_staged(
         root,
         m.key,
+        stage,
         meta=m.meta,
-        partitions=partitions,
+        replace_values=values,
         expected_version=m.version,
     )
     return len(values)

@@ -224,10 +224,14 @@ def append_ann_index(
             "tree would leave probes unaware of the new files)"
         )
     planes = _hyperplanes(int(m.meta["dim"]), int(m.meta["bits"]), int(m.meta["seed"]))
-    embeddings.withColumn(
-        "bucket", lsh_bucket_col(F.col(vec_col), planes)
-    ).repartition("bucket").write.partitionBy("bucket").mode("append").parquet(path)
-    IndexManifest.commit(path, "bucket", meta=m.meta)
+    stage, _ = IndexManifest.stage_write(
+        embeddings.withColumn(
+            "bucket", lsh_bucket_col(F.col(vec_col), planes)
+        ).repartition("bucket"),
+        path,
+        "bucket",
+    )
+    IndexManifest.commit_staged(path, "bucket", stage, meta=m.meta)
 
 
 def ann_index_needs_reindex(
@@ -823,10 +827,14 @@ def append_ivf_index(
             f"append_ivf_index: no centroid-bearing manifest at {path} — "
             "build with build_ivf_index(manifest=True) first"
         )
-    ivf_assign(
-        embeddings, m.meta["centroids"], id_col=id_col, vec_col=vec_col
-    ).write.partitionBy("cell").mode("append").parquet(path)
-    IndexManifest.commit(path, "cell", meta=m.meta)
+    stage, _ = IndexManifest.stage_write(
+        ivf_assign(
+            embeddings, m.meta["centroids"], id_col=id_col, vec_col=vec_col
+        ),
+        path,
+        "cell",
+    )
+    IndexManifest.commit_staged(path, "cell", stage, meta=m.meta)
 
 
 def ivf_topk_indexed(
@@ -1042,10 +1050,17 @@ def append_emb_lsh_index(new_embeddings: DataFrame, path: str) -> None:
         m.meta["vec_col"],
         keep_vec=True,
     )
-    _with_pb(
-        banded, int(m.meta["n_bands"]), int(m.meta["n_subparts"]), bucket_col="bucket"
-    ).repartition("pb").write.partitionBy("pb").mode("append").parquet(path)
-    IndexManifest.commit(path, "pb", meta=m.meta)
+    stage, _ = IndexManifest.stage_write(
+        _with_pb(
+            banded,
+            int(m.meta["n_bands"]),
+            int(m.meta["n_subparts"]),
+            bucket_col="bucket",
+        ).repartition("pb"),
+        path,
+        "pb",
+    )
+    IndexManifest.commit_staged(path, "pb", stage, meta=m.meta)
 
 
 def emb_lsh_index_needs_reindex(
@@ -1347,14 +1362,18 @@ def append_pq_index(
             f"append_pq_index: no codebook-bearing manifest at {path} — "
             "build with build_pq_index first"
         )
-    pq_encode(embeddings, m.meta["codebooks"], id_col, vec_col).withColumn(
+    stage, _ = IndexManifest.stage_write(
+        pq_encode(embeddings, m.meta["codebooks"], id_col, vec_col).withColumn(
+            "shard",
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")),
+                F.lit(int(m.meta["n_shards"])),
+            ).cast("int"),
+        ),
+        path,
         "shard",
-        F.pmod(
-            F.xxhash64(F.col(id_col).cast("string")),
-            F.lit(int(m.meta["n_shards"])),
-        ).cast("int"),
-    ).write.partitionBy("shard").mode("append").parquet(path)
-    IndexManifest.commit(path, "shard", meta=m.meta)
+    )
+    IndexManifest.commit_staged(path, "shard", stage, meta=m.meta)
 
 
 def pq_topk_indexed(
@@ -1522,11 +1541,15 @@ def append_ivfpq_index(
         F.col("cell"),
         _residual_col(F.col(vec_col), F.col("cell"), cents).alias("_res"),
     )
-    pq_encode(
-        res, m.meta["codebooks"], id_col, "_res", normalize=False,
-        carry_cols=("cell",),
-    ).write.partitionBy("cell").mode("append").parquet(path)
-    IndexManifest.commit(path, "cell", meta=m.meta)
+    stage, _ = IndexManifest.stage_write(
+        pq_encode(
+            res, m.meta["codebooks"], id_col, "_res", normalize=False,
+            carry_cols=("cell",),
+        ),
+        path,
+        "cell",
+    )
+    IndexManifest.commit_staged(path, "cell", stage, meta=m.meta)
 
 
 def ivfpq_topk(
