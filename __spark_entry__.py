@@ -2461,6 +2461,103 @@ def q_source_mixture_report(spark, sf_dir):
     )
 
 
+@q(
+    "semantic_dedup_flags",
+    f"""
+    WITH emb0 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id, e FROM emb0
+      UNION ALL
+      SELECT vec_id + 100000000 AS vec_id, list_transform(e, x -> x * 2.0) AS e
+      FROM emb0 WHERE vec_id % 7 = 0
+    ),
+    cn AS (SELECT vec_id AS cid, e FROM emb0 WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, CAST(cid AS INTEGER) AS cell, cos AS ccos FROM (
+        SELECT m.vec_id, c.cid, ROUND({_cos_sql('m.e', 'c.e')}, 9) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                 ORDER BY ROUND({_cos_sql('m.e', 'c.e')}, 9) DESC, c.cid) AS rn
+        FROM corpus m, cn c
+      ) s WHERE rn = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.cell, a.ccos, m.e
+      FROM assigned a JOIN corpus m USING (vec_id)
+    ),
+    removed AS (
+      SELECT DISTINCT y.vec_id
+      FROM av x JOIN av y ON x.cell = y.cell
+       AND (x.ccos < y.ccos OR (x.ccos = y.ccos AND x.vec_id < y.vec_id))
+      WHERE ROUND({_cos_sql('x.e', 'y.e')}, 9) >= 0.92
+    )
+    SELECT a.vec_id, a.cell, ROUND(a.ccos, 6) AS ccos,
+           (r.vec_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    """,
+)
+def q_semantic_dedup_flags(spark, sf_dir):
+    """SemDeDup semantic deduplication (dedup.semantic_dedup): assign
+    every vector (plus planted x2-scaled duplicates of every 7th) to
+    its nearest of 8 seed centroids, order each cell farthest-from-
+    centroid first, and flag an item removed iff an earlier cell-mate
+    has cosine >= 0.92. The pair space is within-cell only — a shuffle
+    equi-join on cell, never all-pairs; with trained centroids
+    (similarity.ivf_train_centroids) C scales with n so sum(n_c^2)
+    stays linear. Planted duplicates share their base's direction,
+    hence its cell AND ccos — the id tie-break keeps the base."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _DUP_OFF).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    small = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    }
+    centroids = [small[i] for i in sorted(small)]
+    flags = dedup.semantic_dedup(
+        corpus, centroids, tau=0.92, materialize=True
+    )
+    return flags.select(
+        "vec_id", "cell", F.round("ccos", 6).alias("ccos"), "kept"
+    )
+
+
+@q(
+    "corpus_shuffle_seq",
+    f"""
+    SELECT doc_id,
+           {curation.portable_hash64_sql("CAST(doc_id AS VARCHAR)", salt='epoch-1:')} AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY {curation.deterministic_shuffle_sql('epoch-1:', 'doc_id')}
+           ) AS BIGINT) AS seq
+    FROM documents
+    """,
+)
+def q_corpus_shuffle_seq(spark, sf_dir):
+    """Seeded epoch shuffle (curation.deterministic_shuffle): permute
+    the corpus by the portable hash of (seed || doc_id) — reproducible
+    across runs and engines, no RNG state — then assign the 1-based
+    global position with reorganize.global_sequence's bucketed
+    two-phase ranking (range exchange + per-bucket windows + broadcast
+    offsets; no single-partition window, no orderBy(rand())). The
+    oracle replays the identical permutation as one ORDER BY."""
+    d = load(spark, sf_dir, "documents")
+    shuffled = curation.deterministic_shuffle(d, seed="epoch-1:", id_col="doc_id")
+    seqd = reorganize.global_sequence(
+        shuffled, "shuffle_key", buckets=8, out_col="seq"
+    )
+    return seqd.select("doc_id", "shuffle_key", F.col("seq").cast("long").alias("seq"))
+
+
 # ===========================================================================
 # entry + registry
 # ===========================================================================

@@ -1170,3 +1170,115 @@ def append_simhash_index(new_docs: DataFrame, path: str) -> None:
         "pb",
     )
     IndexManifest.commit_staged(path, "pb", stage, meta=m.meta)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus, then prune
+    within-cluster semantic duplicates in ONE non-iterative pass.
+
+    1. Every vector goes to its nearest centroid (max cosine, HALF_UP
+       at 9 decimals, ties -> lowest cell: the exact
+       ``similarity.ivf_assign`` contract) and keeps ``ccos``, its
+       cosine to that centroid.
+    2. Within each cell, items are ordered FARTHEST-from-centroid
+       first (``ccos`` ASC, id ASC) — SemDeDup keeps the low-centroid-
+       similarity exemplars.
+    3. Item ``b`` is removed iff ANY earlier item ``a`` in its cell
+       has round(cos(a, b), 9) >= tau. Removal of ``a`` does NOT
+       rescue ``b`` (the paper's triu-max formulation) — which is what
+       makes this a single self-join instead of an iterative MIS, and
+       keeps it SQL-expressible for the oracle.
+
+    Returns (id, cell, ccos, kept:boolean) — callers filter
+    ``kept`` for the surviving corpus.
+
+    Scale: the pair space is within-cell only — a shuffle equi-join on
+    ``cell``, never all-pairs. With C centroids sized ~ n /
+    target_cell_size (train them with ``similarity.ivf_train_centroids``),
+    sum(n_c^2) stays linear in n. A mega-cell means C is under-sized
+    for the corpus — the same sizing discipline as ``lsh_bits_for``.
+    ``materialize=True`` localCheckpoints the assign stage so the
+    scan->score->argmax subtree executes once instead of three times
+    (pairs-left, pairs-right, final flag join) — worth it whenever the
+    upstream is more than a parquet scan.
+    """
+    from .similarity import cosine_col
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    scored = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nrm.alias("_nrm"),
+        F.array(
+            *[
+                F.round(cosine_col(F.col(vec_col), c), 9).alias(f"c{i}")
+                for i, c in enumerate(centroids)
+            ]
+        ).alias("_scores"),
+    )
+    assigned = scored.select(
+        id_col,
+        vec_col,
+        "_nrm",
+        (F.expr("array_position(_scores, array_max(_scores))").cast("int") - 1).alias(
+            "cell"
+        ),
+        F.array_max("_scores").alias("ccos"),
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "cell",
+        F.col("ccos").alias("_ca"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "cell",
+        F.col("ccos").alias("_cb"),
+    )
+    earlier = (F.col("_ca") < F.col("_cb")) | (
+        (F.col("_ca") == F.col("_cb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_va"), F.col("_vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(earlier)
+        .filter(F.round(dot / (F.col("_na") * F.col("_nb")), 9) >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "ccos",
+            F.col("_rm").isNull().alias("kept"),
+        )
+    )

@@ -227,3 +227,43 @@ def token_budget_sample(
     return df.withColumn("_tb_before", before).filter(
         F.col("_tb_before") < budget_map[F.col(strata_col)]
     ).drop("_tb_before")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    seed: str,
+    id_col: str = "doc_id",
+    key_col: str = "shuffle_key",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded, engine-reproducible GLOBAL shuffle — the "randomize the
+    corpus before epoch e" step of a training-data pipeline, without
+    RNG state or ``orderBy(rand())`` (whose output depends on
+    partitioning and Spark version).
+
+    The sort key is the 60-bit portable hash of ``seed || id``: a new
+    seed is a fresh permutation, the same seed is byte-identical
+    across runs AND engines (DuckDB twin:
+    ``ORDER BY <portable_hash64_sql> , id``). The scale path is
+    ``repartitionByRange(key, id)`` + ``sortWithinPartitions`` — a
+    total order across output FILES via the range-sampling exchange,
+    never a single-reducer global sort; downstream sequential readers
+    (sequence packing, epoch sharding) consume partitions in index
+    order. Compose with ``reorganize.global_sequence(key_col)`` when
+    an explicit 1-based position is needed.
+    """
+    key = portable_hash64(F.col(id_col).cast("string"), salt=seed)
+    out = df.withColumn(key_col, key)
+    if partitions is not None:
+        out = out.repartitionByRange(partitions, F.col(key_col), F.col(id_col))
+    else:
+        out = out.repartitionByRange(F.col(key_col), F.col(id_col))
+    return out.sortWithinPartitions(key_col, id_col)
+
+
+def deterministic_shuffle_sql(seed: str, id_expr: str = "doc_id") -> str:
+    """The DuckDB ORDER BY fragment reproducing a
+    ``deterministic_shuffle`` pass order (ties impossible: the id is
+    the final key)."""
+    h = portable_hash64_sql(f"CAST({id_expr} AS VARCHAR)", salt=seed)
+    return f"{h}, {id_expr}"
