@@ -240,6 +240,41 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         )
         return dedup.embedding_near_dups(e, tau=0.99, candidates=cands)
 
+    def semantic_dedup_cscaled():
+        # X27: SemDeDup with the centroid count scaled to the corpus
+        # (C = n/256): sum(n_c^2) ~ n x 256 stays LINEAR only because
+        # C grows — a fixed C would be the hidden quadratic, exactly
+        # the lsh_bits_for lesson. Seed centroids (first C vectors)
+        # stand in for trained ones: assignment cost, the within-cell
+        # pair join, and the flag join are what's measured. The assign
+        # stage auto-switches to the Arrow matmul form past 128 cells.
+        e = vecs.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        n_cells = max(8, n_vecs // 256)
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in e.filter(F.col("vec_id") < n_cells).collect()
+        ]
+        flags = dedup.semantic_dedup(e, cents, tau=0.92, materialize=True)
+        return flags.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        )
+
+    def corpus_shuffle():
+        # X28: seeded permutation (range exchange on the portable
+        # hash) + the bucketed two-phase global sequence — expected
+        # ~linear; the terminal max(seq) forces the offset join
+        shuffled = curation.deterministic_shuffle(docs, "epoch-1", "doc_id")
+        from webscrape_neko_jirushi_spark.operators import reorganize
+
+        seqd = reorganize.global_sequence(shuffled, "shuffle_key", buckets=32)
+        return seqd.agg(
+            F.max("seq").alias("last_seq"), F.count("*").alias("n")
+        )
+
     # one deterministic query vector (vec 1's embedding) — constant
     # across sizes so probe cost differences come from the index alone
     query_vec = [
@@ -388,6 +423,8 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "ann_probe_indexed": ann_probe_indexed,
         "pq_probe_indexed": pq_probe,
         "ivfpq_probe_indexed": ivfpq_probe,
+        "semantic_dedup_cscaled": semantic_dedup_cscaled,
+        "corpus_shuffle_seq": corpus_shuffle,
         "weighted_interleave_3to1": interleave_mix,
         "substr_dup_ratio_k8": substr_dup,
         "pack_sequences_b256": pack_seq,

@@ -113,3 +113,22 @@ def test_semantic_dedup_materialize_same_result(spark, corpus):
         key=lambda r: r["vec_id"],
     )
     assert [tuple(r) for r in plain] == [tuple(r) for r in mat]
+
+
+def test_arrow_path_matches_literal_path(spark, corpus):
+    """The >128-centroid Arrow matmul assign must be row-identical to
+    the literal-Column form (cell, ccos, AND the kept flags) — forced
+    here with arrow_threshold=0 on a small centroid list."""
+    centroids = [corpus[0], corpus[1], corpus[2], corpus[3]]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "vec_id long, embedding array<double>"
+    )
+    lit = sorted(
+        dedup.semantic_dedup(df, centroids, tau=0.9).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    arrow = sorted(
+        dedup.semantic_dedup(df, centroids, tau=0.9, arrow_threshold=0).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert [tuple(r) for r in lit] == [tuple(r) for r in arrow]

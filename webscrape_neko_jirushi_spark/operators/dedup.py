@@ -1179,6 +1179,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = False,
+    arrow_threshold: int = 128,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the corpus, then prune
@@ -1209,8 +1210,15 @@ def semantic_dedup(
     scan->score->argmax subtree executes once instead of three times
     (pairs-left, pairs-right, final flag join) — worth it whenever the
     upstream is more than a parquet scan.
+
+    The assign stage auto-switches at ``arrow_threshold`` centroids
+    from literal-Column scoring to the Arrow matmul form
+    (``similarity.ivf_assign_pandas(with_score=True)``) — the same
+    >128-cell gate as ``ivf_train_centroids``; both paths share the
+    HALF_UP-9dp + lowest-cell-tie contract (parity-tested), so the
+    result is path-independent.
     """
-    from .similarity import cosine_col
+    from .similarity import cosine_col, ivf_assign_pandas
 
     nrm = F.sqrt(
         F.aggregate(
@@ -1219,26 +1227,31 @@ def semantic_dedup(
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    scored = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        nrm.alias("_nrm"),
-        F.array(
-            *[
-                F.round(cosine_col(F.col(vec_col), c), 9).alias(f"c{i}")
-                for i, c in enumerate(centroids)
-            ]
-        ).alias("_scores"),
-    )
-    assigned = scored.select(
-        id_col,
-        vec_col,
-        "_nrm",
-        (F.expr("array_position(_scores, array_max(_scores))").cast("int") - 1).alias(
-            "cell"
-        ),
-        F.array_max("_scores").alias("ccos"),
-    )
+    if len(centroids) > arrow_threshold:
+        assigned = ivf_assign_pandas(
+            embeddings, centroids, id_col, vec_col, with_score=True
+        ).withColumn("_nrm", nrm)
+    else:
+        scored = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            nrm.alias("_nrm"),
+            F.array(
+                *[
+                    F.round(cosine_col(F.col(vec_col), c), 9).alias(f"c{i}")
+                    for i, c in enumerate(centroids)
+                ]
+            ).alias("_scores"),
+        )
+        assigned = scored.select(
+            id_col,
+            vec_col,
+            "_nrm",
+            (
+                F.expr("array_position(_scores, array_max(_scores))").cast("int") - 1
+            ).alias("cell"),
+            F.array_max("_scores").alias("ccos"),
+        )
     if materialize:
         assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(

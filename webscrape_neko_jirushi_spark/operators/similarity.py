@@ -471,6 +471,7 @@ def ivf_assign_pandas(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_score: bool = False,
 ) -> DataFrame:
     """Arrow-batched matmul twin of ``ivf_assign`` — the LARGE-C path.
 
@@ -488,7 +489,11 @@ def ivf_assign_pandas(
     HALF_UP-rounded to 9 decimals (numpy's round is banker's — a
     decimal-boundary tie would otherwise flip cells vs the expression
     form) and ties take the LOWEST cell id (argmax returns the first
-    maximum). Parity-tested cell-for-cell against ``ivf_assign``."""
+    maximum). Parity-tested cell-for-cell against ``ivf_assign``.
+
+    ``with_score=True`` additionally emits ``ccos``, the winning
+     9-decimal-rounded cosine (``array_max(_scores)`` of the literal
+    form) — the order key ``semantic_dedup`` needs."""
     import numpy as np
     import pandas as pd
 
@@ -501,6 +506,7 @@ def ivf_assign_pandas(
     out_schema = T.StructType(
         embeddings.select(id_col, vec_col).schema.fields
         + [T.StructField("cell", T.IntegerType())]
+        + ([T.StructField("ccos", T.DoubleType())] if with_score else [])
     )
 
     def assign(batches):
@@ -510,7 +516,10 @@ def ivf_assign_pandas(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
             if len(v) == 0:
-                yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                empty = pdf.assign(cell=pd.Series([], dtype="int32"))
+                if with_score:
+                    empty = empty.assign(ccos=pd.Series([], dtype="float64"))
+                yield empty
                 continue
             vnorm = np.sqrt((v * v).sum(axis=1))
             vnorm[vnorm == 0.0] = 1.0
@@ -520,7 +529,14 @@ def ivf_assign_pandas(
             # for the non-negative magnitudes cosine can reach, and the
             # sign-symmetric copysign form for negatives
             q = np.floor(np.abs(scores) * 1e9 + 0.5) * np.sign(scores)
-            yield pdf.assign(cell=q.argmax(axis=1).astype("int32"))
+            cell = q.argmax(axis=1)
+            out = pdf.assign(cell=cell.astype("int32"))
+            if with_score:
+                # integer-tenth-nanos / 1e9: the correctly-rounded
+                # double of the decimal, i.e. F.round's BigDecimal
+                # doubleValue — bit-identical to the literal form
+                out = out.assign(ccos=q[np.arange(len(q)), cell] / 1e9)
+            yield out
 
     return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
