@@ -156,3 +156,29 @@ def test_repetition_matches_duckdb_twin(spark, docs):
         for a, b, c, d, e, f in rows
     )
     assert got == want
+
+
+def test_single_scan_variant_is_output_identical(spark):
+    """repetition_stats(single_scan=True) carries base metrics through
+    the explode instead of re-scanning + joining — must be row- and
+    column-identical, including gram-less docs (empty / too short)."""
+    from webscrape_neko_jirushi_spark.text.repetition import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the cat sat on the mat the cat sat again and again"),
+            ("d2", "one two"),  # has 2-grams, no 4-grams
+            ("d3", "word"),  # no n-grams at all
+            ("d4", ""),  # empty
+            ("d5", "spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id string, text string",
+    )
+    a = sorted(
+        repetition_stats(docs, (2, 3, 4)).collect(), key=lambda r: r["doc_id"]
+    )
+    b = sorted(
+        repetition_stats(docs, (2, 3, 4), single_scan=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
