@@ -147,3 +147,95 @@ def test_token_budget_sample_cover_and_nested(spark, counts, b1, b2):
         assert ids_lo == set()
     # nested: the smaller budget's keep-set is a subset of the larger
     assert ids_lo <= ids_hi
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),  # source size
+            st.integers(min_value=1, max_value=4),  # integer weight
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_weighted_interleave_prefix_rate_property(spark, specs):
+    """Stride-scheduling fairness for ARBITRARY sizes/weights: at any
+    observed prefix boundary t, each source has contributed exactly
+    min(n_s, floor(t * w_s)) rows — rates proportional to weights
+    until exhaustion (the documented contract, checked at every
+    boundary rather than the example tests' handful)."""
+    import math
+
+    sources = {}
+    sizes = {}
+    for si, (n, w) in enumerate(specs):
+        name = f"s{si}"
+        df = spark.createDataFrame(
+            [(f"{name}-k{i}",) for i in range(n)], "doc_id string"
+        )
+        sources[name] = (df, float(w))
+        sizes[name] = n
+    if all(n == 0 for n in sizes.values()):
+        return
+    mixed = curation.weighted_interleave(sources, "doc_id", buckets=0)
+    rows = sorted(
+        mixed.select("source", "mix_key").collect(),
+        key=lambda r: (r["mix_key"], r["source"]),
+    )
+    assert len(rows) == sum(sizes.values())
+    for t in sorted({r["mix_key"] for r in rows}):
+        got = {name: 0 for name in sources}
+        for r in rows:
+            if r["mix_key"] <= t:
+                got[r["source"]] += 1
+        for name, (df, w) in sources.items():
+            want = min(sizes[name], math.floor(t * w + 1e-9))
+            assert got[name] == want, (
+                f"prefix t={t}: source {name} gave {got[name]} rows, "
+                f"contract says {want}"
+            )
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_substr_dup_ratio_bounds_and_exact_dup_property(spark, docs_words, k):
+    """For arbitrary corpora: n_grams == max(0, n_tokens - k + 1),
+    0 <= n_dup_grams <= n_grams, dup_ratio in [0, 1] — and any doc
+    whose text is EXACTLY duplicated under another id has every gram
+    cross-document-duplicated (ratio 1.0 when it has grams at all)."""
+    from webscrape_neko_jirushi_spark.text import substrings
+
+    rows = [(f"d{i}", " ".join(ws)) for i, ws in enumerate(docs_words)]
+    # exact duplicate of the first doc under a fresh id
+    rows.append(("twin", rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in substrings.substr_dup_ratio(df, k=k).collect()
+    }
+    assert set(got) == {d for d, _ in rows}
+    for doc_id, text in rows:
+        r = got[doc_id]
+        n_tokens = len(text.split()) if text.strip() else 0
+        assert r["n_grams"] == max(0, n_tokens - k + 1)
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+    # the planted twin pair: every gram appears in >= 2 distinct docs
+    for doc_id in ("d0", "twin"):
+        r = got[doc_id]
+        if r["n_grams"] > 0:
+            assert r["n_dup_grams"] == r["n_grams"]
+            assert r["dup_ratio"] == 1.0
