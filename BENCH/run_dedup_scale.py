@@ -263,6 +263,18 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.sum(F.col("kept").cast("int")).alias("n_kept"),
         )
 
+    def bpe_train_m5():
+        # X29: 5 BPE merge rounds over the distinct-word table. The
+        # corpus-proportional part is the ONE word-frequency reduce;
+        # each round is vocabulary-proportional (synth docs draw from
+        # a bounded generator vocabulary, so rounds approach flat as
+        # the type table saturates — the Zipf shape real corpora show)
+        from webscrape_neko_jirushi_spark.text import bpe
+
+        return bpe.bpe_train(
+            bpe.word_frequencies(docs), n_merges=5, min_freq=2
+        )
+
     def corpus_shuffle():
         # X28: seeded permutation (range exchange on the portable
         # hash) + the bucketed two-phase global sequence — expected
@@ -425,6 +437,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "ivfpq_probe_indexed": ivfpq_probe,
         "semantic_dedup_cscaled": semantic_dedup_cscaled,
         "corpus_shuffle_seq": corpus_shuffle,
+        "bpe_train_m5": bpe_train_m5,
         "weighted_interleave_3to1": interleave_mix,
         "substr_dup_ratio_k8": substr_dup,
         "pack_sequences_b256": pack_seq,

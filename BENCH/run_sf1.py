@@ -74,6 +74,16 @@ QUERIES = [
     "pii_scrub_stats",
     "benchmark_contamination",
     "token_budget_mix",
+    # round-5 second-arc additions: the shuffle permutation and the
+    # version diff are cheap and hash-sensitive (60-bit keys, md5
+    # fingerprints) — worth the 10x tier. semantic_dedup_flags is
+    # deliberately NOT here: with the 8 seed centroids its within-cell
+    # pair space is ~n^2/8 and the DuckDB side of the oracle would
+    # dominate the leg at 26k vectors (the operator's sf1-tier growth
+    # evidence is DEDUP_SCALE's semantic_dedup_cscaled leg, where C
+    # scales with n as the operator prescribes).
+    "corpus_shuffle_seq",
+    "corpus_version_diff",
 ]
 
 

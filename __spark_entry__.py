@@ -2558,6 +2558,57 @@ def q_corpus_shuffle_seq(spark, sf_dir):
     return seqd.select("doc_id", "shuffle_key", F.col("seq").cast("long").alias("seq"))
 
 
+_DIFF_FP_SQL = (
+    "md5(concat_ws(chr(31),"
+    " COALESCE(CAST(text AS VARCHAR), chr(0) || 'NULL'),"
+    " COALESCE(lang, chr(0) || 'NULL')))"
+)
+
+
+@q(
+    "corpus_version_diff",
+    f"""
+    WITH oldv AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 3
+    ),
+    newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 7 <> 2
+    ),
+    o AS (SELECT doc_id, {_DIFF_FP_SQL} AS old_fp FROM oldv),
+    n AS (SELECT doc_id, {_DIFF_FP_SQL} AS new_fp FROM newv)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def q_corpus_version_diff(spark, sf_dir):
+    """Corpus version audit (stats.corpus_diff): two deterministic
+    snapshots of the documents table (drops + a revised-text subset)
+    diffed by content fingerprint — one map-side md5 per side, one
+    full-outer equi-join on doc_id (fingerprints through the shuffle,
+    never text), rows classified added/removed/changed/unchanged. The
+    anti-'unchanged' filter of this output is exactly the delta the
+    incremental indexes (X15) consume."""
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text", "lang")
+    new = d.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    return stats.corpus_diff(old, new, "doc_id", ("text", "lang"))
+
+
 # ===========================================================================
 # entry + registry
 # ===========================================================================

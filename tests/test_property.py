@@ -239,3 +239,38 @@ def test_substr_dup_ratio_bounds_and_exact_dup_property(spark, docs_words, k):
         if r["n_grams"] > 0:
             assert r["n_dup_grams"] == r["n_grams"]
             assert r["dup_ratio"] == 1.0
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15), _TEXT, max_size=12
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15), _TEXT, max_size=12
+    ),
+)
+def test_corpus_diff_matches_dict_mirror(spark, old_rows, new_rows):
+    """corpus_diff classification equals the obvious dict diff for
+    ARBITRARY id/content snapshot pairs (including unicode content and
+    empty snapshots)."""
+    from webscrape_neko_jirushi_spark.operators import stats
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(list(old_rows.items()) or [], schema)
+    new = spark.createDataFrame(list(new_rows.items()) or [], schema)
+    got = {
+        r["doc_id"]: r["change"]
+        for r in stats.corpus_diff(old, new, "doc_id", ("text",)).collect()
+    }
+    want = {}
+    for i in set(old_rows) | set(new_rows):
+        if i not in old_rows:
+            want[i] = "added"
+        elif i not in new_rows:
+            want[i] = "removed"
+        elif old_rows[i] == new_rows[i]:
+            want[i] = "unchanged"
+        else:
+            want[i] = "changed"
+    assert got == want

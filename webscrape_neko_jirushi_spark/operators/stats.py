@@ -166,3 +166,47 @@ def archive_snapshot(store: SnapshotStore, out_zip: str) -> str:
                         # identically-named part files across partitions
                         z.write(f, f"data/{d}/{f.relative_to(base)}")
     return str(out)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the audit step between two
+    versions of a dataset (yesterday's crawl commit vs today's): one
+    row per id seen in EITHER side, classified ``added`` / ``removed``
+    / ``changed`` / ``unchanged``, with the content fingerprints of
+    both sides (md5 over the null-tagged concat of ``content_cols``,
+    so NULL vs empty-string cannot collide and column boundaries
+    cannot shift: ``a|NULL`` != ``a\\x1f|``).
+
+    Shape: ONE full-outer shuffle equi-join on ``id_col`` — both
+    sides reduced map-side to (id, fingerprint) before the exchange
+    (never content bytes through the shuffle; at 100 TB the
+    fingerprint join is ~16 bytes/row where the content join would
+    move the corpus twice). Aggregate the result for the report
+    (``groupBy('change').count()``) or anti-filter ``unchanged`` for
+    an incremental downstream run — at scale the diff output IS the
+    delta the X15 incremental indexes consume.
+    """
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                for c in content_cols
+            ],
+        )
+    )
+    o = old.select(F.col(id_col), fp.alias("old_fp"))
+    n = new.select(F.col(id_col), fp.alias("new_fp"))
+    joined = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(id_col, "old_fp", "new_fp", change.alias("change"))
