@@ -46,6 +46,7 @@ from webscrape_neko_jirushi_spark.sources.analog import (
 from webscrape_neko_jirushi_spark.text import (
     analysis,
     curation,
+    lm,
     packing,
     repetition,
     scrubbing,
@@ -2222,6 +2223,54 @@ def q_gopher_admission(spark, sf_dir):
         out.groupBy(F.coalesce("reason", F.lit("keep")).alias("reason"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@q(
+    "lm_perplexity",
+    f"WITH {lm.lm_ctes_sql()} SELECT * FROM scored",
+)
+def q_lm_perplexity(spark, sf_dir):
+    """X31: CCNet-style LM scoring (lm.lm_perplexity) — train an
+    add-k bigram LM on the corpus (one explode + one hash aggregate;
+    context counts RE-aggregate the model table, never the corpus),
+    then score every document's avg negative log-likelihood and
+    perplexity through broadcast model joins. The oracle re-derives
+    the identical smoothed probabilities (same IEEE double ordering)
+    in DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    return lm.lm_perplexity(d, carry_cols=("lang",), materialize=True)
+
+
+@q(
+    "ccnet_quality_buckets",
+    f"""
+    WITH {lm.lm_ctes_sql()},
+    ranked AS (
+      SELECT lang, doc_id, nll,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS nt
+      FROM scored
+    )
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(nll), 6) AS avg_nll,
+           ROUND(MIN(nll), 6) AS min_nll,
+           ROUND(MAX(nll), 6) AS max_nll
+    FROM ranked GROUP BY lang, nt
+    """,
+)
+def q_ccnet_quality_buckets(spark, sf_dir):
+    """X31: the CCNet head/middle/tail split (lm.ccnet_bucket_stats):
+    per language, ntile the corpus by rounded nll (deterministic
+    (nll, doc_id) order on both engines) and report bucket sizes and
+    nll ranges — the table a curation designer reads to set the
+    perplexity cut. Exact ntile form at this tier; the corpus-scale
+    path classifies against sampled thresholds map-side (module
+    docstring)."""
+    d = load(spark, sf_dir, "documents")
+    scored = lm.lm_perplexity(d, carry_cols=("lang",), materialize=True)
+    return lm.ccnet_bucket_stats(scored, by="lang")
 
 
 _PII_PLANT_SQL = """
