@@ -32,6 +32,7 @@ from webscrape_neko_jirushi_spark.functions.urls import (
 from webscrape_neko_jirushi_spark.operators import (
     cleaning,
     dedup,
+    graph,
     reorganize,
     similarity,
     stats,
@@ -2271,6 +2272,37 @@ def q_ccnet_quality_buckets(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     scored = lm.lm_perplexity(d, carry_cols=("lang",), materialize=True)
     return lm.ccnet_bucket_stats(scored, by="lang")
+
+
+_LINK_EDGES_SQL = """
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@q(
+    "link_authority_rank",
+    f"""
+    WITH {graph.pagerank_sql_ctes(_LINK_EDGES_SQL, n_iters=2)}
+    SELECT node, rank_norm FROM pr
+    """,
+)
+def q_link_authority_rank(spark, sf_dir):
+    """X32: link-graph authority (graph.pagerank) — 2 fixed PageRank
+    iterations over the customer->supplier order graph (the testdata
+    analog of page->outlink: namespaced node ids because the two key
+    spaces overlap numerically). Suppliers are all dangling here, so
+    the query exercises the dangling-mass redistribution path; the
+    oracle unrolls both iterations with the identical IEEE double
+    ordering and compares normalized ranks at 6 decimals."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return graph.pagerank(edges, n_iters=2).select("node", "rank_norm")
 
 
 _PII_PLANT_SQL = """
