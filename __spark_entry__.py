@@ -46,6 +46,7 @@ from webscrape_neko_jirushi_spark.sources.analog import (
 )
 from webscrape_neko_jirushi_spark.text import (
     analysis,
+    classifier,
     curation,
     lm,
     packing,
@@ -2303,6 +2304,81 @@ def q_link_authority_rank(spark, sf_dir):
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     return graph.pagerank(edges, n_iters=2).select("node", "rank_norm")
+
+
+# X33: hashed-feature logistic classifier — shared geometry between the
+# Spark pipeline and the unrolled DuckDB GD twin
+_CLF_DIM = 16
+_CLF_ITERS = 2
+_CLF_CTES = classifier.logreg_sql_ctes(_CLF_DIM, n_iters=_CLF_ITERS, lr=1.0)
+
+
+def _clf_train(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    feats = classifier.hashed_features(d, dim=_CLF_DIM, label_col="is_en")
+    w, b = classifier.train_logreg(
+        feats, dim=_CLF_DIM, n_iters=_CLF_ITERS, lr=1.0
+    )
+    return feats, w, b
+
+
+@q(
+    "quality_classifier_weights",
+    f"""
+    WITH {_CLF_CTES}
+    SELECT bucket, ROUND(weight, 6) AS weight FROM w{_CLF_ITERS}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS bucket, ROUND(bias, 6) AS weight
+    FROM b{_CLF_ITERS}
+    """,
+)
+def q_quality_classifier_weights(spark, sf_dir):
+    """X33: distributed full-batch logistic GD
+    (classifier.train_logreg) — the fastText-shaped curation
+    classifier, here trained to recognize lang='en' from hashed
+    bag-of-words term frequencies. The model state (16+1 doubles)
+    lives driver-side as plan literals (the Lloyd convention); the
+    oracle unrolls both GD rounds in SQL and compares every weight at
+    6 decimals. Bias reported as bucket -1."""
+    _, w, b = _clf_train(spark, sf_dir)
+    raw = spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)] + [(-1, b)],
+        "bucket long, weight double",
+    )
+    return raw.select("bucket", F.round("weight", 6).alias("weight"))
+
+
+@q(
+    "quality_classifier_confusion",
+    f"""
+    WITH {_CLF_CTES}
+    SELECT CAST(y AS INT) AS label,
+           CASE WHEN p >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS pred,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(p), 6) AS avg_p
+    FROM score{_CLF_ITERS}
+    GROUP BY 1, 2
+    """,
+)
+def q_quality_classifier_confusion(spark, sf_dir):
+    """X33: the trained classifier's confusion profile — score every
+    document (one literal-array margin pass, no Python) and tally
+    (label, predicted) cells with the mean score; the table a
+    curation designer reads before picking the admission threshold."""
+    feats, w, b = _clf_train(spark, sf_dir)
+    scored = classifier.predict(feats, w, b)
+    return (
+        scored.groupBy(
+            F.col("y").cast("int").alias("label"),
+            F.when(F.col("p") >= 0.5, 1).otherwise(0).alias("pred"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("avg_p"),
+        )
+    )
 
 
 _PII_PLANT_SQL = """
