@@ -38,7 +38,11 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from webscrape_neko_jirushi_spark.operators import dedup, similarity  # noqa: E402
+from webscrape_neko_jirushi_spark.operators import (  # noqa: E402
+    dedup,
+    graph,
+    similarity,
+)
 from webscrape_neko_jirushi_spark.operators.index_store import IndexManifest  # noqa: E402
 from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
 from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
@@ -47,7 +51,9 @@ from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
 )
 from webscrape_neko_jirushi_spark.text import (  # noqa: E402
     analysis,
+    classifier,
     curation,
+    lm,
     packing,
     repetition,
     substrings,
@@ -424,6 +430,46 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             spark, delta, paths["emb"], tau=0.99
         )
 
+    def lm_ppl_score():
+        # X31: train the add-k bigram LM (two hash aggregates; the
+        # synth generator's bounded vocabulary makes the model table
+        # approach constant size, the Zipf shape real corpora show)
+        # and score the full corpus through the broadcast model joins
+        # — expected ~linear in corpus tokens. Terminal agg forces
+        # the scoring joins
+        return lm.lm_perplexity(docs, materialize=True).agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+
+    def pagerank_i3():
+        # X32: 3 PageRank rounds over a deterministic 4-out-degree
+        # synthetic graph on the doc ids (dst = (id*m + o) mod n) —
+        # per round one equi-join against the checkpointed edge table
+        # + one hash aggregate, so expected ~linear in edges; the
+        # per-round scalar collects are the constant floor
+        n = n_docs
+        muls = ((2, 1), (3, 7), (5, 13), (7, 29))
+        edges = docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[(F.col("doc_id") * m + o) % n for m, o in muls])
+            ).alias("dst"),
+        )
+        return graph.pagerank(edges, n_iters=3, n_nodes=n)
+
+    def logreg_train_i2():
+        # X33: hashed featurization (one explode + one aggregate) +
+        # 2 full-batch GD rounds (two aggregates each over the
+        # checkpointed feature rows) — expected ~linear in corpus
+        # tokens; the dim+1 driver collect per round is constant
+        lab = docs.withColumn("y01", (F.col("doc_id") % 2).cast("int"))
+        feats = classifier.hashed_features(lab, dim=64, label_col="y01")
+        w, b = classifier.train_logreg(
+            feats, dim=64, n_iters=2, n_docs=n_docs
+        )
+        return [w, b]
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -445,6 +491,9 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "contamination_fixed_bench": contamination_fixed_bench,
         "ivf_train_c16": ivf_train,
         "ivf_train_sub_c16": ivf_train_sub,
+        "lm_perplexity_score": lm_ppl_score,
+        "pagerank_i3_deg4": pagerank_i3,
+        "logreg_train_i2_d64": logreg_train_i2,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,

@@ -84,6 +84,17 @@ QUERIES = [
     # scales with n as the operator prescribes).
     "corpus_shuffle_seq",
     "corpus_version_diff",
+    # round-5 third-arc additions: the LM trains on (and scores) the
+    # full corpus, so band/vocab saturation effects would first show
+    # one tier up; the classifier twin unrolls 2 GD rounds in DuckDB
+    # over the same 10x feature rows. (link_authority_rank is NOT
+    # here: it reads orders/lineitem, which the synthetic sf1 table
+    # set does not include — its 10x evidence is DEDUP_SCALE's
+    # pagerank_i3_deg4 leg.)
+    "lm_perplexity",
+    "ccnet_quality_buckets",
+    "quality_classifier_weights",
+    "quality_classifier_confusion",
 ]
 
 

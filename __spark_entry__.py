@@ -29,6 +29,7 @@ from webscrape_neko_jirushi_spark.functions.urls import (
     content_type_to_ext,
     url_interest_predicate,
 )
+from webscrape_neko_jirushi_spark.crawl import revisit
 from webscrape_neko_jirushi_spark.operators import (
     cleaning,
     dedup,
@@ -2304,6 +2305,77 @@ def q_link_authority_rank(spark, sf_dir):
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     return graph.pagerank(edges, n_iters=2).select("node", "rank_norm")
+
+
+# X34: recrawl scheduling — events replay as the fetch log (user_id =
+# page id, value = the content fingerprint observed at that fetch)
+_REVISIT_HORIZON = 1735689600.0  # 2025-01-01 00:00:00 UTC, fixed
+_REVISIT_LOG_SQL = """
+    SELECT user_id AS url, event_id AS seq, ts, value AS fingerprint
+    FROM events
+"""
+_REVISIT_CTES = revisit.change_stats_sql_ctes(
+    _REVISIT_LOG_SQL, _REVISIT_HORIZON
+)
+
+
+def _revisit_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        F.col("value").alias("fingerprint"),
+    )
+    return revisit.change_stats(ev, id_col="url", seq_col="seq")
+
+
+@q(
+    "recrawl_priority",
+    f"""
+    WITH {_REVISIT_CTES}
+    SELECT url, n_fetches, n_changes,
+           ROUND(change_rate, 6) AS change_rate,
+           ROUND(priority, 6) AS priority
+    FROM revisit
+    """,
+)
+def q_recrawl_priority(spark, sf_dir):
+    """X34: change-rate estimation + staleness priority
+    (revisit.change_stats / revisit_priority) — per page, how often
+    consecutive fetches saw a different fingerprint (one per-page lag
+    window + one aggregate) and the Cho/Garcia-Molina-style revisit
+    score age_hours x change_rate (0.5 prior when unknown). Fixed
+    horizon so the oracle replays the identical staleness."""
+    stats = _revisit_stats(spark, sf_dir)
+    return revisit.revisit_priority(stats, _REVISIT_HORIZON).select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.round("change_rate", 6).alias("change_rate"),
+        F.round("priority", 6).alias("priority"),
+    )
+
+
+@q(
+    "crawl_budget_allocation",
+    revisit.allocate_budget_sql(
+        f"WITH {_REVISIT_CTES} SELECT url, n_fetches AS weight FROM rv_stats",
+        budget=997,
+        weight_col="weight",
+    ),
+)
+def q_crawl_budget_allocation(spark, sf_dir):
+    """X34: largest-remainder apportionment (revisit.allocate_budget)
+    — split a 997-fetch budget across pages proportional to fetch
+    demand, floor shares + remainder seats by descending fractional
+    part (id tie-break), summing to EXACTLY the budget. The twin
+    recomputes every share with the same IEEE double ordering."""
+    stats = _revisit_stats(spark, sf_dir)
+    return revisit.allocate_budget(
+        stats.select("url", F.col("n_fetches").alias("weight")),
+        997,
+        weight_col="weight",
+    )
 
 
 # X33: hashed-feature logistic classifier — shared geometry between the
