@@ -29,7 +29,7 @@ from webscrape_neko_jirushi_spark.functions.urls import (
     content_type_to_ext,
     url_interest_predicate,
 )
-from webscrape_neko_jirushi_spark.crawl import revisit
+from webscrape_neko_jirushi_spark.crawl import revisit, traps
 from webscrape_neko_jirushi_spark.operators import (
     cleaning,
     dedup,
@@ -2375,6 +2375,98 @@ def q_crawl_budget_allocation(spark, sf_dir):
         stats.select("url", F.col("n_fetches").alias("weight")),
         997,
         weight_col="weight",
+    )
+
+
+# X35: crawl-trap detection — orders replays as the fetch log. Host
+# h7 is a calendar trap (one template, unbounded ids), h13 a depth
+# trap, h21 a mirror farm (many URLs, one fingerprint); every other
+# host is a bounded listing.
+_TRAP_LOG_SQL = """
+    SELECT
+      CONCAT('https://h', CAST(o_custkey % 40 AS VARCHAR),
+        '.mirror-main.test',
+        CASE o_custkey % 40
+          WHEN 7 THEN '/cal/' || CAST(o_orderkey % 997 AS VARCHAR)
+                   || '/' || CAST(o_orderkey % 89 AS VARCHAR)
+          WHEN 13 THEN '/d/1/2/3/4/5/6/7/8/9/'
+                   || CAST(o_orderkey % 5 AS VARCHAR)
+          WHEN 21 THEN '/p/' || CAST(o_orderkey % 150 AS VARCHAR)
+          ELSE '/cat/' || CAST(o_orderkey % 200 AS VARCHAR)
+        END) AS url,
+      CASE WHEN o_custkey % 40 = 21 THEN 'dup'
+           ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS fingerprint
+    FROM orders
+"""
+
+
+def _trap_log(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    hid = F.col("o_custkey") % 40
+    k = F.col("o_orderkey")
+    path = (
+        F.when(
+            hid == 7,
+            F.concat(
+                F.lit("/cal/"),
+                (k % 997).cast("string"),
+                F.lit("/"),
+                (k % 89).cast("string"),
+            ),
+        )
+        .when(
+            hid == 13,
+            F.concat(
+                F.lit("/d/1/2/3/4/5/6/7/8/9/"), (k % 5).cast("string")
+            ),
+        )
+        .when(hid == 21, F.concat(F.lit("/p/"), (k % 150).cast("string")))
+        .otherwise(F.concat(F.lit("/cat/"), (k % 200).cast("string")))
+    )
+    return o.select(
+        F.concat(
+            F.lit("https://h"),
+            hid.cast("string"),
+            F.lit(".mirror-main.test"),
+            path,
+        ).alias("url"),
+        F.when(hid == 21, F.lit("dup"))
+        .otherwise(F.md5(k.cast("string")))
+        .alias("fingerprint"),
+    )
+
+
+@q(
+    "crawl_trap_hosts",
+    f"""
+    WITH {traps.trap_sql_ctes(_TRAP_LOG_SQL)}
+    SELECT host, n_fetches, n_urls, n_templates,
+           ROUND(urls_per_template, 6) AS urls_per_template,
+           max_depth,
+           ROUND(dup_content_ratio, 6) AS dup_content_ratio,
+           trap_reason, is_trap
+    FROM traps
+    """,
+)
+def q_crawl_trap_hosts(spark, sf_dir):
+    """X35: crawl-trap detection (traps.host_trap_stats/flag_traps) —
+    per host URL-template explosion (digit-collapsed paths), depth,
+    and duplicate-content ratio, with the first-matching trap reason.
+    One regex projection + one skew-safe multi-distinct aggregate;
+    thresholds are the module defaults, replayed by the twin."""
+    stats = traps.host_trap_stats(
+        _trap_log(spark, sf_dir), fingerprint_col="fingerprint"
+    )
+    return traps.flag_traps(stats).select(
+        "host",
+        "n_fetches",
+        "n_urls",
+        "n_templates",
+        F.round("urls_per_template", 6).alias("urls_per_template"),
+        "max_depth",
+        F.round("dup_content_ratio", 6).alias("dup_content_ratio"),
+        "trap_reason",
+        "is_trap",
     )
 
 
