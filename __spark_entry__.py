@@ -31,6 +31,7 @@ from webscrape_neko_jirushi_spark.functions.urls import (
 )
 from webscrape_neko_jirushi_spark.crawl import revisit, traps
 from webscrape_neko_jirushi_spark.operators import (
+    anchors,
     cleaning,
     dedup,
     graph,
@@ -2468,6 +2469,115 @@ def q_crawl_trap_hosts(spark, sf_dir):
         "trap_reason",
         "is_trap",
     )
+
+
+# X36: per-domain admission quality with a Wilson lower bound — the
+# admission cascade re-stated carrying `source`, then rolled up
+_DOMAIN_KEEP_SQL = f"""
+  SELECT source,
+    CASE WHEN n IS NULL OR n < 50 THEN 0
+         WHEN n > 5000 THEN 0
+         WHEN mean_wl < 2 OR mean_wl > 12 THEN 0
+         WHEN punct >= 0.1 THEN 0
+         WHEN stopr < 0.05 OR stopr > 0.6 THEN 0
+         ELSE 1 END AS keep
+  FROM (
+    SELECT source, length(text) AS n,
+      CASE WHEN {{tok}} > 0
+           THEN length(text) * 1.0 / ({{tok}}) ELSE 0.0 END AS mean_wl,
+      CASE WHEN length(text) = 0 THEN 0.0
+           ELSE (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END AS punct,
+      CASE WHEN length(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+           ELSE length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  w -> list_contains({{stop}}, w))) * 1.0
+                / length(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS stopr
+    FROM documents
+  ) m
+"""
+
+
+def _domain_keep_sql():
+    return _DOMAIN_KEEP_SQL.format(tok=_TOKENS_SQL, stop=_STOPWORDS_SQL)
+
+
+def _domain_rollup_oracle():
+    lb = analysis.wilson_lb_sql("n_kept", "n_docs")
+    return f"""
+    WITH dq AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(keep) AS BIGINT) AS n_kept
+      FROM ({_domain_keep_sql()}) GROUP BY source
+    )
+    SELECT source, n_docs, n_kept,
+      ROUND(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        AS admit_rate,
+      ROUND({lb}, 6) AS wilson_lb,
+      {lb} >= 0.5 AS keep_domain
+    FROM dq
+    """
+
+
+@q("domain_quality_rollup", None)
+def q_domain_quality_rollup(spark, sf_dir):
+    """X36: RefinedWeb/C4-style DOMAIN filtering
+    (analysis.domain_quality_rollup) — per-source admission rate from
+    the training cascade plus the Wilson score LOWER bound, gating on
+    the bound so small domains can't pass on a lucky sample (the same
+    point rate keeps at n=250 and rejects at n=25). The twin mirrors
+    the exact expression tree so IEEE doubles agree at the gate."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    out = analysis.domain_quality_rollup(d, min_lb=0.5)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.round("admit_rate", 6).alias("admit_rate"),
+        F.round("wilson_lb", 6).alias("wilson_lb"),
+        "keep_domain",
+    )
+
+
+_ORACLES["domain_quality_rollup"] = _domain_rollup_oracle()
+
+
+# X37: anchor-text aggregation — lineitem×part replays as the link
+# graph (order page links to part page; anchor = part name + the
+# per-link return flag, so anchors vary across a target's inlinks)
+_ANCHOR_EDGES_SQL = """
+    SELECT l_orderkey AS src, l_partkey AS dst,
+           p_name || ' ' || l_returnflag || ' stock' AS anchor
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@q(
+    "anchor_text_summary",
+    f"""
+    WITH {anchors.anchor_sql_ctes(_ANCHOR_EDGES_SQL)}
+    SELECT dst, n_inlinks, n_sources, top_term, top_count FROM anchors
+    """,
+)
+def q_anchor_text_summary(spark, sf_dir):
+    """X37: anchor-text aggregation (anchors.anchor_stats) — per link
+    target the inlink count, distinct-source breadth, and majority
+    anchor term (count desc, term asc — the tie-break lives inside a
+    min(struct) aggregate, no window over the exploded table). The
+    part dimension is explicitly broadcast into the edge build."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    edges = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).select(
+        F.col("l_orderkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+        F.concat(
+            F.col("p_name"),
+            F.lit(" "),
+            F.col("l_returnflag"),
+            F.lit(" stock"),
+        ).alias("anchor"),
+    )
+    return anchors.anchor_stats(edges)
 
 
 # X33: hashed-feature logistic classifier — shared geometry between the

@@ -166,3 +166,67 @@ def doc_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+def wilson_lower_bound(k: Column, n: Column, z: float = 1.96) -> Column:
+    """Wilson score interval lower bound for a binomial proportion —
+    the small-sample-safe quality rate (a 3/4 domain doesn't outrank
+    a 740/1000 one). Written as ONE expression tree; SQL twins must
+    mirror the literal parenthesization so IEEE doubles agree:
+    ``(p + z²/2n − z·sqrt((p(1−p) + z²/4n)/n)) / (1 + z²/n)``."""
+    z2 = float(z) * float(z)
+    nd = n.cast("double")
+    p = k.cast("double") / nd
+    return (
+        p
+        + F.lit(z2) / (F.lit(2.0) * nd)
+        - F.lit(float(z))
+        * F.sqrt((p * (F.lit(1.0) - p) + F.lit(z2) / (F.lit(4.0) * nd)) / nd)
+    ) / (F.lit(1.0) + F.lit(z2) / nd)
+
+
+def domain_quality_rollup(
+    documents: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    z: float = 1.96,
+    min_lb: float = 0.5,
+) -> DataFrame:
+    """Per-domain admission quality for RefinedWeb/C4-style DOMAIN
+    filtering: run the admission cascade (``training_filter``) per
+    doc, then per domain report ``n_docs``, ``n_kept``,
+    ``admit_rate``, and the Wilson LOWER bound of that rate —
+    ``keep_domain`` gates on the lower bound so a domain only passes
+    when the evidence (not the point estimate) supports it; small
+    domains with lucky samples stay out. One map-side cascade + ONE
+    per-domain hash aggregate (partial/final — a mega-domain combines
+    map-side); the rollup output is domain-sized, tiny."""
+    kept = training_filter(documents, text_col=text_col)
+    agg = kept.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+    lb = wilson_lower_bound(F.col("n_kept"), F.col("n_docs"), z)
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_kept",
+        (
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+        ).alias("admit_rate"),
+        lb.alias("wilson_lb"),
+        (lb >= F.lit(float(min_lb))).alias("keep_domain"),
+    )
+
+
+def wilson_lb_sql(k: str, n: str, z: float = 1.96) -> str:
+    """DuckDB twin of ``wilson_lower_bound`` — the literally identical
+    expression tree over SQL fragments ``k`` and ``n``."""
+    z2 = repr(float(z) * float(z))
+    zs = repr(float(z))
+    p = f"(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    nd = f"CAST({n} AS DOUBLE)"
+    return (
+        f"(({p} + {z2} / (2.0 * {nd}) - {zs} * sqrt(({p} * (1.0 - {p}) "
+        f"+ {z2} / (4.0 * {nd})) / {nd})) / (1.0 + {z2} / {nd}))"
+    )
