@@ -52,6 +52,7 @@ from webscrape_neko_jirushi_spark.text import (
     curation,
     lm,
     packing,
+    ranking,
     repetition,
     scrubbing,
     substrings,
@@ -2578,6 +2579,33 @@ def q_anchor_text_summary(spark, sf_dir):
         ).alias("anchor"),
     )
     return anchors.anchor_stats(edges)
+
+
+# X38: BM25 relevance probe — literal query terms from the synthetic
+# vocabulary, scored fully map-side (see text/ranking.py)
+_BM25_TERMS = ["spark", "table", "query", "window"]
+
+
+@q(
+    "bm25_relevance",
+    f"""
+    SELECT doc_id, dl, n_matched, ROUND(bm25, 6) AS bm25
+    FROM ({ranking.bm25_sql("SELECT doc_id, text FROM documents", _BM25_TERMS)})
+    """,
+)
+def q_bm25_relevance(spark, sf_dir):
+    """X38: BM25 scoring (ranking.bm25_scores) — Robertson/Lucene BM25
+    of every document against a literal query-term set. Zero shuffles
+    beyond the 1-row integer-exact stats aggregate; the score is a
+    fixed-order fold so IEEE doubles agree with the twin bit-for-bit
+    before the display rounding."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ranking.bm25_scores(d, _BM25_TERMS).select(
+        "doc_id",
+        "dl",
+        "n_matched",
+        F.round("bm25", 6).alias("bm25"),
+    )
 
 
 # X33: hashed-feature logistic classifier — shared geometry between the
