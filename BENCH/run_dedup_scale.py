@@ -26,6 +26,7 @@ Writes BENCH/DEDUP_SCALE.md and prints one JSON line.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -38,7 +39,9 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from webscrape_neko_jirushi_spark.crawl import revisit, traps  # noqa: E402
 from webscrape_neko_jirushi_spark.operators import (  # noqa: E402
+    anchors,
     dedup,
     graph,
     similarity,
@@ -55,6 +58,7 @@ from webscrape_neko_jirushi_spark.text import (  # noqa: E402
     curation,
     lm,
     packing,
+    ranking,
     repetition,
     substrings,
 )
@@ -470,6 +474,100 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         )
         return [w, b]
 
+    def bm25_probe():
+        # X38: literal-4-term BM25 — two map-side scans (the 1-row
+        # integer stats aggregate + the scoring projection), zero
+        # corpus shuffle; the terminal agg forces the scoring scan.
+        # Expected ~linear with a small constant
+        return ranking.bm25_scores(docs, ["w1", "w5", "w9", "x3"]).agg(
+            F.sum("n_matched").alias("n_matched"),
+            F.round(F.sum("bm25"), 2).alias("sum_bm25"),
+        )
+
+    def anchor_agg():
+        # X37: 4-out-degree synthetic link graph on the doc ids (the
+        # pagerank_i3 edge shape) with each doc's leading text as the
+        # anchor — one tokenize+explode over 4n edges, the (dst, term)
+        # count + winner-in-aggregate, the edge-level agg, and the
+        # dst-keyed join; terminal agg forces the winners. ~linear in
+        # edges
+        n = n_docs
+        muls = ((2, 1), (3, 7), (5, 13), (7, 29))
+        edges = docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[(F.col("doc_id") * m + o) % n for m, o in muls])
+            ).alias("dst"),
+            F.substring("text", 1, 40).alias("anchor"),
+        )
+        return anchors.anchor_stats(edges).agg(
+            F.sum("n_inlinks").alias("n_inlinks"),
+            F.countDistinct("top_term").alias("n_top_terms"),
+        )
+
+    def trap_hosts():
+        # X35: synthetic fetch log over the doc ids (host = id%40,
+        # with the driver query's calendar/depth/mirror trap shapes)
+        # — one regex projection + one multi-count-distinct per-host
+        # aggregate; output is the 40-row host table. ~linear
+        hid = F.col("doc_id") % 40
+        k = F.col("doc_id")
+        path = (
+            F.when(
+                hid == 7,
+                F.concat(
+                    F.lit("/cal/"),
+                    (k % 997).cast("string"),
+                    F.lit("/"),
+                    (k % 89).cast("string"),
+                ),
+            )
+            .when(
+                hid == 13,
+                F.concat(
+                    F.lit("/d/1/2/3/4/5/6/7/8/9/"), (k % 5).cast("string")
+                ),
+            )
+            .when(
+                hid == 21, F.concat(F.lit("/p/"), (k % 150).cast("string"))
+            )
+            .otherwise(
+                F.concat(F.lit("/cat/"), (k % 200).cast("string"))
+            )
+        )
+        log = docs.select(
+            F.concat(
+                F.lit("https://h"),
+                hid.cast("string"),
+                F.lit(".scale.test"),
+                path,
+            ).alias("url"),
+            F.when(hid == 21, F.lit("dup"))
+            .otherwise(F.md5(k.cast("string")))
+            .alias("fingerprint"),
+        )
+        return traps.flag_traps(
+            traps.host_trap_stats(log, fingerprint_col="fingerprint")
+        )
+
+    def revisit_stats():
+        # X34: per-page lag window over an n-row fetch log with n/8
+        # pages (8 fetches each — per-page sorts stay tiny at every
+        # tier) + the per-page aggregate; terminal agg forces both
+        pages = max(1, n_docs // 8)
+        log = docs.select(
+            (F.col("doc_id") % pages).alias("url"),
+            F.col("doc_id").alias("seq"),
+            (F.col("doc_id") % 7).alias("ts"),
+            (F.col("doc_id") % 3).cast("double").alias("fingerprint"),
+        )
+        return revisit.change_stats(
+            log, id_col="url", ts_col="ts", seq_col="seq"
+        ).agg(
+            F.sum("n_fetches").alias("n_fetches"),
+            F.sum("n_changes").alias("n_changes"),
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -494,6 +592,10 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "lm_perplexity_score": lm_ppl_score,
         "pagerank_i3_deg4": pagerank_i3,
         "logreg_train_i2_d64": logreg_train_i2,
+        "bm25_probe_t4": bm25_probe,
+        "anchor_agg_deg4": anchor_agg,
+        "trap_hosts_h40": trap_hosts,
+        "revisit_stats_f8": revisit_stats,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,
@@ -516,7 +618,19 @@ def main() -> None:
     root.mkdir(parents=True, exist_ok=True)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("dedup-scale", shuffle_partitions=64)
+    # ~30 legs x 3 tiers share one JVM, and several legs materialize
+    # eager localCheckpoints (lm model, classifier features, CC edge
+    # lists). Spark's ContextCleaner frees those blocks only after a
+    # JVM GC notices the dropped references — at the default 30min
+    # periodicGC the 100x tier can accumulate into the 8g default heap
+    # (one observed OOM at logreg's feature checkpoint). Give the
+    # bench a production-executor-sized heap and a tight GC cadence.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark(
+        "dedup-scale",
+        shuffle_partitions=64,
+        extra_conf={"spark.cleaner.periodicGC.interval": "30s"},
+    )
 
     # untimed warmup leg at 1/10 scale: JVM + codegen + parquet reader
     nwd, nwv = max(200, base_docs // 10), max(100, base_vecs // 10)
@@ -538,6 +652,10 @@ def main() -> None:
             dt = time.monotonic() - t0
             results[f][name] = {"sec": round(dt, 3), "rows": rows}
             print(f"[{f}x] {name}: {dt:.2f}s, {rows} rows", file=sys.stderr)
+            # drop py4j refs so the ContextCleaner can reclaim the
+            # leg's checkpoint/cache blocks before the next leg
+            res = None
+            gc.collect()
 
     f_lo, f_hi = factors[0], factors[-1]
     size_ratio = f_hi / f_lo

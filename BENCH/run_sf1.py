@@ -95,6 +95,15 @@ QUERIES = [
     "ccnet_quality_buckets",
     "quality_classifier_weights",
     "quality_classifier_confusion",
+    # round-5 fourth-arc: the admission cascade + Wilson bound at 10x
+    # rows (single 'synth' source — the rate math, not the grouping,
+    # is what the tier checks). bm25_relevance is NOT here: its
+    # driver-query terms come from the sf vocabulary, which the synth
+    # corpus doesn't share (all-zero scores would check nothing) —
+    # its 10x evidence is DEDUP_SCALE's bm25_probe_t4 leg; the other
+    # new ops (anchors/traps/revisit) read orders/lineitem/events,
+    # absent from the sf1 table set — DEDUP_SCALE legs cover them.
+    "domain_quality_rollup",
 ]
 
 

@@ -48,6 +48,7 @@ from webscrape_neko_jirushi_spark.sources.analog import (
 )
 from webscrape_neko_jirushi_spark.text import (
     analysis,
+    boilerplate,
     classifier,
     curation,
     lm,
@@ -2605,6 +2606,171 @@ def q_bm25_relevance(spark, sf_dir):
         "dl",
         "n_matched",
         F.round("bm25", 6).alias("bm25"),
+    )
+
+
+# X39: temperature mixture — per-source token counts (integer-exact)
+# through the alpha-reweighting rule with a 1M-token budget
+_MIX_STATS_SQL = f"""
+    SELECT source, CAST(SUM({{tok}}) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+"""
+
+
+@q("temperature_mixture_plan", None)
+def q_temperature_mixture_plan(spark, sf_dir):
+    """X39: temperature-based source reweighting
+    (curation.temperature_mixture) — w_i ∝ (token share)^0.7 with the
+    epochs a 1M-token budget implies per source. The normalizer is a
+    fold over the source-sorted array, so the doubles match the twin
+    bit-for-bit before the display rounding."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.sum(analysis.token_count(F.col("text")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    out = curation.temperature_mixture(
+        stats, alpha=0.7, target_tokens=1_000_000
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("weight", 6).alias("weight"),
+        F.round("epochs", 6).alias("epochs"),
+    )
+
+
+_ORACLES["temperature_mixture_plan"] = f"""
+    SELECT source, n_tokens,
+           ROUND(token_share, 6) AS token_share,
+           ROUND(weight, 6) AS weight,
+           ROUND(epochs, 6) AS epochs
+    FROM ({curation.temperature_mixture_sql(
+        _MIX_STATS_SQL.format(tok=_TOKENS_SQL),
+        alpha=0.7,
+        target_tokens=1_000_000,
+    )})
+"""
+
+
+# X40: boilerplate spans — orders/lineitem replay as span documents:
+# every page carries host-constant NAV and FOOTER chrome; content
+# spans are the per-line part names
+_BP_SPANS_SQL = """
+    SELECT o_orderkey % 30 AS host, o_orderkey AS page_id,
+           'NAV home about contact host ' || CAST(o_orderkey % 30 AS VARCHAR) AS text
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey % 30 AS host, o_orderkey AS page_id,
+           'FOOTER copyright host ' || CAST(o_orderkey % 30 AS VARCHAR) AS text
+    FROM orders
+    UNION ALL
+    SELECT l_orderkey % 30 AS host, l_orderkey AS page_id,
+           p_name || ' line ' || CAST(l_linenumber AS VARCHAR) AS text
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def _bp_spans(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    nav = o.select(
+        (F.col("o_orderkey") % 30).alias("host"),
+        F.col("o_orderkey").alias("page_id"),
+        F.concat(
+            F.lit("NAV home about contact host "),
+            (F.col("o_orderkey") % 30).cast("string"),
+        ).alias("text"),
+    )
+    foot = o.select(
+        (F.col("o_orderkey") % 30).alias("host"),
+        F.col("o_orderkey").alias("page_id"),
+        F.concat(
+            F.lit("FOOTER copyright host "),
+            (F.col("o_orderkey") % 30).cast("string"),
+        ).alias("text"),
+    )
+    content = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).select(
+        (F.col("l_orderkey") % 30).alias("host"),
+        F.col("l_orderkey").alias("page_id"),
+        F.concat(
+            F.col("p_name"),
+            F.lit(" line "),
+            F.col("l_linenumber").cast("string"),
+        ).alias("text"),
+    )
+    return nav.unionByName(foot).unionByName(content)
+
+
+@q(
+    "boilerplate_detection",
+    f"""
+    WITH {boilerplate.boilerplate_sql_ctes(_BP_SPANS_SQL)}
+    SELECT host, span_md5, n_pages_with_span, n_pages,
+           ROUND(page_frac, 6) AS page_frac, is_boilerplate
+    FROM bp_keys
+    """,
+)
+def q_boilerplate_detection(spark, sf_dir):
+    """X40: cross-page boilerplate detection
+    (boilerplate.boilerplate_keys) — spans whose text repeats across
+    most of a host's pages are site chrome; identified by md5 key
+    (text bodies never shuffle), page evidence counted DISTINCT, the
+    jusText idea at corpus scale."""
+    keys = boilerplate.boilerplate_keys(_bp_spans(spark, sf_dir))
+    return keys.select(
+        "host",
+        "span_md5",
+        "n_pages_with_span",
+        "n_pages",
+        F.round("page_frac", 6).alias("page_frac"),
+        "is_boilerplate",
+    )
+
+
+@q(
+    "boilerplate_strip_stats",
+    f"""
+    WITH {boilerplate.boilerplate_sql_ctes(_BP_SPANS_SQL)},
+    bp_all AS (
+      SELECT host, page_id, text, md5(text) AS _k
+      FROM ({_BP_SPANS_SQL})
+    ),
+    bp_kept AS (
+      SELECT a.* FROM bp_all a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bp_keys k
+        WHERE k.is_boilerplate AND k.host = a.host AND k.span_md5 = a._k
+      )
+    )
+    SELECT t.host, t.n_spans, COALESCE(s.n_kept, 0) AS n_kept
+    FROM (SELECT host, COUNT(*) AS n_spans FROM bp_all GROUP BY host) t
+    LEFT JOIN (SELECT host, COUNT(*) AS n_kept FROM bp_kept GROUP BY host) s
+      ON t.host = s.host
+    """,
+)
+def q_boilerplate_strip_stats(spark, sf_dir):
+    """X40: boilerplate stripping (boilerplate.strip_boilerplate) —
+    per host, span counts before and after removing the flagged
+    chrome (anti-join on the constant-size (host, md5) key pair;
+    the chrome key set is tiny, so it broadcasts)."""
+    spans = _bp_spans(spark, sf_dir)
+    keys = boilerplate.boilerplate_keys(spans)
+    kept = boilerplate.strip_boilerplate(spans, keys)
+    before = spans.groupBy("host").agg(F.count("*").alias("n_spans"))
+    after = kept.groupBy("host").agg(F.count("*").alias("n_kept"))
+    return (
+        before.join(after, "host", "left")
+        .select(
+            "host",
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
     )
 
 

@@ -267,3 +267,108 @@ def deterministic_shuffle_sql(seed: str, id_expr: str = "doc_id") -> str:
     the final key)."""
     h = portable_hash64_sql(f"CAST({id_expr} AS VARCHAR)", salt=seed)
     return f"{h}, {id_expr}"
+
+
+def temperature_mixture(
+    source_stats: DataFrame,
+    alpha: float = 0.7,
+    target_tokens: int | None = None,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-based source reweighting (the XLM-R / Pile mixing
+    rule): sampling weight ``w_i ∝ p_i^alpha`` where ``p_i`` is the
+    source's token share — alpha < 1 upsamples small sources, alpha=1
+    is natural proportions, alpha=0 is uniform. Input is the tiny
+    per-source stats table (one row per source, e.g. from
+    ``source_mixture_report``); adds ``token_share``, ``weight``, and
+    — when ``target_tokens`` is set — ``epochs`` (how many passes over
+    the source a ``target_tokens`` budget implies; >1 flags
+    repetition the mixture designer must sign off on).
+
+    Deterministic cross-engine arithmetic: the token total is an
+    INTEGER sum (exact); ``p^alpha`` is map-side per row; the
+    normalizer Z is a fold over the GROUP-SORTED collected array — a
+    fixed summation order, never a float groupBy sum whose order
+    depends on partitioning. Both scalars broadcast back (1-row
+    joins); everything is sized in sources, not documents."""
+    if alpha < 0:
+        raise ValueError(f"temperature_mixture: alpha must be >= 0, got {alpha}")
+    tok = F.col(tokens_col)
+    total = source_stats.agg(
+        F.sum(tok.cast("long")).alias("_total")
+    )
+    with_p = source_stats.crossJoin(F.broadcast(total)).withColumn(
+        "_raw",
+        F.pow(
+            tok.cast("double") / F.col("_total").cast("double"),
+            F.lit(float(alpha)),
+        ),
+    )
+    z = with_p.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(group_col).alias("g"), F.col("_raw").alias("r")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["r"],
+        ).alias("_z")
+    )
+    out = with_p.crossJoin(F.broadcast(z))
+    share = tok.cast("double") / F.col("_total").cast("double")
+    weight = F.col("_raw") / F.col("_z")
+    cols = [
+        group_col,
+        tok.cast("long").alias(tokens_col),
+        share.alias("token_share"),
+        weight.alias("weight"),
+    ]
+    if target_tokens is not None:
+        cols.append(
+            (
+                F.lit(float(int(target_tokens))) * weight / tok.cast("double")
+            ).alias("epochs")
+        )
+    return out.select(*cols)
+
+
+def temperature_mixture_sql(
+    stats_sql: str,
+    alpha: float = 0.7,
+    target_tokens: int | None = None,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin of ``temperature_mixture`` over a relation with
+    ``({group_col}, {tokens_col})`` — a full SELECT with the literally
+    identical fold order (list ordered by the group column)."""
+    a = repr(float(alpha))
+    p = f"(CAST({tokens_col} AS DOUBLE) / CAST(_total AS DOUBLE))"
+    epochs = (
+        f", CAST({int(target_tokens)} AS DOUBLE) * (_raw / _z)"
+        f" / CAST({tokens_col} AS DOUBLE) AS epochs"
+        if target_tokens is not None
+        else ""
+    )
+    return f"""
+    SELECT {group_col}, CAST({tokens_col} AS BIGINT) AS {tokens_col},
+           {p} AS token_share, _raw / _z AS weight{epochs}
+    FROM (
+      SELECT *, pow({p}, {a}) AS _raw FROM ({stats_sql}) tm_s
+      CROSS JOIN (
+        SELECT CAST(SUM({tokens_col}) AS BIGINT) AS _total
+        FROM ({stats_sql})
+      ) tm_t
+    ) tm_r
+    CROSS JOIN (
+      SELECT list_aggregate(list(_raw ORDER BY {group_col}), 'sum') AS _z
+      FROM (
+        SELECT {group_col}, pow({p}, {a}) AS _raw
+        FROM ({stats_sql}) tm_s2
+        CROSS JOIN (
+          SELECT CAST(SUM({tokens_col}) AS BIGINT) AS _total
+          FROM ({stats_sql})
+        ) tm_t2
+      ) tm_rr
+    ) tm_z
+    """
