@@ -56,6 +56,7 @@ from webscrape_neko_jirushi_spark.text import (  # noqa: E402
     analysis,
     classifier,
     curation,
+    linededup,
     lm,
     packing,
     ranking,
@@ -568,6 +569,43 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.sum("n_changes").alias("n_changes"),
         )
 
+    def line_dedup_stats():
+        # X41: corpus-wide line dedup over the same docs re-lined
+        # every 8 words (one regex projection) — one posexplode, the
+        # md5-keyed verdict aggregate with the in-aggregate first-
+        # instance winner, the dup-key join back, and the per-doc
+        # reassembly; the planted near-dups guarantee a real
+        # duplicated-line population at every tier. Terminal agg
+        # forces the reassembly; expected ~linear
+        relined = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1\n"
+            ).alias("text"),
+        )
+        return linededup.line_dedup(
+            relined, min_chars=10, min_dup_docs=2
+        ).agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_kept").alias("n_kept"),
+        )
+
+    def shard_balance():
+        # X42: token-balanced sharding into 64 shards, bucketed
+        # prefix sum pinned at every tier (the scale plan) with the
+        # n_rows hint (no probe job); the per-shard rollup both
+        # forces the assignment and surfaces the balance bound
+        sh = packing.assign_shards(docs, 64, buckets=32, n_rows=n_docs)
+        return (
+            sh.groupBy("shard_id")
+            .agg(F.sum("n_tokens").alias("t"))
+            .agg(
+                F.count("*").alias("n_shards"),
+                F.min("t").alias("min_tokens"),
+                F.max("t").alias("max_tokens"),
+            )
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -596,6 +634,8 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "anchor_agg_deg4": anchor_agg,
         "trap_hosts_h40": trap_hosts,
         "revisit_stats_f8": revisit_stats,
+        "line_dedup_l8": line_dedup_stats,
+        "shard_balance_s64": shard_balance,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,
@@ -804,6 +844,17 @@ def main() -> None:
         "straddled chunks — the padding-free training-batch step,",
         "expected ~linear (one sketch + 32 parallel window sums + a",
         "broadcast offset join, never a single-partition sort).",
+        "",
+        "`line_dedup_l8` is corpus-wide line dedup",
+        "(`text/linededup.py`): documents re-lined every 8 words, one",
+        "posexplode + the md5-keyed verdict aggregate (in-aggregate",
+        "first-instance winner), the duplicate-key join back, and the",
+        "per-doc reassembly — expected ~linear (the verdict join's",
+        "build side is the duplicated-key set, not the corpus).",
+        "`shard_balance_s64` is token-balanced output sharding",
+        "(`packing.assign_shards`, 64 shards, bucketed prefix sum",
+        "pinned): one sketch + 32 parallel window sums + the scalar",
+        "total join — expected ~linear with a small constant.",
         "",
         "`gopher_stats_2_3` is the repetition-quality profile",
         "(`text/repetition.py`): top-2/3-gram char fractions via one",

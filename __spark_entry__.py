@@ -51,6 +51,7 @@ from webscrape_neko_jirushi_spark.text import (
     boilerplate,
     classifier,
     curation,
+    linededup,
     lm,
     packing,
     ranking,
@@ -2132,6 +2133,40 @@ def q_pack_sequences(spark, sf_dir):
     return packing.pack_sequences(d, 256, buckets=0)
 
 
+# X42: token-balanced output shards over the same virtual stream
+@q(
+    "shard_assignment",
+    f"""
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR))) AS docs_md5
+    FROM ({packing.assign_shards_sql(16)})
+    GROUP BY shard_id
+    """,
+)
+def q_shard_assignment(spark, sf_dir):
+    """X42: token-balanced training shards (packing.assign_shards) —
+    shard_id = lo*N div T over the hash-ordered token stream; per
+    shard the doc count, exact token sum, and an md5 over the sorted
+    member-id list, so the oracle pins the exact assignment, not just
+    the balance. buckets=0 at this tier; the bucketed path is
+    parity-gated in tests/test_shards.py."""
+    d = load(spark, sf_dir, "documents")
+    sh = packing.assign_shards(d, 16, buckets=0)
+    return sh.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+                ",",
+            )
+        ).alias("docs_md5"),
+    )
+
+
 def _gram_branch_sql(n: int) -> str:
     h = portable_hash64_sql(f"array_to_string(w[i : i + {n - 1}], ' ')")
     return f"""
@@ -2771,6 +2806,111 @@ def q_boilerplate_strip_stats(spark, sf_dir):
             "n_spans",
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+# X41: corpus-wide line dedup — orders replayed as multi-line documents
+# (one header line per order + one p_name line per lineitem; part names
+# recur across ~30 orders each, the natural cross-document duplication)
+_LD_DOCS_SQL = """
+    SELECT o_orderkey AS doc_id,
+           'order hdr ' || CAST(o_orderkey AS VARCHAR) || chr(10) ||
+           string_agg(p_name, chr(10) ORDER BY l_linenumber, p_name) AS text
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY o_orderkey
+"""
+_LD_CTES = linededup.line_dedup_sql_ctes(_LD_DOCS_SQL, min_chars=5, min_dup_docs=2)
+
+
+def _ld_docs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    lines = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("p_name").alias("line"),
+    )
+    return (
+        lines.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ln", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("_body")
+        )
+        .join(
+            load(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("doc_id")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("order hdr "),
+                F.col("doc_id").cast("string"),
+                F.lit("\n"),
+                F.col("_body"),
+            ).alias("text"),
+        )
+    )
+
+
+@q(
+    "line_dedup_docs",
+    f"""
+    WITH {_LD_CTES}
+    SELECT doc_id, md5(text) AS text_md5, n_lines, n_kept
+    FROM ld_docs_out
+    """,
+)
+def q_line_dedup_docs(spark, sf_dir):
+    """X41: C4/RefinedWeb line-level corpus dedup
+    (linededup.line_dedup) — repeated part-name lines keep only the
+    canonical (min doc_id, pos) instance; reassembled documents
+    compared by md5, so the twin must match byte-for-byte including
+    line order."""
+    out = linededup.line_dedup(
+        _ld_docs(spark, sf_dir), min_chars=5, min_dup_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_lines",
+        "n_kept",
+    )
+
+
+@q(
+    "line_dedup_dup_stats",
+    f"""
+    WITH {_LD_CTES}
+    SELECT n_docs_with_line,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_instances) AS BIGINT) AS n_instances
+    FROM ld_dups
+    GROUP BY n_docs_with_line
+    """,
+)
+def q_line_dedup_dup_stats(spark, sf_dir):
+    """X41: duplication profile (linededup.line_dup_keys) — how many
+    distinct line keys recur in exactly k documents, and the instance
+    mass behind them (the removal-volume estimate a pipeline reads
+    before committing to line dedup)."""
+    keys = linededup.line_dup_keys(
+        _ld_docs(spark, sf_dir), min_chars=5, min_dup_docs=2
+    )
+    return keys.groupBy("n_docs_with_line").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_instances").cast("long").alias("n_instances"),
     )
 
 

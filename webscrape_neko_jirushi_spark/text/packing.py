@@ -51,6 +51,64 @@ from ..functions.hashing import portable_hash64, portable_hash64_sql
 from .analysis import token_count
 
 
+def _stream_offsets(
+    documents: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    buckets: int | None,
+    auto_threshold: int,
+    n_rows: int | None,
+) -> DataFrame:
+    """Shared prefix-sum core: given ``base`` = ``(id_col, _n, _h)``
+    rows (positive token counts, deterministic hash), add ``_lo`` =
+    the exclusive prefix sum of ``_n`` in ``_h`` order — each
+    document's global start offset in the virtual concatenated token
+    stream. ``buckets=0`` forces the single-window form, ``>0`` the
+    bucketed two-phase form (per-bucket window sums + <= ``buckets``
+    bucket totals cumulated driver-side and broadcast back — no
+    single-partition sort), ``None`` auto-gates on a LIMIT-bounded
+    probe or the free ``n_rows`` hint."""
+    use_buckets = buckets
+    if use_buckets is None:
+        if n_rows is not None:
+            over = n_rows > auto_threshold
+        else:
+            over = (
+                documents.select(id_col).limit(auto_threshold + 1).count()
+                > auto_threshold
+            )
+        use_buckets = 32 if over else 0
+
+    if use_buckets:
+        probs = [i / use_buckets for i in range(1, use_buckets)]
+        bounds = sorted(set(base.approxQuantile("_h", probs, 0.001)))
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col("_h") > F.lit(b)).cast("int")
+        w_local = Window.partitionBy("_pk_bucket").orderBy("_h")
+        cum = base.withColumn("_pk_bucket", bucket).withColumn(
+            "_cum", F.sum("_n").over(w_local)
+        )
+        totals = sorted(
+            cum.groupBy("_pk_bucket").agg(F.sum("_n").alias("t")).collect(),
+            key=lambda r: r["_pk_bucket"],
+        )
+        offsets, acc = [], 0
+        for r in totals:
+            offsets.append((r["_pk_bucket"], acc))
+            acc += r["t"]
+        off_df = documents.sparkSession.createDataFrame(
+            offsets, "_pk_bucket int, _pk_off long"
+        )
+        return (
+            cum.join(F.broadcast(off_df), "_pk_bucket")
+            .withColumn("_lo", F.col("_pk_off") + F.col("_cum") - F.col("_n"))
+            .drop("_pk_bucket", "_pk_off", "_cum")
+        )
+    w = Window.orderBy("_h")
+    return base.withColumn("_lo", F.sum("_n").over(w) - F.col("_n"))
+
+
 def pack_sequences(
     documents: DataFrame,
     budget: int,
@@ -88,48 +146,9 @@ def pack_sequences(
         )
     )
 
-    use_buckets = buckets
-    if use_buckets is None:
-        if n_rows is not None:
-            over = n_rows > auto_threshold
-        else:
-            over = (
-                documents.select(id_col).limit(auto_threshold + 1).count()
-                > auto_threshold
-            )
-        use_buckets = 32 if over else 0
-
-    if use_buckets:
-        probs = [i / use_buckets for i in range(1, use_buckets)]
-        bounds = sorted(set(base.approxQuantile("_h", probs, 0.001)))
-        bucket = F.lit(0)
-        for b in bounds:
-            bucket = bucket + (F.col("_h") > F.lit(b)).cast("int")
-        w_local = Window.partitionBy("_pk_bucket").orderBy("_h")
-        cum = base.withColumn("_pk_bucket", bucket).withColumn(
-            "_cum", F.sum("_n").over(w_local)
-        )
-        totals = sorted(
-            cum.groupBy("_pk_bucket").agg(F.sum("_n").alias("t")).collect(),
-            key=lambda r: r["_pk_bucket"],
-        )
-        offsets, acc = [], 0
-        for r in totals:
-            offsets.append((r["_pk_bucket"], acc))
-            acc += r["t"]
-        off_df = documents.sparkSession.createDataFrame(
-            offsets, "_pk_bucket int, _pk_off long"
-        )
-        cum = (
-            cum.join(F.broadcast(off_df), "_pk_bucket")
-            .withColumn("_lo", F.col("_pk_off") + F.col("_cum") - F.col("_n"))
-            .drop("_pk_bucket", "_pk_off", "_cum")
-        )
-    else:
-        w = Window.orderBy("_h")
-        cum = base.withColumn(
-            "_lo", F.sum("_n").over(w) - F.col("_n")
-        )
+    cum = _stream_offsets(
+        documents, base, id_col, buckets, auto_threshold, n_rows
+    )
 
     b = F.lit(int(budget)).cast("long")
     # exact int64 div: subtract pmod first, so the double division is
@@ -193,4 +212,102 @@ def pack_sequences_sql(
       CAST(GREATEST(lo, seq_id * {budget}) - seq_id * {budget} AS BIGINT) AS seq_offset,
       CAST(LEAST(lo + n, (seq_id + 1) * {budget}) - GREATEST(lo, seq_id * {budget}) AS BIGINT) AS n_tokens
     FROM frag
+    """
+
+
+def assign_shards(
+    documents: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    salt: str = "shard",
+    buckets: int | None = None,
+    auto_threshold: int = 2_000_000,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Token-balanced output sharding — the step that turns a curated
+    corpus into the N physical training shards a data loader reads:
+    ``(id_col, n_tokens, shard_id)`` with ``shard_id = lo * N div T``
+    over the same hash-ordered virtual token stream ``pack_sequences``
+    cuts (``lo`` = the document's exclusive prefix sum, ``T`` = the
+    exact integer token total). Contiguous stream intervals map to
+    shards, documents are never split, and each shard's token sum is
+    within one document of the ideal ``T/N`` — the bin-packing
+    guarantee without any bin-packing search, and deterministic on
+    any partitioning (same hash order, same integer arithmetic ->
+    the same assignment every run, which is what makes shards
+    diffable across pipeline re-runs).
+
+    Scale: the only global structure is the prefix sum (the
+    ``_stream_offsets`` auto-gate: one window at test scale, bucketed
+    two-phase above ``auto_threshold`` — no single-partition sort);
+    ``T`` is one integer aggregate broadcast back as a 1-row join.
+    Precondition (int64 exactness): ``T * n_shards < 2^63`` — at
+    2.5e13 tokens (100 TB of text) and 65k shards that is 1.6e18,
+    inside the budget. Zero-token documents carry no shardable
+    payload and are dropped, mirroring ``pack_sequences``."""
+    if n_shards < 1:
+        raise ValueError(f"assign_shards: n_shards={n_shards} must be >= 1")
+    n = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else token_count(F.col(text_col)).cast("long")
+    )
+    base = (
+        documents.select(F.col(id_col), n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "_h", portable_hash64(F.col(id_col).cast("string"), salt=salt)
+        )
+    )
+    cum = _stream_offsets(
+        documents, base, id_col, buckets, auto_threshold, n_rows
+    )
+    total = cum.agg(F.sum("_n").cast("long").alias("_t"))
+    scaled = F.col("_lo") * F.lit(int(n_shards)).cast("long")
+    shard = ((scaled - F.pmod(scaled, F.col("_t"))) / F.col("_t")).cast(
+        "long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            shard.alias("shard_id"),
+        )
+    )
+
+
+def assign_shards_sql(
+    n_shards: int,
+    relation: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    salt: str = "shard",
+) -> str:
+    """DuckDB twin of ``assign_shards`` (single-stream semantics; the
+    bucketed path is parity-tested against the single window): same
+    token count, same hash order, same integer division."""
+    h = portable_hash64_sql(f"CAST({id_expr} AS VARCHAR)", salt=salt)
+    tok = (
+        f"CASE WHEN trim({text_expr}) = '' THEN 0 "
+        f"ELSE length(regexp_split_to_array(trim({text_expr}), '\\s+')) END"
+    )
+    return f"""
+    WITH sh_toks AS (
+      SELECT {id_expr} AS doc_id, CAST({tok} AS BIGINT) AS n,
+             {h} AS h
+      FROM {relation}
+    ),
+    sh_nz AS (SELECT * FROM sh_toks WHERE n > 0),
+    sh_cum AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY h) - n AS BIGINT) AS lo
+      FROM sh_nz
+    ),
+    sh_tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM sh_nz)
+    SELECT doc_id, n AS n_tokens,
+           CAST((lo * {int(n_shards)}) // t AS BIGINT) AS shard_id
+    FROM sh_cum, sh_tot
     """
