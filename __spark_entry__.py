@@ -51,6 +51,7 @@ from webscrape_neko_jirushi_spark.text import (
     boilerplate,
     classifier,
     curation,
+    encoding,
     linededup,
     lm,
     packing,
@@ -2911,6 +2912,105 @@ def q_line_dedup_dup_stats(spark, sf_dir):
     return keys.groupBy("n_docs_with_line").agg(
         F.count("*").alias("n_keys"),
         F.sum("n_instances").cast("long").alias("n_instances"),
+    )
+
+
+# X43: encoding quality — the sf corpus is clean by construction, so
+# the queries inject deterministic corruption (cp1252 mojibake on
+# doc_id%7, replacement chars on %11==3, a C0 control on %13==5) and
+# both engines profile/repair the same dirtied text
+_ENC_DIRTY_SQL = """
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© â€™' ELSE '' END
+           || CASE WHEN doc_id % 11 = 3 THEN ' �' ELSE '' END
+           || CASE WHEN doc_id % 13 = 5 THEN chr(1) || 'x' ELSE '' END
+             AS text
+    FROM documents
+"""
+
+
+def _enc_dirty(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafÃ© â€™")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 3, F.lit(" �")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 5, F.lit("\x01x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def _enc_counts_sql() -> dict[str, str]:
+    return encoding.encoding_counts_sql("text")
+
+
+@q(
+    "encoding_quality_stats",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(({_enc_counts_sql()['n_mojibake']} > 0
+                OR {_enc_counts_sql()['n_replacement']} > 0
+                OR {_enc_counts_sql()['n_control']} > 0) AS BIGINT)) AS BIGINT)
+             AS n_suspect,
+           CAST(SUM({_enc_counts_sql()['n_mojibake']}) AS BIGINT) AS n_mojibake,
+           CAST(SUM({_enc_counts_sql()['n_replacement']}) AS BIGINT) AS n_replacement,
+           CAST(SUM({_enc_counts_sql()['n_control']}) AS BIGINT) AS n_control
+    FROM ({_ENC_DIRTY_SQL})
+    GROUP BY source
+    """,
+)
+def q_encoding_quality_stats(spark, sf_dir):
+    """X43: per-source encoding-corruption profile
+    (encoding.encoding_profile) — mojibake / replacement-char / C0
+    counters and the suspect-document count, the report a pipeline
+    reads before deciding to repair vs drop."""
+    prof = encoding.encoding_profile(_enc_dirty(spark, sf_dir))
+    src = _enc_dirty(spark, sf_dir).select("doc_id", "source")
+    return (
+        prof.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_suspect").cast("long")).alias("n_suspect"),
+            F.sum("n_mojibake").cast("long").alias("n_mojibake"),
+            F.sum("n_replacement").cast("long").alias("n_replacement"),
+            F.sum("n_control").cast("long").alias("n_control"),
+        )
+    )
+
+
+@q(
+    "encoding_repair_sample",
+    f"""
+    SELECT doc_id,
+           {_enc_counts_sql()['n_mojibake']} AS n_mojibake,
+           md5({encoding.fix_encoding_sql('text')}) AS fixed_md5
+    FROM ({_ENC_DIRTY_SQL})
+    WHERE doc_id % 97 = 0
+    """,
+)
+def q_encoding_repair_sample(spark, sf_dir):
+    """X43: byte-exact repair parity (encoding.fix_encoding) on the
+    doc_id%97 sample — the repaired text compared by md5, so the
+    literal-replace chain and control strip must match the twin
+    exactly."""
+    d = _enc_dirty(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    prof = encoding.encoding_profile(d)
+    return prof.select(
+        "doc_id",
+        "n_mojibake",
+        F.md5(F.col("fixed")).alias("fixed_md5"),
     )
 
 

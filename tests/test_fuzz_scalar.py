@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from webscrape_neko_jirushi_spark.functions import text as ftext
 from webscrape_neko_jirushi_spark.functions import urls as furls
-from webscrape_neko_jirushi_spark.text import analysis, scrubbing
+from webscrape_neko_jirushi_spark.text import analysis, encoding, scrubbing
 
 SEED = 20260817
 
@@ -70,6 +70,19 @@ _DIRECTED = [
     "1.2.3.4", "1.2.3.4.5", "999.999.999.999", "x1.2.3.4y",
     "ip 10.0.0.1, mail x.y+z@a-b.de, tel +44 20-7946-0958 mixed 日本語",
     "no pii at all +", "version +1.2", "a+b@c.org",
+    # encoding-corruption edges for the X43 counters/repair (literal
+    # replace chain, C0 class, U+FFFD; partial/overlapping sequences)
+    "cafÃ© rÃ©sumÃ© naÃ¯ve",         # naÃ¯ is NOT in the table
+    "itâ€™s â€œquoted â€“ â€” â€¦", "Â Â« Â» Â° mixed",
+    "lone Ã at end Ã", "â€ without the third byte",
+    # NOTE: \x0b (VT) is deliberately ABSENT from the corpus: Java
+    # regex counts VT in \s, RE2 does not — a true engine divergence
+    # for the \s-based twins (tokens/sanitize/fingerprint/quality).
+    # The pipeline contract is that fix_encoding strips C0 controls
+    # BEFORE tokenization (X43), so \s never meets a VT; the explicit
+    # [\x0b] class in ctrl_count agrees on both engines and is fuzzed.
+    "bad\x01ctrl\x08mix\x1fhere", "tab\tand\nnewline stay",
+    "repl � char � twice", "ÃŸ sharp ÃŸ", "Ã©Ã©Ã©Ã©",
 ]
 
 
@@ -188,6 +201,22 @@ def _cases() -> dict[str, tuple]:
                       BETWEEN 0.05 AND 0.6 THEN 1 ELSE 0 END)
            END""",
     ),
+    "moji_count": (
+        encoding.mojibake_count(F.col("s")),
+        encoding.encoding_counts_sql("s")["n_mojibake"],
+    ),
+    "repl_count": (
+        encoding.replacement_char_count(F.col("s")),
+        encoding.encoding_counts_sql("s")["n_replacement"],
+    ),
+    "ctrl_count": (
+        encoding.control_char_count(F.col("s")),
+        encoding.encoding_counts_sql("s")["n_control"],
+    ),
+    "enc_fixed": (
+        encoding.fix_encoding(F.col("s")),
+        encoding.fix_encoding_sql("s"),
+    ),
     "fingerprint": (
         analysis.fingerprint(F.col("s")),
         # NULL guard: DuckDB CONCAT skips NULL args, so an unguarded
@@ -248,6 +277,7 @@ _CASE_NAMES = [
     "bpe_tokens", "non_ascii", "lang", "punct", "stopwords", "quality",
     "fingerprint", "interest", "cat_id", "ct_ext", "path_ext",
     "pii_email_n", "pii_ipv4_n", "pii_phone_n", "pii_scrub",
+    "moji_count", "repl_count", "ctrl_count", "enc_fixed",
 ]
 
 
