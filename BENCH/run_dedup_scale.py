@@ -218,6 +218,18 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             docs, "text", "doc_id", 5, 0.5, cands, restrict_candidates=True
         )
 
+    def containment_cands():
+        # X44: containment verify DRIVEN by the LSH candidate pairs
+        # (the planted 10% near-dups): same two candidate-keyed
+        # equi-joins as the jaccard verify, different final ratio —
+        # measures the asymmetric verify's growth on the same pair
+        # stream. ~linear like ngram_jaccard
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+        cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+        return dedup.containment_pairs(
+            docs, "text", "doc_id", 5, 0.8, candidates=cands
+        )
+
     def simhash_pairs():
         # 60-bit signature: 7 bands of ~8.6 bits — random band
         # collisions ~n^2/2^8.6 make this the small/mid-scale form
@@ -610,6 +622,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ngram_jaccard": ngram_jaccard,
+        "containment_cands": containment_cands,
         "simhash_pairs": simhash_pairs,
         "simhash_wide_pairs": simhash_wide_pairs,
         "near_dup_clusters": near_dup_clusters,

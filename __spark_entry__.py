@@ -3014,6 +3014,90 @@ def q_encoding_repair_sample(spark, sf_dir):
     )
 
 
+# X44: shingle containment — documents plus planted verbatim excerpts
+# (words 11..30 of every 5th doc, id offset 3*_DUP_OFF): the excerpt's
+# Jaccard vs its source is ~0.2 (invisible to the near-dup queries) but
+# its containment is 1.0
+_CONT_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {3 * _DUP_OFF} AS doc_id,
+           array_to_string(regexp_split_to_array(trim(text), '\\s+')[11:30], ' ') AS text
+    FROM documents
+    WHERE doc_id % 5 = 0
+      AND length(regexp_split_to_array(trim(text), '\\s+')) >= 30
+"""
+
+
+def _cont_corpus(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    ex = (
+        d.filter((F.col("doc_id") % 5 == 0) & (F.size(w) >= 30))
+        .select(
+            (F.col("doc_id") + 3 * _DUP_OFF).alias("doc_id"),
+            F.array_join(F.slice(w, 11, 20), " ").alias("text"),
+        )
+    )
+    return d.unionByName(ex)
+
+
+@q(
+    "containment_pairs",
+    f"""
+    WITH ex AS (
+      SELECT DISTINCT doc_id, s.sh
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM ({_CONT_CORPUS_SQL}) cc
+      ) c, LATERAL UNNEST(
+        CASE WHEN length(w) < 5 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, length(w) - 3),
+                  i -> array_to_string(w[i:i+4], ' ')) END
+      ) AS s(sh)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           ROUND(n_common * 1.0 / sa.n_sh, 6) AS cont_a_in_b,
+           ROUND(n_common * 1.0 / sb.n_sh, 6) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE GREATEST(n_common * 1.0 / sa.n_sh,
+                   n_common * 1.0 / sb.n_sh) >= 0.8
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """X44: asymmetric containment detection
+    (dedup.containment_pairs) — |A∩B|/|A| over word-5-shingle sets;
+    every planted excerpt is caught at containment 1.0 while its
+    Jaccard (~0.2) sits far below the ngram_jaccard_pairs threshold.
+    Exact self-join form at this tier; the candidate-driven
+    restriction is parity-gated in tests/test_containment.py."""
+    out = dedup.containment_pairs(
+        _cont_corpus(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=5,
+        min_containment=0.8,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round("containment_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("containment_b_in_a", 6).alias("cont_b_in_a"),
+    )
+
+
 # X33: hashed-feature logistic classifier — shared geometry between the
 # Spark pipeline and the unrolled DuckDB GD twin
 _CLF_DIM = 16

@@ -650,6 +650,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_containment: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplication: shingle-set CONTAINMENT
+    ``c(A in B) = |A ∩ B| / |A|`` — the quote/superset detector
+    Jaccard-based dedup structurally misses (a short document quoted
+    verbatim inside a long one has containment ~1.0 but Jaccard
+    ~|A|/|B|, far below any LSH band's reach when B is much larger;
+    Broder 1997 distinguishes resemblance from containment for
+    exactly this case). A training pipeline needs it to catch
+    syndicated excerpts, quote farms, and documents subsumed by
+    longer revisions.
+
+    Output: one row per unordered pair ``(id_a < id_b)`` with
+    ``n_common``, both set sizes, both directed containments, and the
+    pair kept when EITHER direction clears ``min_containment``.
+
+    Execution shape: identical skeleton to ``ngram_jaccard_pairs``
+    (ONE shingle explode+distinct, per-doc sizes re-aggregated from
+    the same exploded table, intersection via the shingle equi-join)
+    — only the final ratio differs, so every measured property of
+    that plan (DEDUP_SCALE growth, candidate-driven restriction)
+    carries over. ``candidates`` bounds the pair space at scale;
+    note the candidate SOURCE must be containment-aware — Jaccard-LSH
+    bands under-recall asymmetric pairs BY DESIGN, so feed pairs from
+    a shared-gram index (``substrings.duplicated_kgram_spans``), a
+    one-sided min-k gram sample of the smaller side, or a low-band
+    LSH; the exact verify here is agnostic to where pairs came from.
+    Without candidates the shingle self-join is exact and fine up to
+    ~10^5 docs (the ngram_jaccard contract)."""
+    ex = (
+        df.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
+        )
+        .distinct()
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if candidates is not None:
+        ex_a = ex.select(F.col(id_col).alias("id_a"), "sh")
+        ex_b = ex.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(ex_a, "id_a")
+            .join(ex_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.col("n_common") / F.col("n_a")
+    c_ba = F.col("n_common") / F.col("n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= F.lit(float(min_containment))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            "containment_a_in_b",
+            "containment_b_in_a",
+        )
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",
