@@ -104,6 +104,17 @@ QUERIES = [
     # new ops (anchors/traps/revisit) read orders/lineitem/events,
     # absent from the sf1 table set — DEDUP_SCALE legs cover them.
     "domain_quality_rollup",
+    # round-5 fifth-arc additions: all read only documents. The
+    # containment self-join is the new heavy query at this tier; the
+    # temperature fold and the shard member-list md5 are exact-scalar
+    # checks whose failure mode (float order / int division) is
+    # precisely what a 10x total would expose. line_dedup_docs and
+    # boilerplate_* read orders/lineitem (absent here) — their 10x
+    # evidence is DEDUP_SCALE's line_dedup_l8 and the bp host shape.
+    "containment_pairs",
+    "shard_assignment",
+    "encoding_quality_stats",
+    "temperature_mixture_plan",
 ]
 
 

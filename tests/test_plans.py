@@ -305,3 +305,23 @@ def test_ngram_restricted_semi_join_is_broadcast(spark):
     assert not any(
         "SortMergeJoin" in l and "LeftSemi" in l for l in lines
     ), [l for l in lines if "LeftSemi" in l]
+
+
+def test_round5_text_ops_python_free(spark):
+    """The X41-X44 additions are full-corpus maps/joins — their plans
+    must contain zero Python eval nodes (JVM codegen end to end)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "line_dedup_docs",
+        "shard_assignment",
+        "encoding_quality_stats",
+        "encoding_repair_sample",
+        "containment_pairs",
+        "temperature_mixture_plan",
+        "boilerplate_strip_stats",
+    ):
+        q = qs[name](spark, SF)
+        assert P.python_eval_count(q) == 0, name
+        assert P.codegen_stage_count(q) >= 1, name
