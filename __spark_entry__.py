@@ -1452,6 +1452,103 @@ def q_near_dup_clusters(spark, sf_dir):
     )
 
 
+# X45: quality-argmax keep policy — clusters + per-member quality,
+# shared by the per-cluster stats query and the kept-corpus rollup.
+# Quality = length(text): integer-exact on both engines (RefinedWeb's
+# keep-longest policy, Penedo et al. 2023 §4.2).
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_NGRAM_PAIRS_SQL}) p),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id AS node, id AS label FROM nodes
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    corpus AS (SELECT doc_id, text FROM ({_CORPUS_SQL}) cc),
+    members AS (
+      SELECT cl.cluster_id, co.doc_id, length(co.text) AS q
+      FROM clusters cl JOIN corpus co ON co.doc_id = cl.doc_id
+    )
+"""
+
+
+@q(
+    "canonical_selection",
+    f"""
+    {_CLUSTERS_SQL}
+    SELECT cluster_id, n_docs, kept_id, kept_quality, q_min FROM (
+      SELECT cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs,
+             doc_id AS kept_id, q AS kept_quality,
+             MIN(q) OVER (PARTITION BY cluster_id) AS q_min,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id ASC) AS rn
+      FROM members
+    ) WHERE rn = 1
+    """,
+)
+def q_canonical_selection(spark, sf_dir):
+    """X45: quality-argmax keep policy (dedup.cluster_canonical) —
+    per near-dup cluster the member a keep-one policy retains:
+    longest text, ties -> lowest id. Winner = min(struct(-q, id))
+    INSIDE the per-cluster aggregate (no window over the joined
+    table); oracle twin = ROW_NUMBER ORDER BY q DESC, doc_id ASC."""
+    labels = dedup.connected_components(_ngram_pairs(spark, sf_dir))
+    docs = _corpus(spark, sf_dir).withColumn("q", F.length("text"))
+    return dedup.cluster_canonical(docs, labels, "q")
+
+
+@q(
+    "canonical_kept_corpus",
+    f"""
+    {_CLUSTERS_SQL},
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY q DESC, doc_id ASC) AS rn
+        FROM members
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT co.doc_id, length(co.text) AS q FROM corpus co
+      WHERE co.doc_id NOT IN (SELECT doc_id FROM clusters)
+      UNION ALL
+      SELECT m.doc_id, m.q FROM members m
+      JOIN winners w ON w.doc_id = m.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(q) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM kept
+    """,
+)
+def q_canonical_kept_corpus(spark, sf_dir):
+    """X45: the surviving corpus under the keep policy
+    (dedup.keep_canonical) — unclustered singletons plus each
+    cluster's winner, original schema preserved; rolled up to exact
+    integer invariants (count, total chars, id range) that pin the
+    kept SET."""
+    labels = dedup.connected_components(_ngram_pairs(spark, sf_dir))
+    docs = _corpus(spark, sf_dir).withColumn("q", F.length("text"))
+    kept = dedup.keep_canonical(docs, labels, "q")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("q").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 @q(
     "simhash_near_dups",
     f"""

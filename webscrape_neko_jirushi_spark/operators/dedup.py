@@ -1389,3 +1389,91 @@ def semantic_dedup(
             F.col("_rm").isNull().alias("kept"),
         )
     )
+
+
+def cluster_canonical(
+    docs: DataFrame,
+    labels: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    labels_id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Per duplicate cluster, the CANONICAL member a keep-one policy
+    retains: highest ``quality_col``, ties -> lowest id (deterministic
+    on any partitioning). The quality-argmax policy is what production
+    curation pipelines use in place of keep-first — RefinedWeb keeps
+    the longest member of each near-dup cluster (Penedo et al. 2023
+    §4.2); the reference's only policy is filesystem-order keep-first
+    (aggressive_cleaning.py:170-197).
+
+    ``labels`` is a (id, cluster_id) assignment, typically
+    ``connected_components`` output. Returns one row per cluster:
+    ``(cluster_id, n_docs, kept_id, kept_quality, q_min)``.
+
+    Scale shape: ONE inner equi-join on id (labels hold only
+    CLUSTERED docs — a few percent of the corpus at web dup rates, so
+    AQE broadcasts the build side when it fits) + ONE per-cluster
+    hash aggregate. The winner is ``min(struct(-quality, id))``
+    INSIDE the aggregate (the X37 anchor-winner idiom): hot clusters
+    combine map-side, no window over the joined table, no second
+    shuffle. Preconditions: quality is numeric, non-null, and
+    negation-safe (ANSI overflow on int64 min — real quality columns
+    are lengths/scores, both fine); ids are unique per doc.
+    """
+    j = docs.select(
+        F.col(id_col).alias("_cid"), F.col(quality_col).alias("_q")
+    ).join(
+        labels.select(
+            F.col(labels_id_col).alias("_cid"), F.col(cluster_col)
+        ),
+        "_cid",
+        "inner",
+    )
+    return (
+        j.groupBy(cluster_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(
+                F.struct(
+                    (-F.col("_q")).alias("nq"), F.col("_cid").alias("i")
+                )
+            ).alias("_w"),
+            F.min("_q").alias("q_min"),
+        )
+        .select(
+            cluster_col,
+            "n_docs",
+            F.col("_w.i").alias("kept_id"),
+            (-F.col("_w.nq")).alias("kept_quality"),
+            "q_min",
+        )
+    )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    labels: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    labels_id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The deduplicated corpus under the quality-argmax keep policy:
+    every UNCLUSTERED document (implicit singleton) plus the
+    ``cluster_canonical`` winner of each cluster. Original schema
+    preserved — this is the "surviving corpus" the next pipeline
+    stage (mixing/packing/sharding) consumes.
+
+    Scale shape: the corpus is scanned twice (anti-join for
+    singletons, semi-join for winners) but both build sides are
+    labels-sized — AQE broadcasts them at real dup rates; the corpus
+    itself never shuffles. No window, no Python.
+    """
+    lab_ids = labels.select(F.col(labels_id_col).alias(id_col))
+    winners = cluster_canonical(
+        docs, labels, quality_col, id_col, labels_id_col, cluster_col
+    ).select(F.col("kept_id").alias(id_col))
+    return docs.join(lab_ids, id_col, "left_anti").unionByName(
+        docs.join(winners, id_col, "left_semi")
+    )
