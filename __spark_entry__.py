@@ -52,6 +52,7 @@ from webscrape_neko_jirushi_spark.text import (
     classifier,
     curation,
     encoding,
+    extraction,
     linededup,
     lm,
     packing,
@@ -3653,6 +3654,85 @@ def q_corpus_version_diff(spark, sf_dir):
         "lang",
     )
     return stats.corpus_diff(old, new, "doc_id", ("text", "lang"))
+
+
+# ===========================================================================
+# X46: HTML -> text extraction
+# ===========================================================================
+
+# deterministic markup wrapper built IDENTICALLY on both engines (the
+# encoding-dirt-injection convention): chrome carries every stripped
+# construct — comment, script (with a fake tag inside), style, title
+# entities, list items, two links
+_HTML_PARTS = [
+    '<html><head><title>Doc &amp; ', "{src}",
+    '</title><style>p: red</style></head><body><!-- nav chrome -->',
+    '<script type="text/javascript">var a = 1 < 2; // </div></script>',
+    "<h1>", "{src}", "</h1><p>", "{text}",
+    '</p><ul><li>&lt;i&gt; one</li><li>two</li></ul><a href="/doc/',
+    "{id}", '">next</a> <a href="https://src.example/s/', "{src}",
+    '">source</a></body></html>',
+]
+
+
+def _html_pages(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sub = {
+        "{src}": F.col("source"),
+        "{text}": F.col("text"),
+        "{id}": F.col("doc_id").cast("string"),
+    }
+    html = F.concat(*[sub.get(p, F.lit(p)) for p in _HTML_PARTS])
+    return d.select("doc_id", html.alias("html"))
+
+
+def _html_pages_sql() -> str:
+    sub = {"{src}": "source", "{text}": "text", "{id}": "CAST(doc_id AS VARCHAR)"}
+    # '||' (not CONCAT): DuckDB CONCAT skips NULLs, Spark concat nulls out
+    html = " || ".join(
+        sub.get(p, "'" + p.replace("'", "''") + "'") for p in _HTML_PARTS
+    )
+    return f"SELECT doc_id, {html} AS html FROM documents"
+
+
+@q(
+    "html_extraction",
+    f"""
+    WITH pages AS ({_html_pages_sql()}),
+    t AS (
+      SELECT doc_id,
+             {extraction.extract_title_sql('html')} AS title,
+             {extraction.html_to_text_sql('html')} AS text,
+             {extraction.extract_links_sql('html')} AS links,
+             length(html) AS n_html
+      FROM pages
+    )
+    SELECT doc_id, title, md5(text) AS text_md5,
+           length(text) AS n_text_chars,
+           CAST(length(links) AS INT) AS n_links,
+           links[1] AS first_link,
+           ROUND(length(text) * 1.0 / n_html, 6) AS text_ratio
+    FROM t
+    """,
+)
+def q_html_extraction(spark, sf_dir):
+    """X46: template-free HTML -> text extraction
+    (text/extraction.py) — script/style/comment/title strip, block
+    tags to newlines, single-pass entity decode, whitespace
+    normalization, plus title/outlink extraction and the jusText
+    text-ratio signal; one map-side scan, all patterns in the
+    Java/RE2 common subset so the oracle runs them verbatim.
+    Extracted text pinned by md5."""
+    out = extraction.extraction_profile(_html_pages(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "title",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_text_chars"),
+        "n_links",
+        "first_link",
+        "text_ratio",
+    )
 
 
 # ===========================================================================
