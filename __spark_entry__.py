@@ -52,6 +52,7 @@ from webscrape_neko_jirushi_spark.text import (
     classifier,
     curation,
     encoding,
+    dsir,
     extraction,
     linededup,
     lm,
@@ -3732,6 +3733,100 @@ def q_html_extraction(spark, sf_dir):
         "n_links",
         "first_link",
         "text_ratio",
+    )
+
+
+# ===========================================================================
+# X47: DSIR importance resampling
+# ===========================================================================
+
+_DSIR_DIM = 32
+_DSIR_K = 0.5
+# shared distribution/log-ratio CTEs: hashed uni+bigram counts of the
+# raw corpus (all documents) and the target slice (lang='fr'),
+# add-k-smoothed log ratios in the exact Spark-side operation order
+_DSIR_B = dsir.gram_buckets_sql("text", _DSIR_DIM)
+_DSIR_CTES = f"""
+    rb AS (SELECT doc_id, {_DSIR_B} AS b FROM documents),
+    tb AS (SELECT {_DSIR_B} AS b FROM documents WHERE lang = 'fr'),
+    rc AS (SELECT u.x AS bucket, COUNT(*) AS c
+           FROM rb, UNNEST(b) AS u(x) GROUP BY 1),
+    tc AS (SELECT u.x AS bucket, COUNT(*) AS c
+           FROM tb, UNNEST(b) AS u(x) GROUP BY 1),
+    rtot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rc),
+    ttot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+    lr AS (
+      SELECT d.bucket,
+             ln((COALESCE(tc.c, 0) + {_DSIR_K}) / (ttot.n + {_DSIR_K} * {_DSIR_DIM}))
+           - ln((COALESCE(rc.c, 0) + {_DSIR_K}) / (rtot.n + {_DSIR_K} * {_DSIR_DIM})) AS log_ratio
+      FROM (SELECT UNNEST(range({_DSIR_DIM})) AS bucket) d
+      LEFT JOIN rc ON rc.bucket = d.bucket
+      LEFT JOIN tc ON tc.bucket = d.bucket
+      CROSS JOIN rtot CROSS JOIN ttot
+    )
+"""
+
+
+def _dsir_lr(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dsir.dsir_log_ratios(
+        d, d.filter(F.col("lang") == "fr"), _DSIR_DIM, k=_DSIR_K
+    )
+
+
+@q(
+    "dsir_log_ratios",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT bucket, ROUND(log_ratio, 6) AS log_ratio FROM lr
+    """,
+)
+def q_dsir_log_ratios(spark, sf_dir):
+    """X47: DSIR model estimation (dsir.dsir_log_ratios — Xie et al.
+    2023): add-0.5-smoothed log ratio between the target slice's
+    (lang='fr') and the raw corpus's hashed uni+bigram distributions;
+    two integer-exact count aggregates, dim driver-side literals (the
+    Lloyd convention). Oracle recomputes both distributions and the
+    exact ln expression order in SQL."""
+    lr = _dsir_lr(spark, sf_dir)
+    raw = spark.createDataFrame(
+        list(enumerate(lr)), "bucket long, log_ratio double"
+    )
+    return raw.select("bucket", F.round("log_ratio", 6).alias("log_ratio"))
+
+
+@q(
+    "dsir_selection",
+    f"""
+    WITH {_DSIR_CTES},
+    lrl AS (SELECT list(log_ratio ORDER BY bucket) AS l FROM lr),
+    w AS (
+      SELECT doc_id,
+             {dsir.importance_fold_sql(f"({_DSIR_B})", "lrl.l")} AS weight
+      FROM documents CROSS JOIN lrl
+    ),
+    keyed AS (
+      SELECT doc_id, weight,
+             {dsir.gumbel_key_sql('weight', 'doc_id')} AS key
+      FROM w
+    )
+    SELECT doc_id, ROUND(weight, 6) AS weight, ROUND(key, 6) AS key
+    FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_dsir_selection(spark, sf_dir):
+    """X47: DSIR selection (dsir.dsir_importance + gumbel_topk) —
+    map-side document-order fold of the log-ratio literals (zero
+    shuffles, plan-gated in tests/test_dsir.py), then a deterministic
+    hash-seeded Gumbel-top-100 without replacement proportional to
+    exp(weight), planning as TakeOrderedAndProject. The selected SET,
+    weights, and keys all oracle-pinned at 6 dp."""
+    d = load(spark, sf_dir, "documents")
+    scored = dsir.dsir_importance(d, _dsir_lr(spark, sf_dir))
+    return dsir.gumbel_topk(scored, 100).select(
+        "doc_id",
+        F.round("weight", 6).alias("weight"),
+        F.round("key", 6).alias("key"),
     )
 
 
