@@ -39,6 +39,7 @@ from webscrape_neko_jirushi_spark.operators import (
     similarity,
     stats,
 )
+from webscrape_neko_jirushi_spark.sources import warc
 from webscrape_neko_jirushi_spark.sources.analog import (
     CAT_INFO_ANALOG_SQL,
     IMAGES_ANALOG_SQL,
@@ -3733,6 +3734,60 @@ def q_html_extraction(spark, sf_dir):
         "n_links",
         "first_link",
         "text_ratio",
+    )
+
+
+# ===========================================================================
+# X48: WARC record source/sink roundtrip
+# ===========================================================================
+
+# the writer's HTTP head as a DuckDB literal (CRLFs via chr())
+_WARC_HEAD_SQL = (
+    " || chr(13) || chr(10) || ".join(
+        "'" + piece.replace("'", "''") + "'"
+        for piece in warc.HTTP_HEAD.split("\r\n")[:-1]
+    )
+    + " || chr(13) || chr(10)"
+)
+_WARC_SHARDS = 8
+
+
+@q(
+    "warc_roundtrip",
+    f"""
+    WITH payload AS (
+      SELECT doc_id,
+             {_WARC_HEAD_SQL} || COALESCE(text, '') AS body
+      FROM documents
+    )
+    SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % {_WARC_SHARDS}
+                                   ORDER BY doc_id) - 1 AS INT) AS record_idx,
+           'response' AS warc_type,
+           CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
+           md5(body) AS payload_md5
+    FROM payload
+    """,
+)
+def q_warc_roundtrip(spark, sf_dir):
+    """X48: WARC container roundtrip (sources/warc.py) — documents
+    framed into deterministic per-shard WARC blobs (applyInPandas,
+    records id-sorted within shard, content-derived record ids) and
+    parsed back through the Arrow mapInPandas record parser; the
+    oracle recomputes every framing invariant (uri, within-shard
+    ordinal, byte length, payload md5) straight from the documents
+    table — so a framing bug on EITHER side breaks the hash."""
+    d = load(spark, sf_dir, "documents")
+    blobs = warc.docs_to_warc(d, n_shards=_WARC_SHARDS).select(
+        F.col("shard").cast("string").alias("path"), "content"
+    )
+    recs = warc.parse_warc_blobs(blobs)
+    return recs.select(
+        "target_uri",
+        "record_idx",
+        "warc_type",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
     )
 
 
