@@ -52,10 +52,13 @@ from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
     synth_documents,
     synth_embeddings,
 )
+from webscrape_neko_jirushi_spark.sources import warc  # noqa: E402
 from webscrape_neko_jirushi_spark.text import (  # noqa: E402
     analysis,
     classifier,
     curation,
+    dsir,
+    extraction,
     linededup,
     lm,
     packing,
@@ -618,6 +621,68 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             )
         )
 
+    def canonical_keep():
+        # X45: quality-argmax keep policy downstream of the full
+        # near-dup pipeline — the added cost over near_dup_clusters is
+        # one labels-sized join + per-cluster aggregate + the two
+        # corpus-vs-labels joins of keep_canonical; expected ~the
+        # clusters leg's growth (the pipeline dominates)
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+        cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 5, 0.5, cands, restrict_candidates=True
+        )
+        labels = dedup.connected_components(pairs)
+        d = docs.withColumn("q", F.length("text"))
+        return dedup.keep_canonical(d, labels, "q").agg(
+            F.count("*").alias("n_kept"), F.sum("q").alias("chars")
+        )
+
+    def dsir_score():
+        # X47: two dim-bounded count aggregates (model estimation) +
+        # the zero-shuffle map-side scoring fold + gumbel top-100;
+        # expected ~linear (two corpus scans, dim=1024 literals)
+        tgt = docs.filter(F.col("doc_id") % 10 == 0)
+        lr = dsir.dsir_log_ratios(docs, tgt, 1024)
+        scored = dsir.dsir_importance(docs, lr)
+        return dsir.gumbel_topk(scored, 100)
+
+    def html_extract():
+        # X46: markup wrapper + the full strip/decode/normalize regex
+        # chain + title/links — one map-side scan, zero shuffles;
+        # expected ~linear (regex cost per char)
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><title>D "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title><style>p:red</style></head><body>"
+                      "<!-- c --><script>var a=1<2;</script><p>"),
+                F.col("text"),
+                F.lit('</p><a href="/d/'),
+                F.col("doc_id").cast("string"),
+                F.lit('">n</a></body></html>'),
+            ).alias("html"),
+        )
+        return extraction.extraction_profile(pages).agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum("n_links").alias("links"),
+        )
+
+    def warc_roundtrip():
+        # X48: frame the corpus into 64 WARC shards and parse back —
+        # both directions are per-shard Python over Arrow batches;
+        # expected ~linear, shard count fixed (the real knob is
+        # files-per-corpus, which scales with data at CC layouts)
+        blobs = warc.docs_to_warc(docs, n_shards=64).select(
+            F.col("shard").cast("string").alias("path"), "content"
+        )
+        return warc.parse_warc_blobs(blobs).agg(
+            F.count("*").alias("n"),
+            F.sum("content_length").alias("bytes"),
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -649,6 +714,10 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "revisit_stats_f8": revisit_stats,
         "line_dedup_l8": line_dedup_stats,
         "shard_balance_s64": shard_balance,
+        "canonical_keep": canonical_keep,
+        "dsir_score_d1024": dsir_score,
+        "html_extract": html_extract,
+        "warc_roundtrip_s64": warc_roundtrip,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,
@@ -685,10 +754,22 @@ def main() -> None:
         extra_conf={"spark.cleaner.periodicGC.interval": "30s"},
     )
 
+    # DEDUP_SCALE_LEGS=a,b,c runs a subset as a smoke (stderr + JSON
+    # only — the evidence file is NOT rewritten from a partial run)
+    leg_filter = {
+        s for s in os.environ.get("DEDUP_SCALE_LEGS", "").split(",") if s
+    }
+
+    def _legs(spark, fp, nd, nv):
+        qs = _queries(spark, fp, nd, nv)
+        if leg_filter:
+            qs = {k: v for k, v in qs.items() if k in leg_filter}
+        return qs
+
     # untimed warmup leg at 1/10 scale: JVM + codegen + parquet reader
     nwd, nwv = max(200, base_docs // 10), max(100, base_vecs // 10)
     wp = _corpora(spark, root, nwd, nwv)
-    for fn in _queries(spark, wp, nwd, nwv).values():
+    for fn in _legs(spark, wp, nwd, nwv).values():
         res = fn()
         _ = len(res) if isinstance(res, list) else res.count()
 
@@ -696,7 +777,7 @@ def main() -> None:
     for f in factors:
         fp = _corpora(spark, root, base_docs * f, base_vecs * f)
         results[f] = {}
-        for name, fn in _queries(
+        for name, fn in _legs(
             spark, fp, base_docs * f, base_vecs * f
         ).items():
             t0 = time.monotonic()
@@ -893,7 +974,8 @@ def main() -> None:
         "single filter scan, not rounds x corpus.",
         "",
     ]
-    (REPO / "BENCH" / "DEDUP_SCALE.md").write_text("\n".join(lines))
+    if not leg_filter:  # partial smoke runs must not rewrite the evidence
+        (REPO / "BENCH" / "DEDUP_SCALE.md").write_text("\n".join(lines))
     print(
         json.dumps(
             {

@@ -115,6 +115,17 @@ QUERIES = [
     "shard_assignment",
     "encoding_quality_stats",
     "temperature_mixture_plan",
+    # round-5 sixth-arc additions: all read only documents. The
+    # canonical pair rides the same recursive-CTE cluster oracle as
+    # near_dup_clusters (the heavy side at 10x); html/warc/dsir are
+    # map-side but hash-pinned (regex chains, framing md5s, 6-dp
+    # folds) — exactly the failure modes a 10x corpus would surface.
+    "canonical_selection",
+    "canonical_kept_corpus",
+    "html_extraction",
+    "dsir_log_ratios",
+    "dsir_selection",
+    "warc_roundtrip",
 ]
 
 

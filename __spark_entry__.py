@@ -3808,8 +3808,9 @@ _DSIR_CTES = f"""
            FROM rb, UNNEST(b) AS u(x) GROUP BY 1),
     tc AS (SELECT u.x AS bucket, COUNT(*) AS c
            FROM tb, UNNEST(b) AS u(x) GROUP BY 1),
-    rtot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM rc),
-    ttot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+    rtot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM rc),
+    -- COALESCE: an empty target slice must smooth like Spark's 0-count
+    ttot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM tc),
     lr AS (
       SELECT d.bucket,
              ln((COALESCE(tc.c, 0) + {_DSIR_K}) / (ttot.n + {_DSIR_K} * {_DSIR_DIM}))
