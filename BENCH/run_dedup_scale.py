@@ -683,6 +683,36 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.sum("content_length").alias("bytes"),
         )
 
+    def range_join_points():
+        # X49: bucketized range join — points scale with the corpus,
+        # the 256-range side is fixed; expected ~linear (equi-join on
+        # bucket + residual filter; explode factor O(1) per range)
+        from webscrape_neko_jirushi_spark.functions.hashing import (
+            portable_hash64,
+        )
+        from webscrape_neko_jirushi_spark.operators.temporal import (
+            range_join,
+        )
+
+        w = 1 << 24
+        pts = docs.select(
+            "doc_id",
+            (
+                portable_hash64(F.col("doc_id").cast("string"), salt="ip")
+                % F.lit(4294967296)
+            ).alias("ip"),
+        )
+        rng = spark.range(256).select(
+            (F.col("id") + 64500).alias("asn"),
+            (F.col("id") * w).alias("lo"),
+            (F.col("id") * w + ((F.col("id") % 3) + 1) * w - 1).alias("hi"),
+        )
+        return (
+            range_join(pts, rng, "ip", bucket_width=w)
+            .groupBy("asn")
+            .agg(F.count("*").alias("n"))
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -718,6 +748,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "dsir_score_d1024": dsir_score,
         "html_extract": html_extract,
         "warc_roundtrip_s64": warc_roundtrip,
+        "range_join_b24": range_join_points,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,

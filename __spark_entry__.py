@@ -862,6 +862,64 @@ def q_retention_filter(spark, sf_dir):
 
 
 # ===========================================================================
+# X49: bucketized range join (IP-to-ASN enrichment shape)
+# ===========================================================================
+
+_RJ_W = 1 << 24  # bucket width = /8-ish block granularity
+_RJ_IP = f"{portable_hash64_sql('CAST(event_id AS VARCHAR)', salt='ip')} % 4294967296"
+
+
+@q(
+    "ip_range_enrichment",
+    f"""
+    WITH pts AS (
+      SELECT event_id, {_RJ_IP} AS ip FROM events
+    ),
+    rng AS (
+      SELECT 64500 + i AS asn,
+             i * {_RJ_W} AS lo,
+             i * {_RJ_W} + ((i % 3) + 1) * {_RJ_W} - 1 AS hi
+      FROM (SELECT UNNEST(range(256)) AS i)
+    )
+    SELECT r.asn, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(p.ip) AS BIGINT) AS min_ip,
+           CAST(MAX(p.ip) AS BIGINT) AS max_ip
+    FROM pts p JOIN rng r ON p.ip BETWEEN r.lo AND r.hi
+    GROUP BY r.asn
+    """,
+)
+def q_ip_range_enrichment(spark, sf_dir):
+    """X49: point-in-interval enrichment as a bucketized EQUI-join
+    (temporal.range_join) — hash-derived IPs against 256 OVERLAPPING
+    ASN blocks (spans of 1-3 buckets). Naive Spark plans this theta
+    join as BroadcastNestedLoopJoin; the bucket explode + equi-join +
+    residual filter form is gated BNLJ-free in tests/test_range_join
+    and the exactly-once guarantee means no dedup pass. The oracle
+    runs the plain BETWEEN join."""
+    from webscrape_neko_jirushi_spark.operators.temporal import range_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (
+            portable_hash64(F.col("event_id").cast("string"), salt="ip")
+            % F.lit(4294967296)
+        ).alias("ip"),
+    )
+    rng = spark.range(256).select(
+        (F.col("id") + 64500).alias("asn"),
+        (F.col("id") * _RJ_W).alias("lo"),
+        (F.col("id") * _RJ_W + ((F.col("id") % 3) + 1) * _RJ_W - 1).alias("hi"),
+    )
+    joined = range_join(pts, rng, "ip", bucket_width=_RJ_W)
+    return joined.groupBy("asn").agg(
+        F.count("*").alias("n_events"),
+        F.min("ip").alias("min_ip"),
+        F.max("ip").alias("max_ip"),
+    )
+
+
+# ===========================================================================
 # events: sessionization + time rollups (T8 batch analog)
 # ===========================================================================
 

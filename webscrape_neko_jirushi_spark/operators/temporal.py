@@ -84,3 +84,87 @@ def asof_join(
         *[F.col(f"_asof_left.{c}").alias(c) for c in left_cols],
         *[F.col(f"_asof_payload.{c}").alias(c) for c in out_vals],
     )
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 1 << 24,
+    max_buckets_per_range: int = 4096,
+) -> DataFrame:
+    """Point-in-interval join (``lo <= point <= hi``, inclusive both
+    ends) as an EQUI-join — the IP-to-ASN / value-to-band enrichment
+    join. Naive Spark plans a non-equi theta join as
+    BroadcastNestedLoopJoin (all pairs — a scale-killer even when one
+    side fits in memory); here every range explodes into the
+    fixed-width buckets it overlaps, every point maps to its ONE
+    bucket, and the join is a plain shuffled equi-join on bucket plus
+    a residual BETWEEN filter.
+
+    Exactly-once guarantee (no distinct pass needed): a point lives in
+    one bucket; a matching range covers that bucket and was exploded
+    into it exactly once, so each (point, range) match appears once.
+
+    Sizing rule: ``bucket_width`` ~ the median range width — explode
+    factor stays O(1) per range while bucket occupancy stays bounded.
+    A range wider than ``max_buckets_per_range * bucket_width`` raises
+    (fail loudly: one continent-wide range silently exploding into
+    10^6 rows is a pipeline bug, not a join input). Point skew (one
+    hot bucket) is ordinary equi-join skew — AQE's skew-join handles
+    it, same as every other join here.
+
+    Preconditions: bounds and points are integers, NON-NEGATIVE (the
+    ``div`` bucket id truncates toward zero, which equals floor only
+    for nonnegatives), ``lo <= hi`` per range, and the two inputs
+    share no column names. Returns points.* + ranges.* matched rows.
+
+    For NON-overlapping sorted ranges an ``asof_join`` on ``lo``
+    followed by a ``<= hi`` filter is the shuffle-equivalent
+    alternative; this form exists because real range sets (ASN
+    blocks, time windows, size bands) overlap.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"range_join: bucket_width must be > 0, got {bucket_width}")
+    overlap = set(points.columns) & set(ranges.columns)
+    if overlap:
+        raise ValueError(f"range_join: column collision {sorted(overlap)}")
+    w = F.lit(int(bucket_width))
+    n_b = (F.col(hi_col).cast("long") - F.col(lo_col).cast("long")) / w + 1
+    guarded = ranges.withColumn(
+        "_rj_nb",
+        F.when(
+            n_b > max_buckets_per_range,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"range_join: range wider than {max_buckets_per_range}"
+                        f" buckets of {bucket_width} ("
+                    ),
+                    F.col(lo_col),
+                    F.lit(".."),
+                    F.col(hi_col),
+                    F.lit("); raise bucket_width or split the range"),
+                )
+            ).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+    exploded = guarded.select(
+        *ranges.columns,
+        F.explode(
+            F.sequence(
+                F.expr(f"{lo_col} div {int(bucket_width)}") + F.col("_rj_nb").cast("long"),
+                F.expr(f"{hi_col} div {int(bucket_width)}"),
+            )
+        ).alias("_rj_bucket"),
+    )
+    keyed = points.withColumn(
+        "_rj_bucket", F.expr(f"{point_col} div {int(bucket_width)}")
+    )
+    return (
+        keyed.join(exploded, "_rj_bucket")
+        .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("_rj_bucket")
+    )
