@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from webscrape_neko_jirushi_spark.functions import text as ftext
 from webscrape_neko_jirushi_spark.functions import urls as furls
-from webscrape_neko_jirushi_spark.text import analysis, encoding, scrubbing
+from webscrape_neko_jirushi_spark.text import (
+    analysis,
+    encoding,
+    extraction,
+    scrubbing,
+)
 
 SEED = 20260817
 
@@ -83,6 +88,16 @@ _DIRECTED = [
     # [\x0b] class in ctrl_count agrees on both engines and is fuzzed.
     "bad\x01ctrl\x08mix\x1fhere", "tab\tand\nnewline stay",
     "repl � char � twice", "ÃŸ sharp ÃŸ", "Ã©Ã©Ã©Ã©",
+    # markup edges for the X46 extraction twins (lazy dotall blocks,
+    # mismatched closes, single-pass entities, bare '<', br variants)
+    "<p>unclosed <b>bold", "<script>var x=1;</script>rest kept",
+    "<TITLE> Mixed &amp; Case </TITLE><body>t</body>",
+    "&amp;lt;x&amp;gt; &amp;amp;", "<!-- gone --><b>bold</b> stays",
+    '<a href="/x">l</a><a href=\'single\'>m</a><a HREF="/up">u</a>',
+    "text < notatag > more", "<br><BR/>x<br >y",
+    "<style>a: b</style>tail", "&nbsp;&quot;&#39;&apos;&gt;&lt;",
+    "<div>deep<div>nested</div>inner</div>after",
+    "<script>no close runs to end", "<p>日本語の<em>本文</em>です</p>",
 ]
 
 
@@ -262,6 +277,18 @@ def _cases() -> dict[str, tuple]:
         scrubbing.scrub_text(F.col("s")),
         _scrub_chain_sql(),
     ),
+    "html_text": (
+        extraction.html_to_text(F.col("s")),
+        extraction.html_to_text_sql("s"),
+    ),
+    "html_title": (
+        extraction.extract_title(F.col("s")),
+        extraction.extract_title_sql("s"),
+    ),
+    "html_links_n": (
+        F.size(extraction.extract_links(F.col("s"))),
+        f"len({extraction.extract_links_sql('s')})",
+    ),
     "path_ext": (
         furls.path_to_ext(F.col("s")),
         r"""CASE WHEN lower(regexp_extract(s, '\.([A-Za-z0-9]+)$', 1))
@@ -278,6 +305,7 @@ _CASE_NAMES = [
     "fingerprint", "interest", "cat_id", "ct_ext", "path_ext",
     "pii_email_n", "pii_ipv4_n", "pii_phone_n", "pii_scrub",
     "moji_count", "repl_count", "ctrl_count", "enc_fixed",
+    "html_text", "html_title", "html_links_n",
 ]
 
 
