@@ -862,6 +862,74 @@ def q_retention_filter(spark, sf_dir):
 
 
 # ===========================================================================
+# X50: key-skew diagnosis
+# ===========================================================================
+
+_SKEW_CTES = """
+    c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c)
+"""
+
+
+@q(
+    "key_skew_events",
+    f"""
+    WITH {_SKEW_CTES},
+    e AS (
+      SELECT -SUM((cnt / t.n_rows) * ln(cnt / t.n_rows)) AS ent
+      FROM c CROSS JOIN t
+    )
+    SELECT t.n_rows, t.n_keys, t.max_cnt,
+           ROUND(t.max_cnt / t.n_rows, 6) AS top1_share,
+           ROUND((t.max_cnt * t.n_keys) / t.n_rows, 6) AS skew_factor,
+           ROUND(CASE WHEN t.n_keys = 1 THEN 1.0
+                      ELSE e.ent / ln(t.n_keys) END, 6) AS norm_entropy,
+           CAST(CEIL((t.max_cnt * t.n_keys) / t.n_rows) AS BIGINT) AS n_salts
+    FROM t CROSS JOIN e
+    """,
+)
+def q_key_skew_events(spark, sf_dir):
+    """X50: shuffle-key skew diagnosis (stats.key_skew_report) — the
+    measurement run BEFORE an expensive join to choose between plain
+    equi-join, AQE skew handling, and explicit salting (n_salts =
+    ceil(skew_factor) levels the hottest key to mean load). One
+    histogram aggregate + a 1-row broadcast back; the entropy sum's
+    partial-agg order is absorbed by the 6-dp rounding."""
+    ev = load(spark, sf_dir, "events")
+    r = stats.key_skew_report(ev, ["user_id"])
+    return r.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round("top1_share", 6).alias("top1_share"),
+        F.round("skew_factor", 6).alias("skew_factor"),
+        F.round("norm_entropy", 6).alias("norm_entropy"),
+        "n_salts",
+    )
+
+
+@q(
+    "hot_keys_events",
+    f"""
+    WITH {_SKEW_CTES}
+    SELECT user_id, cnt, ROUND(cnt / t.n_rows, 6) AS share
+    FROM c CROSS JOIN t
+    ORDER BY cnt DESC, user_id ASC LIMIT 10
+    """,
+)
+def q_hot_keys_events(spark, sf_dir):
+    """X50: the 10 hottest keys with row shares (stats.hot_keys) —
+    cnt desc / key asc total order, TakeOrderedAndProject plan."""
+    ev = load(spark, sf_dir, "events")
+    return stats.hot_keys(ev, ["user_id"], k=10).select(
+        "user_id", "cnt", F.round("share", 6).alias("share")
+    )
+
+
+# ===========================================================================
 # X49: bucketized range join (IP-to-ASN enrichment shape)
 # ===========================================================================
 

@@ -210,3 +210,90 @@ def corpus_diff(
         .otherwise("changed")
     )
     return joined.select(id_col, "old_fp", "new_fp", change.alias("change"))
+
+
+def key_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key row counts — the input to every skew decision. One
+    hash aggregate; hot keys combine map-side."""
+    return df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], materialize: bool = False
+) -> DataFrame:
+    """ONE-row skew diagnosis of a prospective shuffle/join key — the
+    measurement that decides between a plain equi-join, AQE skew
+    handling, and explicit salting (the engine's own mitigation
+    toolkit: frontier salting in ``crawl/engine``, the ``max_bucket``
+    star cap, AQE in ``session``). The reference never joins at scale
+    so it never needs this; a 100 TB pipeline runs it BEFORE the
+    expensive join, on the cheap key histogram.
+
+    Columns: ``n_rows``, ``n_keys``, ``max_cnt``, ``top1_share``
+    (hottest key's row fraction), ``skew_factor`` (max/mean — 1.0 is
+    perfectly uniform), ``norm_entropy`` (Shannon entropy of the key
+    distribution / ln(n_keys): 1.0 uniform, ->0 degenerate; 1.0 by
+    convention for a single key), and ``n_salts`` — the integer
+    ``ceil(skew_factor)``, the salt count that levels the hottest key
+    to the mean load.
+
+    Scale shape: one hash aggregate to the key histogram (key-sized),
+    one 3-scalar aggregate, a 1-row broadcast back, one final
+    aggregate over the histogram. The histogram subtree feeds two
+    consumers, so Catalyst executes it twice; ``materialize=True``
+    localCheckpoints it (upstream-once) — opt-in per the repo's
+    measured rule that concurrent duplicate stages often beat a
+    serializing checkpoint on an under-utilized cluster (see
+    ``bucket_pairs``).
+    """
+    counts = key_histogram(df, key_cols)
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    tot = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    p = F.col("cnt") / F.col("n_rows")
+    ent = -F.sum(p * F.log(p))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("n_rows").alias("n_rows"),
+            F.min("n_keys").alias("n_keys"),
+            F.min("max_cnt").alias("max_cnt"),
+            ent.alias("_ent"),
+        )
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            (F.col("max_cnt") / F.col("n_rows")).alias("top1_share"),
+            (F.col("max_cnt") * F.col("n_keys") / F.col("n_rows")).alias(
+                "skew_factor"
+            ),
+            F.when(F.col("n_keys") == 1, 1.0)
+            .otherwise(F.col("_ent") / F.log(F.col("n_keys").cast("double")))
+            .alias("norm_entropy"),
+            F.ceil(
+                F.col("max_cnt") * F.col("n_keys") / F.col("n_rows")
+            ).cast("long").alias("n_salts"),
+        )
+    )
+
+
+def hot_keys(df: DataFrame, key_cols: list[str], k: int = 10) -> DataFrame:
+    """The k hottest keys with their row share — ordered cnt desc then
+    keys asc (total order), planning as TakeOrderedAndProject."""
+    counts = key_histogram(df, key_cols)
+    tot = counts.agg(F.sum("cnt").alias("n_rows"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *key_cols,
+            "cnt",
+            (F.col("cnt") / F.col("n_rows")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+    )
