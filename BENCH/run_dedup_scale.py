@@ -713,6 +713,25 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             .agg(F.count("*").alias("n"))
         )
 
+    def pca_train_project():
+        # X51: the full PCA path — one Arrow moments pass (partition-
+        # sized partials), the d^2 reduce, driver eigh, then the
+        # map-side projection fold over the corpus; expected ~linear
+        # (two corpus scans, model is 8x64 literals)
+        from webscrape_neko_jirushi_spark.operators import projection
+
+        e = vecs.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        m = projection.pca_train(e, DIM, 8)
+        return projection.pca_project(e, m, whiten=True).agg(
+            F.count("*").alias("n"),
+            F.sum(F.element_at("proj", 1)).alias("s1"),
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -749,6 +768,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "html_extract": html_extract,
         "warc_roundtrip_s64": warc_roundtrip,
         "range_join_b24": range_join_points,
+        "pca_train_project_k8": pca_train_project,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,

@@ -35,6 +35,7 @@ from webscrape_neko_jirushi_spark.operators import (
     cleaning,
     dedup,
     graph,
+    projection,
     reorganize,
     similarity,
     stats,
@@ -858,6 +859,98 @@ def q_retention_filter(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.filter(F.col("ts") < "2024-01-08 00:00:00").agg(
         F.count("*").alias("n_expired"), F.min("event_id").alias("first_expired")
+    )
+
+
+# ===========================================================================
+# X51: distributed PCA / whitening
+# ===========================================================================
+
+_PCA_DIM = 64
+
+
+@q(
+    "embedding_gram",
+    f"""
+    WITH emb AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    idx AS (SELECT UNNEST(range({_PCA_DIM})) AS i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(e[a.i + 1] * e[b.i + 1]) AS v
+      FROM emb CROSS JOIN idx a CROSS JOIN idx b
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT a.i AS i, CAST(-1 AS BIGINT) AS j,
+             SUM(e[a.i + 1]) / COUNT(*) AS v
+      FROM emb CROSS JOIN idx a GROUP BY 1, 2
+    )
+    SELECT i, j, ROUND(v, 6) AS v FROM g
+    UNION ALL
+    SELECT i, j, ROUND(v, 6) AS v FROM m
+    """,
+)
+def q_embedding_gram(spark, sf_dir):
+    """X51: the distributed second-moment reduce behind PCA
+    (projection.second_moments) — ONE Arrow pass emits per-PARTITION
+    [n, sum, X^T X] partials, one posexplode+sum reduces them to
+    d^2 + d + 1 scalars (the corpus is scanned once; what shuffles is
+    partition-count-sized). Output: all 64x64 Gram entries plus the
+    mean vector as j=-1 rows; the oracle recomputes both from raw
+    rows, so a lost batch / double-counted partition / transposed
+    index on either side breaks the hash."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    n, s, ss = projection.second_moments(e, _PCA_DIM)
+    rows = [
+        (i, j, float(ss[i, j]))
+        for i in range(_PCA_DIM)
+        for j in range(_PCA_DIM)
+    ] + [(i, -1, float(s[i] / n)) for i in range(_PCA_DIM)]
+    return spark.createDataFrame(rows, "i long, j long, v double").select(
+        "i", "j", F.round("v", 6).alias("v")
+    )
+
+
+# seeded literal components/mean/scales (the _ann_planes_values
+# convention: NOT data-derived, shared verbatim with the oracle) —
+# they pin the map-side projection fold; training itself is pinned by
+# the numpy mirror in tests/test_projection.py (eigh has no SQL twin)
+_PCA_W = similarity._hyperplanes(_PCA_DIM, 4, seed=11)
+_PCA_MEAN = [0.01 * w for w in similarity._hyperplanes(_PCA_DIM, 1, seed=13)[0]]
+_PCA_SCALES = [0.5, 1.0, 2.0, 4.0]
+
+
+@q(
+    "pca_projection",
+    f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT vec_id,
+           {", ".join(
+               f"ROUND({projection.projection_fold_sql('embedding', projection.sql_matrix_literal(_PCA_W), j, _PCA_DIM, projection.sql_vector_literal(_PCA_MEAN))} * {projection._dlit(_PCA_SCALES[j])}, 6) AS p{j}"
+               for j in range(4)
+           )}
+    FROM emb
+    """,
+)
+def q_pca_projection(spark, sf_dir):
+    """X51: the map-side projection kernel (projection.project_col) —
+    center, per-component FIXED-ORDER fold, whitening scale; pure
+    Column codegen, zero shuffles. Components/mean/scales are seeded
+    literals shared verbatim with the oracle, whose
+    list_aggregate('sum') runs the SAME left-to-right fold over the
+    SAME string-cast double literals — bit-identical before the 6-dp
+    round (tests/test_projection.py asserts ==)."""
+    e = load(spark, sf_dir, "embeddings")
+    proj = projection.project_col(
+        F.col("embedding"), _PCA_W, _PCA_MEAN, _PCA_SCALES
+    )
+    return e.select(
+        "vec_id",
+        *[F.round(proj.getItem(j), 6).alias(f"p{j}") for j in range(4)],
     )
 
 
