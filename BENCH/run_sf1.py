@@ -126,6 +126,13 @@ QUERIES = [
     "dsir_log_ratios",
     "dsir_selection",
     "warc_roundtrip",
+    # X51 reads only embeddings (26k vecs at this tier): the Gram
+    # reduce's float-sum magnitude and the bit-exact fold both get
+    # their 10x check. (key_skew/hot_keys/ip_range read events —
+    # absent from the sf1 table set; range_join's 10x evidence is
+    # DEDUP_SCALE's range_join_b24 leg.)
+    "embedding_gram",
+    "pca_projection",
 ]
 
 
