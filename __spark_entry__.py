@@ -35,6 +35,7 @@ from webscrape_neko_jirushi_spark.operators import (
     cleaning,
     dedup,
     graph,
+    layout,
     projection,
     reorganize,
     similarity,
@@ -859,6 +860,33 @@ def q_retention_filter(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.filter(F.col("ts") < "2024-01-08 00:00:00").agg(
         F.count("*").alias("n_expired"), F.min("event_id").alias("first_expired")
+    )
+
+
+# ===========================================================================
+# X52: Z-order layout keys
+# ===========================================================================
+
+@q(
+    "zorder_keys",
+    f"""
+    SELECT event_id, user_id,
+           {layout.morton_key_sql('user_id', 'event_id')} AS zkey
+    FROM events
+    """,
+)
+def q_zorder_keys(spark, sf_dir):
+    """X52: 2-D Morton interleave (layout.morton_key) — the write-time
+    clustering key behind zorder_write's multi-column pruning; pure
+    bit arithmetic (5 spread steps per column, JVM codegen), twin runs
+    the same shifts/masks verbatim. The pruning evidence itself (box
+    predicates touch a fraction of files on either column) is the
+    files_touched contract in tests/test_layout.py."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        layout.morton_key(F.col("user_id"), F.col("event_id")).alias("zkey"),
     )
 
 
