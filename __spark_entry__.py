@@ -35,6 +35,7 @@ from webscrape_neko_jirushi_spark.operators import (
     cleaning,
     dedup,
     graph,
+    hll,
     layout,
     projection,
     reorganize,
@@ -860,6 +861,43 @@ def q_retention_filter(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.filter(F.col("ts") < "2024-01-08 00:00:00").agg(
         F.count("*").alias("n_expired"), F.min("event_id").alias("first_expired")
+    )
+
+
+# ===========================================================================
+# X53: relational HyperLogLog
+# ===========================================================================
+
+_HLL_P = 12
+
+
+@q(
+    "hll_event_cardinality",
+    f"""
+    WITH t AS (SELECT event_id FROM events),
+    est AS ({hll.hll_estimate_sql(hll.hll_registers_sql('event_id', _HLL_P), _HLL_P)})
+    SELECT m, occupied, zeros,
+           ROUND(raw_estimate, 6) AS raw_estimate,
+           ROUND(estimate, 6) AS estimate
+    FROM est
+    """,
+)
+def q_hll_event_cardinality(spark, sf_dir):
+    """X53: engine-portable HyperLogLog (operators/hll.py) — the
+    sketch as PLAIN (bucket, register) rows so it persists next to
+    snapshots, merges across days with one groupBy-max, and
+    re-checks in any engine; register table <= 4096 rows at any
+    corpus size. event_id cardinality crosses the linear-counting /
+    raw-HLL branch boundary between sf tiers, so BOTH estimator
+    branches get oracle-matched."""
+    ev = load(spark, sf_dir, "events")
+    est = hll.hll_estimate(hll.hll_registers(ev, "event_id", _HLL_P), _HLL_P)
+    return est.select(
+        "m",
+        "occupied",
+        "zeros",
+        F.round("raw_estimate", 6).alias("raw_estimate"),
+        F.round("estimate", 6).alias("estimate"),
     )
 
 

@@ -1,0 +1,74 @@
+"""Relational HyperLogLog (operators/hll.py): accuracy vs exact
+distinct, merge semantics, linear-counting branch, partitioning
+invariance, and estimate magnitudes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscrape_neko_jirushi_spark.operators import hll
+
+P = 12  # 4096 registers, ~1.6% standard error
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    # 50k distinct values, each appearing 1-3 times
+    return spark.range(50_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("id") % 3 + 1).cast("int"))
+        ).alias("rep"),
+    )
+
+
+def test_accuracy_within_5pct(big):
+    regs = hll.hll_registers(big, "v", P)
+    est = hll.hll_estimate(regs, P).collect()[0]
+    assert abs(est["estimate"] - 50_000) / 50_000 < 0.05
+    assert est["m"] == 4096
+
+
+def test_duplicates_do_not_move_the_sketch(spark):
+    a = spark.createDataFrame([(f"k{i}",) for i in range(1000)], "v string")
+    b = a.unionByName(a).unionByName(a)
+    ra = {(r["bucket"], r["register"]) for r in hll.hll_registers(a, "v", P).collect()}
+    rb = {(r["bucket"], r["register"]) for r in hll.hll_registers(b, "v", P).collect()}
+    assert ra == rb
+
+
+def test_linear_counting_small_range(spark):
+    small = spark.createDataFrame([(f"x{i}",) for i in range(100)], "v string")
+    est = hll.hll_estimate(hll.hll_registers(small, "v", P), P).collect()[0]
+    # small range: nearly exact via linear counting
+    assert abs(est["estimate"] - 100) / 100 < 0.05
+    assert est["zeros"] > 0
+
+
+def test_merge_equals_union_sketch(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(5000)], "v string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(2500, 7500)], "v string"  # overlaps a
+    )
+    merged = hll.hll_merge(
+        hll.hll_registers(a, "v", P), hll.hll_registers(b, "v", P)
+    )
+    direct = hll.hll_registers(a.unionByName(b), "v", P)
+    got = {(r["bucket"], r["register"]) for r in merged.collect()}
+    want = {(r["bucket"], r["register"]) for r in direct.collect()}
+    assert got == want  # sketch of union == union of sketches, exactly
+
+
+def test_partitioning_invariance(big):
+    a = hll.hll_estimate(hll.hll_registers(big, "v", P), P).collect()[0]
+    b = hll.hll_estimate(
+        hll.hll_registers(big.repartition(17), "v", P), P
+    ).collect()[0]
+    assert a["occupied"] == b["occupied"]
+    assert a["estimate"] == b["estimate"]
+
+
+def test_bad_p_raises(big):
+    with pytest.raises(ValueError, match="4 <= p"):
+        hll.hll_registers(big, "v", 3)
