@@ -72,3 +72,49 @@ def test_partitioning_invariance(big):
 def test_bad_p_raises(big):
     with pytest.raises(ValueError, match="4 <= p"):
         hll.hll_registers(big, "v", 3)
+
+
+def test_windowed_streaming_registers(spark, tmp_path):
+    """Streaming face: per-window registers match the batch sketch of
+    the same window's rows, and the estimate is near-exact at small n
+    (linear counting)."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    rows = [("2024-01-01 00:%02d:00" % (i % 5), f"u{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "ts string, v string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    df.write.parquet(str(src / "b0"))
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    regs = hll.windowed_hll_registers(stream, "ts", "v", P, window="5 minutes")
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["bucket"], r["register"])
+            for r in spark.sql("SELECT bucket, register FROM hll_win").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["bucket"], r["register"])
+        for r in hll.hll_registers(df, "v", P).collect()
+    }
+    assert got == want  # one window holds all rows -> same sketch
+    est = hll.hll_estimate(
+        spark.createDataFrame(
+            [(b, r) for b, r in got], "bucket long, register int"
+        ),
+        P,
+    ).collect()[0]
+    assert abs(est["estimate"] - 40) / 40 < 0.05

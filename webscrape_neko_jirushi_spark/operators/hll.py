@@ -127,3 +127,37 @@ def hll_estimate_sql(registers_sql: str, p: int) -> str:
         FROM ({registers_sql})
       )
     """
+
+
+def windowed_hll_registers(
+    stream: DataFrame,
+    ts_col: str,
+    col: str,
+    p: int = 12,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face: per-tumbling-window register tables over an
+    event-time stream (distinct visitors/URLs per window at sketch
+    cost). Pure builtin streaming ops — watermark + window + max —
+    so state is bounded (<= m registers per open window) and late
+    data folds in via the same register-max merge as ``hll_merge``.
+    Feed any window's rows to ``hll_estimate`` for the count."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"windowed_hll_registers: need 4 <= p <= 18, got {p}")
+    width = _HASH_BITS - p
+    h = portable_hash64(F.col(col).cast("string"))
+    rem = h.bitwiseAND(F.lit((1 << width) - 1))
+    rho = F.when(rem == 0, width + 1).otherwise(
+        width - F.length(F.bin(rem)) + 1
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.shiftright(h, width).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(F.window(ts_col, window).alias("window"), F.col("bucket"))
+        .agg(F.max("rho").alias("register"))
+    )
