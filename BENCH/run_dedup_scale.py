@@ -732,6 +732,20 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.sum(F.element_at("proj", 1)).alias("s1"),
         )
 
+    def curate_e2e():
+        # X54: the four-stage curation composition — repair, exact
+        # dedup, line dedup, admission; cost = the component legs'
+        # (fix_encoding map + md5 window + line_dedup_l8 + cascade);
+        # expected ~the line_dedup leg's growth (it dominates)
+        return curation.curate_corpus(
+            docs, carry_cols=(), reline_words=8, min_chars=10,
+            min_dup_docs=2,
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_admitted"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -769,6 +783,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "warc_roundtrip_s64": warc_roundtrip,
         "range_join_b24": range_join_points,
         "pca_train_project_k8": pca_train_project,
+        "curate_e2e": curate_e2e,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,

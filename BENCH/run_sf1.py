@@ -133,6 +133,9 @@ QUERIES = [
     # DEDUP_SCALE's range_join_b24 leg.)
     "embedding_gram",
     "pca_projection",
+    # X54 reads only documents; the byte-exact corpus_md5 pin is the
+    # strongest 10x check in the file (any stage divergence breaks it)
+    "curation_pipeline_e2e",
 ]
 
 

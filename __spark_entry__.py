@@ -865,6 +865,133 @@ def q_retention_filter(spark, sf_dir):
 
 
 # ===========================================================================
+# X54: end-to-end curation composition
+# ===========================================================================
+
+_CUR_RELINE = r"((?:\S+\s+){7}\S+)\s+"
+_TOKENS_SQL_T = (
+    "CASE WHEN trim(o.text) = '' THEN 0 "
+    "ELSE length(regexp_split_to_array(trim(o.text), '\\s+')) END"
+)
+_CUR_STOP_SQL = "[" + ",".join(f"'{w}'" for w in analysis.STOPWORDS) + "]"
+# deterministic corruption + exact-copy planting, identical on both
+# engines; %7 is keyed on the BASE id so a copy carries its
+# original's corruption (and repairs back to the same bytes)
+_CUR_LD_CTES = linededup.line_dedup_sql_ctes(
+    "SELECT doc_id, text FROM cur_relined", min_chars=10, min_dup_docs=2
+)
+
+
+@q(
+    "curation_pipeline_e2e",
+    f"""
+    WITH cur_inj AS (
+      SELECT doc_id, source,
+             CASE WHEN (doc_id % 100000000) % 7 = 0
+                  THEN 'Ã© ' || text || ' â€™' ELSE text END AS text
+      FROM documents
+    ),
+    cur_base AS (
+      SELECT doc_id, source, text FROM cur_inj
+      UNION ALL
+      SELECT doc_id + 100000000, source, text FROM cur_inj
+    ),
+    cur_fixed AS (
+      SELECT doc_id, source,
+             {encoding.fix_encoding_sql('text')} AS text
+      FROM cur_base
+    ),
+    cur_exact AS (
+      SELECT doc_id, source, text FROM cur_fixed
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) = 1
+    ),
+    cur_relined AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '{_CUR_RELINE}', '\\1' || chr(10), 'g') AS text
+      FROM cur_exact
+    ),
+    {_CUR_LD_CTES},
+    cur_adm AS (
+      SELECT o.doc_id, e.source, o.text,
+        CASE
+          WHEN o.text IS NULL OR length(o.text) < 50 THEN 'too_short'
+          WHEN length(o.text) > 5000 THEN 'too_long'
+          WHEN (CASE WHEN ({_TOKENS_SQL_T}) > 0
+                THEN length(o.text) * 1.0 / ({_TOKENS_SQL_T}) ELSE 0.0 END) < 2
+            OR (CASE WHEN ({_TOKENS_SQL_T}) > 0
+                THEN length(o.text) * 1.0 / ({_TOKENS_SQL_T}) ELSE 0.0 END) > 12
+            THEN 'word_length'
+          WHEN (CASE WHEN length(o.text) = 0 THEN 0.0
+                ELSE (length(o.text) - length(regexp_replace(o.text, '[.,!?;:]', '', 'g'))) * 1.0 / length(o.text) END) >= 0.1
+            THEN 'punctuation'
+          WHEN (CASE WHEN length(regexp_split_to_array(lower(trim(o.text)), '\\s+')) = 0 THEN 0.0
+                ELSE length(list_filter(regexp_split_to_array(lower(trim(o.text)), '\\s+'),
+                       w -> list_contains({_CUR_STOP_SQL}, w))) * 1.0
+                     / length(regexp_split_to_array(lower(trim(o.text)), '\\s+')) END) < 0.05
+            OR (CASE WHEN length(regexp_split_to_array(lower(trim(o.text)), '\\s+')) = 0 THEN 0.0
+                ELSE length(list_filter(regexp_split_to_array(lower(trim(o.text)), '\\s+'),
+                       w -> list_contains({_CUR_STOP_SQL}, w))) * 1.0
+                     / length(regexp_split_to_array(lower(trim(o.text)), '\\s+')) END) > 0.6
+            THEN 'stopwords'
+        END AS reason,
+        CASE WHEN trim(o.text) = '' THEN 0
+             ELSE length(regexp_split_to_array(trim(o.text), '\\s+')) END AS n_tokens
+      FROM ld_docs_out o JOIN cur_exact e ON e.doc_id = o.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN reason IS NULL THEN 1 END), 0) AS BIGINT) AS n_admitted,
+           CAST(COALESCE(SUM(CASE WHEN reason IS NULL THEN n_tokens END), 0) AS BIGINT) AS n_tokens,
+           md5(COALESCE(string_agg(md5(text), '' ORDER BY doc_id)
+                        FILTER (WHERE reason IS NULL), '')) AS corpus_md5
+    FROM cur_adm GROUP BY source
+    """,
+)
+def q_curation_pipeline_e2e(spark, sf_dir):
+    """X54: the end-to-end curation composition (curation.curate_corpus
+    — X43 repair -> X1 exact dedup -> X41 line dedup -> X12 admission,
+    in production order) over a corpus with PLANTED work for every
+    stage: deterministic mojibake on base-id%7 docs and verbatim
+    copies at +1e8 ids. The copies repair to identical bytes (stage 1
+    feeds stage 2), die at exact dedup, and the per-source report pins
+    the final corpus byte-exactly (md5 over the admitted docs'
+    id-ordered content hashes) — a divergence in ANY stage on either
+    engine breaks the hash."""
+    d = load(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % 100000000) % 7 == 0,
+            F.concat(F.lit("Ã© "), F.col("text"), F.lit(" â€™")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    base = inj.unionByName(
+        inj.select(
+            (F.col("doc_id") + 100000000).alias("doc_id"), "source", "text"
+        )
+    )
+    ledger = curation.curate_corpus(
+        base, reline_words=8, min_chars=10, min_dup_docs=2
+    )
+    kept_hash = F.when(F.col("keep"), F.struct(F.col("doc_id"), F.md5("text").alias("m")))
+    return ledger.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias("n_admitted"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0)).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_hash)), lambda x: x["m"]
+                ),
+                "",
+            )
+        ).alias("corpus_md5"),
+    )
+
+
+# ===========================================================================
 # X53: relational HyperLogLog
 # ===========================================================================
 

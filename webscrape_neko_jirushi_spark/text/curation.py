@@ -372,3 +372,73 @@ def temperature_mixture_sql(
       ) tm_rr
     ) tm_z
     """
+
+
+def curate_corpus(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = ("source",),
+    reline_words: int | None = 8,
+    min_chars: int = 10,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """The END-TO-END curation composition — the four load-bearing
+    text stages chained in production order, each an existing
+    operator of this engine:
+
+    1. encoding repair (X43 ``fix_encoding``) — FIRST, because its C0
+       strip is the pipeline contract that makes every later ``\\s``
+       regex engine-portable, and mojibake must be repaired before
+       content hashing or identical docs with different corruption
+       survive dedup;
+    2. exact dedup (X1 ``exact_dedup`` on the repaired-content md5,
+       keep lowest id) — BEFORE line dedup: a verbatim copy processed
+       by line-dedup first would lose all its lines to the original
+       and stop being an exact duplicate;
+    3. corpus-wide line dedup (X41 ``line_dedup``, keep=first) over
+       the ``reline_words``-word line structure (``None`` = use the
+       text's own newlines);
+    4. admission cascade (X12 ``training_filter``) over the deduped
+       text.
+
+    Returns the LEDGER, one row per exact-dedup survivor: ``(id,
+    carry..., text, n_lines, n_kept, reason, keep, n_tokens)`` —
+    rejects stay queryable as data (the cascade convention), and
+    removed exact-duplicates are the only dropped rows (their ids are
+    recoverable by hash-joining the input).
+
+    Scale: stage costs are exactly the component operators' measured
+    costs (DEDUP_SCALE legs); nothing is added beyond one md5 window
+    for stage 2 and map-side projections.
+    """
+    from ..operators.dedup import exact_dedup
+    from .analysis import token_count, training_filter
+    from .encoding import fix_encoding
+    from .linededup import line_dedup
+
+    t = F.col(text_col)
+    fixed = documents.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        fix_encoding(t).alias(text_col),
+    )
+    survivors = exact_dedup(
+        fixed.withColumn("_fp", F.md5(F.col(text_col))), "_fp", [id_col]
+    ).drop("_fp")
+    if reline_words is not None:
+        pat = r"((?:\S+\s+){%d}\S+)\s+" % (reline_words - 1)
+        survivors = survivors.withColumn(
+            text_col, F.regexp_replace(F.col(text_col), pat, "$1\n")
+        )
+    deduped = line_dedup(
+        survivors.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        min_chars=min_chars,
+        min_dup_docs=min_dup_docs,
+    )
+    admitted = training_filter(deduped, text_col)
+    out = admitted.join(
+        survivors.select(id_col, *[F.col(c) for c in carry_cols]), id_col
+    )
+    return out.withColumn("n_tokens", token_count(F.col(text_col)))
