@@ -33,6 +33,7 @@ from webscrape_neko_jirushi_spark.crawl import revisit, traps
 from webscrape_neko_jirushi_spark.operators import (
     anchors,
     cleaning,
+    cms,
     dedup,
     graph,
     hll,
@@ -861,6 +862,47 @@ def q_retention_filter(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.filter(F.col("ts") < "2024-01-08 00:00:00").agg(
         F.count("*").alias("n_expired"), F.min("event_id").alias("first_expired")
+    )
+
+
+# ===========================================================================
+# X55: count-min sketch
+# ===========================================================================
+
+_CMS_W, _CMS_D = 1 << 12, 4
+_CMS_PROBE_ARMS = " UNION ALL ".join(
+    f"SELECT k, {r} AS row, "
+    f"{portable_hash64_sql('CAST(k AS VARCHAR)', salt=f'cms{r}')}"
+    f" % {_CMS_W} AS bucket FROM cms_keys"
+    for r in range(_CMS_D)
+)
+
+
+@q(
+    "cms_user_frequencies",
+    f"""
+    WITH t AS (SELECT user_id FROM events),
+    sk AS ({cms.cms_build_sql('user_id', _CMS_W, _CMS_D)}),
+    cms_keys AS (SELECT UNNEST(range(10)) AS k),
+    pr AS ({_CMS_PROBE_ARMS})
+    SELECT pr.k AS user_id,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS estimate
+    FROM pr LEFT JOIN sk ON sk.row = pr.row AND sk.bucket = pr.bucket
+    GROUP BY pr.k
+    """,
+)
+def q_cms_user_frequencies(spark, sf_dir):
+    """X55: count-min sketch (operators/cms.py) — per-key frequency
+    estimates from a d*w-bounded counter table (4 x 4096 cells at ANY
+    key cardinality, the memory-bounded alternative to the exact
+    histogram when distinct keys are themselves a dataset); probes
+    broadcast the sketch (plan-gated), estimates are one-sided
+    (>= truth). Both the build and the 10-key probe are twinned."""
+    ev = load(spark, sf_dir, "events")
+    sk = cms.cms_build(ev, "user_id", _CMS_W, _CMS_D)
+    keys = spark.range(10).select(F.col("id").alias("user_id"))
+    return cms.cms_query(sk, keys, "user_id", _CMS_W, _CMS_D).select(
+        "user_id", "estimate"
     )
 
 
