@@ -274,3 +274,82 @@ def test_corpus_diff_matches_dict_mirror(spark, old_rows, new_rows):
         else:
             want[i] = "changed"
     assert got == want
+
+
+# --- X52 morton key: bijectivity + order-preservation per axis --------
+
+def _unmorton(z: int) -> tuple[int, int]:
+    a = b = 0
+    for i in range(31):
+        a |= ((z >> (2 * i)) & 1) << i
+        b |= ((z >> (2 * i + 1)) & 1) << i
+    return a, b
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 31) - 1),
+            st.integers(min_value=0, max_value=(1 << 31) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_morton_key_bijective_on_arbitrary_points(spark, pts):
+    from webscrape_neko_jirushi_spark.operators import layout
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", layout.morton_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in rows:
+        assert _unmorton(r["z"]) == (r["x"], r["y"])
+
+
+# --- X53 HLL: estimate depends only on the distinct SET ---------------
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=4),
+)
+def test_hll_multiset_invariance(spark, keys, reps):
+    from webscrape_neko_jirushi_spark.operators import hll
+
+    once = spark.createDataFrame([(k,) for k in set(keys)], "v string")
+    many = spark.createDataFrame(
+        [(k,) for k in keys for _ in range(reps)], "v string"
+    )
+    a = {
+        (r["bucket"], r["register"])
+        for r in hll.hll_registers(once, "v", 8).collect()
+    }
+    b = {
+        (r["bucket"], r["register"])
+        for r in hll.hll_registers(many, "v", 8).collect()
+    }
+    assert a == b
+
+
+# --- X55 CMS: one-sided for every key in the input --------------------
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=40))
+def test_cms_never_undercounts(spark, keys):
+    from collections import Counter
+
+    from webscrape_neko_jirushi_spark.operators import cms
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "v string")
+    sk = cms.cms_build(df, "v", 256, 3)
+    probe = spark.createDataFrame([(k,) for k in truth], "v string")
+    est = {
+        r["v"]: r["estimate"]
+        for r in cms.cms_query(sk, probe, "v", 256, 3).collect()
+    }
+    for k, t in truth.items():
+        assert est[k] >= t
