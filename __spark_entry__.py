@@ -2480,6 +2480,70 @@ def q_substr_dup_ratio(spark, sf_dir):
     )
 
 
+_ES_HDR = (
+    "begin common license header alpha beta gamma delta "
+    "epsilon zeta eta theta"
+)  # 12 tokens, prepended to doc_id % 4 == 0
+_ES_FTR = (
+    "end shared footer omega psi chi phi upsilon tau sigma rho pi"
+)  # 12 tokens, appended to doc_id % 6 == 0
+
+
+@q(
+    "exact_substring_removal",
+    f"""
+    WITH es_injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN base || ' {_ES_FTR}'
+                  ELSE base END AS text
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN '{_ES_HDR} ' || text
+                    ELSE text END AS base
+        FROM documents
+      ) es_b
+    ),
+    {{ES_CTES}}
+    SELECT doc_id, n_tokens, n_tokens_removed, n_spans_removed,
+           md5(text) AS text_md5
+    FROM es_docs_out
+    """.replace(
+        "{ES_CTES}",
+        substrings.remove_dup_substrings_sql_ctes(
+            "SELECT doc_id, text FROM es_injected", k=_K_SUBSTR, keep="first"
+        ),
+    ),
+)
+def q_exact_substring_removal(spark, sf_dir):
+    """X56: exact-substring span REMOVAL (substrings.
+    remove_dup_substrings — the Lee-et-al. ExactSubstr CUT, where
+    substr_dup_ratio only measures): a 12-token license header is
+    planted on every doc_id%4 doc and a 12-token footer on every
+    doc_id%6 doc, identically on both engines; the operator excises
+    every occurrence past the canonical first one and reassembles the
+    survivors in order. The md5-of-text column pins the surgery
+    byte-exactly — a one-token slip in interval arithmetic on either
+    engine breaks the hash."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit(_ES_HDR + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    inj = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(base, F.lit(" " + _ES_FTR))
+        ).otherwise(base).alias("text"),
+    )
+    out = substrings.remove_dup_substrings(inj, k=_K_SUBSTR, keep="first")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        "n_spans_removed",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 _PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8  # 64-dim embeddings, 8 bytes/vector
 
 

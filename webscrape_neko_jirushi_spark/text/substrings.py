@@ -37,7 +37,7 @@ ground truth in ``tests/test_substrings.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
@@ -156,6 +156,247 @@ def substr_dup_filter(
             F.format_string("substr_dup_ratio>%s", F.lit(str(max_dup_ratio))),
         ).alias("reject_reason"),
     )
+
+
+def dup_span_intervals(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Maximal removed-token intervals per document — the interval
+    form of the Lee-et-al. span dedup (the step their released tool
+    calls "collect the duplicated byte ranges"): every k-token window
+    whose hash occurs in >= ``min_docs`` DISTINCT documents marks its
+    ``[pos, pos+k)`` token range for removal, EXCEPT (with
+    ``keep='first'``) the canonical first occurrence of each window —
+    ``min(struct(doc_id, pos))`` INSIDE the per-hash aggregate (the
+    winner-in-aggregate idiom: hot grams combine map-side, no window
+    over the exploded table). ``keep='none'`` removes every
+    occurrence (the released ExactSubstr default: if it repeats, cut
+    it everywhere).
+
+    Overlapping/adjacent ranges merge per document by
+    gaps-and-islands over the removed start positions — windows are
+    equal-length, so positions sort ascending implies ends sort
+    ascending and ``lag`` suffices for the running max: a new island
+    starts when ``pos - lag(pos) > k``. The per-document window
+    function partitions on ``id_col`` (document-sized partitions —
+    bounded by construction). Output: ``(id_col, span_start,
+    span_end)`` with ``span_end`` exclusive, in TOKEN coordinates of
+    the whitespace-split stream ``kgram_spans`` hashes.
+
+    Cross-document only by design: a gram repeated inside ONE
+    document doesn't clear ``min_docs`` (intra-document repetition is
+    ``text/repetition.py``'s jurisdiction — Gopher-style stats, not
+    surgery). Within a duplicated gram, later occurrences in the
+    canonical document itself DO get cut (same total order the SQL
+    twin's ROW_NUMBER uses)."""
+    if keep not in ("first", "none"):
+        raise ValueError(
+            f"dup_span_intervals: keep must be 'first' or 'none', got {keep!r}"
+        )
+    spans = kgram_spans(documents, k, text_col, id_col)
+    stats = spans.groupBy("gram_hash").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+    )
+    dup = stats.filter(F.col("n_docs") >= F.lit(int(min_docs))).select(
+        "gram_hash",
+        F.col(f"_first.{id_col}").alias("_first_doc"),
+        F.col("_first.pos").alias("_first_pos"),
+    )
+    hit = spans.join(dup, "gram_hash")
+    if keep == "first":
+        removed = hit.filter(
+            ~(
+                (F.col(id_col) == F.col("_first_doc"))
+                & (F.col("pos") == F.col("_first_pos"))
+            )
+        )
+    else:
+        removed = hit
+    removed = removed.select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(int(k)), F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = removed.select(
+        id_col,
+        "pos",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_island"),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(int(k))).alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def remove_dup_substrings(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """The surgery itself — Lee et al.'s ExactSubstr cut applied to
+    the token stream: every document comes back with its duplicated
+    runs excised and the survivors re-joined in original order,
+    ``(id_col, text, n_tokens, n_tokens_removed, n_spans_removed)``.
+    Every input document survives (a fully-duplicated doc returns
+    ``text=''`` — the admission cascade downstream decides its fate,
+    the ``line_dedup`` convention).
+
+    Contract: this operator works in TOKEN space — the output re-joins
+    surviving whitespace-split tokens with single spaces, so interior
+    whitespace normalizes (exactly as the paper's pipeline operates
+    post-tokenization; byte-preserving removal would need the line
+    form, ``line_dedup``). Removal is map-side after one
+    intervals-per-doc equi-join: the kept-token filter is a nested
+    higher-order ``F.filter`` with the element INDEX tested against
+    the collected interval array (intervals per doc are few by
+    construction — merged maximal runs), zero Python, zero extra
+    shuffles beyond ``dup_span_intervals``'s aggregates."""
+    ivs = dup_span_intervals(
+        documents, k, text_col, id_col, min_docs, keep
+    ).groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_ivs")
+    )
+    joined = documents.select(id_col, text_col).join(ivs, id_col, "left")
+    toks = F.when(
+        F.trim(F.col(text_col)) != "",
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    ).otherwise(F.array().cast("array<string>"))
+    ivsc = F.coalesce(
+        F.col("_ivs"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            ivsc,
+            lambda iv: (i >= iv["span_start"]) & (i < iv["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
+        F.size(ivsc).alias("n_spans_removed"),
+    )
+
+
+def remove_dup_substrings_sql_ctes(
+    docs_sql: str,
+    k: int = 8,
+    min_docs: int = 2,
+    keep: str = "first",
+) -> str:
+    """DuckDB twin over a relation ``(doc_id, text)`` — ends in CTE
+    ``es_docs_out`` with the ``remove_dup_substrings`` schema. The
+    winner is a ROW_NUMBER over (doc_id, pos) — the twin of the
+    struct-min; islands use the identical ``pos - lag(pos) <= k``
+    merge rule; reassembly is ``string_agg(tok, ' ' ORDER BY pos)``
+    over a NOT-EXISTS interval anti-filter."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"remove_dup_substrings_sql_ctes: bad keep {keep!r}")
+    from ..functions.hashing import portable_hash64_sql
+
+    gh = portable_hash64_sql(f"array_to_string(w[i : i + {int(k) - 1}], ' ')")
+    rm = (
+        "NOT (s.doc_id = d._first_doc AND s.pos = d._first_pos)"
+        if keep == "first"
+        else "TRUE"
+    )
+    return f"""
+    es_words AS (
+      SELECT doc_id, trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM ({docs_sql}) es_in
+    ),
+    es_spans AS (
+      SELECT doc_id, u.i - 1 AS pos, u.gh AS gram_hash
+      FROM es_words,
+      UNNEST(CASE WHEN tt != '' AND len(w) >= {int(k)}
+                  THEN list_transform(range(1, len(w) - {int(k)} + 2),
+                                      i -> struct_pack(i := i, gh := {gh}))
+                  ELSE [] END) AS s(u)
+    ),
+    es_keyed AS (
+      SELECT doc_id, pos, gram_hash,
+             ROW_NUMBER() OVER (PARTITION BY gram_hash
+                                ORDER BY doc_id, pos) AS rn
+      FROM es_spans
+    ),
+    es_dup AS (
+      SELECT gram_hash,
+             MIN(doc_id) FILTER (WHERE rn = 1) AS _first_doc,
+             MIN(pos) FILTER (WHERE rn = 1) AS _first_pos
+      FROM es_keyed
+      GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= {int(min_docs)}
+    ),
+    es_removed AS (
+      SELECT s.doc_id, s.pos
+      FROM es_spans s JOIN es_dup d USING (gram_hash)
+      WHERE {rm}
+    ),
+    es_brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {int(k)} THEN 0 ELSE 1 END AS brk
+      FROM es_removed
+    ),
+    es_islands AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM es_brk
+    ),
+    es_ivs AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {int(k)} AS span_end
+      FROM es_islands GROUP BY doc_id, island
+    ),
+    es_toks AS (
+      SELECT doc_id, u.i - 1 AS pos, u.t AS tok
+      FROM es_words,
+      UNNEST(CASE WHEN tt != ''
+                  THEN list_transform(range(1, len(w) + 1),
+                                      i -> struct_pack(i := i, t := w[i]))
+                  ELSE [] END) AS s(u)
+    ),
+    es_kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM es_toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM es_ivs v
+        WHERE v.doc_id = t.doc_id
+          AND t.pos >= v.span_start AND t.pos < v.span_end
+      )
+    ),
+    es_kept_agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM es_kept GROUP BY doc_id
+    ),
+    es_ivs_agg AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM es_ivs GROUP BY doc_id
+    ),
+    es_docs_out AS (
+      SELECT w.doc_id, COALESCE(a.text, '') AS text,
+             CAST(CASE WHEN w.tt = '' THEN 0 ELSE len(w.w) END AS BIGINT)
+               AS n_tokens,
+             CAST(CASE WHEN w.tt = '' THEN 0 ELSE len(w.w) END
+                  - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+             CAST(COALESCE(v.n_spans, 0) AS BIGINT) AS n_spans_removed
+      FROM es_words w
+      LEFT JOIN es_kept_agg a USING (doc_id)
+      LEFT JOIN es_ivs_agg v USING (doc_id)
+    )"""
 
 
 def contamination_stats(
