@@ -36,6 +36,7 @@ from webscrape_neko_jirushi_spark.operators import (
     cms,
     dedup,
     graph,
+    hdr,
     hll,
     layout,
     projection,
@@ -903,6 +904,42 @@ def q_cms_user_frequencies(spark, sf_dir):
     keys = spark.range(10).select(F.col("id").alias("user_id"))
     return cms.cms_query(sk, keys, "user_id", _CMS_W, _CMS_D).select(
         "user_id", "estimate"
+    )
+
+
+# ===========================================================================
+# X57: HDR-histogram quantile sketch
+# ===========================================================================
+
+_HDR_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+@q(
+    "hdr_size_quantiles",
+    f"""
+    WITH t AS (SELECT n_chars AS v FROM documents)
+    {hdr.hdr_quantiles_sql(hdr.hdr_build_sql('v', 8), _HDR_QS)}
+    """,
+)
+def q_hdr_size_quantiles(spark, sf_dir):
+    """X57: HDR-histogram quantile sketch (operators/hdr.py) — the
+    quantile member of the sketch family (HLL = distinct, CMS =
+    frequency): integer-exact (exponent, mantissa-prefix) buckets,
+    one-sided estimates with relative error < 2^-8, merge =
+    elementwise SUM. The Spark side builds TWO half-sketches
+    (doc_id parity) and merges them; the oracle builds one sketch
+    over the whole table — they can only hash-match because
+    sketch-of-union == union-of-sketches EXACTLY, so this row pins
+    build, merge, and the quantile walk end-to-end. n_chars
+    straddles the 2^8 exact-branch boundary, so both bucket laws are
+    exercised."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    halves = [
+        hdr.hdr_build(d.filter(F.col("doc_id") % 2 == i), "n_chars", 8)
+        for i in (0, 1)
+    ]
+    return hdr.hdr_quantiles(hdr.hdr_merge(*halves), _HDR_QS).select(
+        "q", "estimate"
     )
 
 
