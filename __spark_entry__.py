@@ -39,6 +39,7 @@ from webscrape_neko_jirushi_spark.operators import (
     hdr,
     hll,
     layout,
+    merge as merge_ops,
     projection,
     reorganize,
     similarity,
@@ -4438,6 +4439,149 @@ def q_dsir_selection(spark, sf_dir):
         "doc_id",
         F.round("weight", 6).alias("weight"),
         F.round("key", 6).alias("key"),
+    )
+
+
+# ===========================================================================
+# X58: MERGE / upsert + SCD2 (operators/merge.py)
+# ===========================================================================
+
+@q(
+    "merge_upsert_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    u AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      UNION ALL
+      SELECT * FROM u
+    ),
+    final AS (
+      SELECT * FROM merged WHERE o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 15 = 0
+      )
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def q_merge_upsert_orders(spark, sf_dir):
+    """X58: relational MERGE semantics (merge_ops.merge_frames) — an
+    older crawl's orders slice upserted with a re-fetch delta (WHEN
+    MATCHED UPDATE SET * / NOT MATCHED INSERT *) and a delete key-set
+    applied last (matched-delete precedence). Anti-join + unionByName:
+    ONE shuffle, no full-outer coalescing; the file-pruned COW form
+    over the manifest store (merge_into) is pytest-gated
+    (tests/test_merge.py) because it is side-effectful. Reference:
+    data_manager.py's whole-file update cycle, re-expressed so a 0.1%
+    delta never pays a corpus rewrite."""
+    o = load(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 15 == 0).select("o_orderkey")
+    merged = merge_ops.merge_frames(target, updates, "o_orderkey", deletes)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "scd2_customer_history",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ),
+    u AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 5 = 0 THEN ROUND(c_acctbal + 100.0, 2)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    changed AS (
+      SELECT u.c_custkey FROM u JOIN cur USING (c_custkey)
+      WHERE u.c_acctbal IS DISTINCT FROM cur.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM cur.c_mktsegment
+    ),
+    hist AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             0 AS valid_from, CAST(NULL AS INTEGER) AS valid_to,
+             TRUE AS is_current
+      FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, 0, 1, FALSE
+      FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, 1,
+             CAST(NULL AS INTEGER), TRUE
+      FROM u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+         OR u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+    )
+    SELECT is_current, valid_from, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+    FROM hist GROUP BY is_current, valid_from
+    """,
+)
+def q_scd2_customer_history(spark, sf_dir):
+    """X58: SCD-type-2 history maintenance (merge_ops.scd2_init/
+    scd2_apply) — epoch-1 re-observation of the customer dimension
+    closes rows whose attributes moved (valid_to=1), opens their new
+    versions plus never-seen keys, and passes unchanged rows through
+    byte-identical (the %7-only slice is a planted no-op the oracle
+    must agree on). Null-safe change detection; one full-outer join on
+    the key + unions, no window. The oracle reconstructs the exact
+    closed/kept/opened partition in SQL."""
+    c = load(spark, sf_dir, "customer")
+    hist0 = merge_ops.scd2_init(
+        c.select("c_custkey", "c_mktsegment", "c_acctbal"), epoch=0
+    )
+    updates = (
+        c.filter((F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.round(F.col("c_acctbal") + 100.0, 2),
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    h1 = merge_ops.scd2_apply(
+        hist0, updates, "c_custkey", ["c_mktsegment", "c_acctbal"], epoch=1
+    )
+    return h1.groupBy("is_current", "valid_from").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("bal"),
     )
 
 
