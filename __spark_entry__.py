@@ -4586,6 +4586,59 @@ def q_scd2_customer_history(spark, sf_dir):
 
 
 # ===========================================================================
+# X59: redirect-chain resolution (operators/graph.py)
+# ===========================================================================
+
+_REDIR_EDGES_SQL = """
+      SELECT c_custkey AS src, c_custkey - 1 AS dst
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(-1 AS BIGINT), CAST(-2 AS BIGINT)),
+        (CAST(-2 AS BIGINT), CAST(-3 AS BIGINT)),
+        (CAST(-3 AS BIGINT), CAST(-1 AS BIGINT))) AS v(src, dst)
+"""
+
+from webscrape_neko_jirushi_spark.operators.graph import (  # noqa: E402
+    resolve_redirects,
+    resolve_redirects_sql_ctes,
+)
+
+
+@q(
+    "redirect_resolution",
+    "WITH RECURSIVE "
+    + resolve_redirects_sql_ctes(_REDIR_EDGES_SQL, max_hops=6)
+    + """
+    SELECT src, final, hops, status FROM redir
+    """,
+)
+def q_redirect_resolution(spark, sf_dir):
+    """X59: redirect-chain resolution (graph.resolve_redirects) —
+    pointer DOUBLING over a functional redirect table: each round
+    composes the src->2^r-hop mapping with itself (one self
+    equi-join, localCheckpointed state), so a length-L chain resolves
+    in ceil(log2 L) rounds, not L sequential joins. Planted shape:
+    descending key chains of length (k mod 10) terminating at
+    multiples of 10, a 3-node loop on synthetic negative ids, and a
+    hop budget of 6 so lengths 7-9 exercise the truncation boundary —
+    loops and over-long chains both land 'unresolved' with NULL
+    final/hops (the only algorithm-independent answer). The oracle
+    walks the same graph per-hop with a bounded recursive CTE; exact
+    (final, hops) equality on every row is the doubling-correctness
+    proof."""
+    c = load(spark, sf_dir, "customer")
+    chain = c.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - 1).alias("dst"),
+    )
+    loops = spark.createDataFrame(
+        [(-1, -2), (-2, -3), (-3, -1)], "src long, dst long"
+    )
+    return resolve_redirects(chain.unionByName(loops), max_hops=6)
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

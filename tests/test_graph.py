@@ -150,3 +150,75 @@ def test_validation(spark, edges_df):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         graph.pagerank(empty, n_iters=1)
+
+
+# ===========================================================================
+# X59: redirect-chain resolution (pointer doubling)
+# ===========================================================================
+
+def _redir(spark, pairs, max_hops=20):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    out = graph.resolve_redirects(df, max_hops=max_hops)
+    return {r["src"]: (r["final"], r["hops"], r["status"]) for r in out.collect()}
+
+
+def test_redirect_chain_exact_hops(spark):
+    got = _redir(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {
+        "a": ("d", 3, "ok"),
+        "b": ("d", 2, "ok"),
+        "c": ("d", 1, "ok"),
+    }
+
+
+def test_redirect_cycle_and_truncation(spark):
+    pairs = [("x", "y"), ("y", "x")] + [
+        (f"n{i}", f"n{i+1}") for i in range(8)
+    ]  # chain n0..n8 of length 8
+    got = _redir(spark, pairs, max_hops=5)
+    assert got["x"] == (None, None, "unresolved")
+    assert got["y"] == (None, None, "unresolved")
+    assert got["n0"] == (None, None, "unresolved")  # 8 hops > 5
+    assert got["n3"] == ("n8", 5, "ok")             # exactly at the cap
+    assert got["n4"] == ("n8", 4, "ok")
+
+
+def test_redirect_boundary_chain_equals_cap(spark):
+    pairs = [(f"c{i}", f"c{i+1}") for i in range(20)]
+    got = _redir(spark, pairs, max_hops=20)
+    assert got["c0"] == ("c20", 20, "ok")
+
+
+def test_redirect_duckdb_twin(spark):
+    import random
+
+    rng = random.Random(7)
+    # random functional graph over 200 nodes incl. self-feeding loops
+    pairs = [(f"u{i}", f"u{rng.randrange(200)}") for i in range(0, 200, 2)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = sorted(
+        tuple(r)
+        for r in graph.resolve_redirects(df, max_hops=12).collect()
+    )
+    con = duckdb.connect()
+    con.register("pairs", pd.DataFrame(pairs, columns=["src", "dst"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH RECURSIVE "
+            + graph.resolve_redirects_sql_ctes(
+                "SELECT DISTINCT src, dst FROM pairs", max_hops=12
+            )
+            + " SELECT src, final, hops, status FROM redir"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_redirect_validation(spark):
+    bad = spark.createDataFrame([("a", "b"), ("a", "c")], "src string, dst string")
+    with pytest.raises(ValueError, match="functional"):
+        graph.resolve_redirects(bad)
+    nul = spark.createDataFrame([("a", None)], "src string, dst string")
+    with pytest.raises(ValueError, match="NULL"):
+        graph.resolve_redirects(nul)

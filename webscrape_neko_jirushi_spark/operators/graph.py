@@ -133,6 +133,141 @@ def pagerank(
     )
 
 
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their final targets (SURVEY
+    §2.11 X59) — the canonical-URL question every crawler faces after
+    the fetch tier records ``301/302 src -> dst`` pairs: the frontier
+    must enqueue the FINAL url (or drop the loop), and the URL-seen
+    set must be keyed by it, or every hop of a chain is re-crawled as
+    a distinct page. The reference follows redirects implicitly inside
+    ``requests`` one page at a time (comprehensive_scraper.py fetch
+    loop); at a 10^10-URL frontier, chain resolution is a BATCH graph
+    problem over the recorded redirect table.
+
+    ``edges`` must be a FUNCTIONAL mapping (one outgoing redirect per
+    ``src`` — enforced loudly; duplicate-target rows are deduped
+    first). Returns one row per distinct ``src``:
+
+    - ``status='ok'``: the walk reached a terminal node (no outgoing
+      redirect) within ``max_hops`` — ``final`` is that node, ``hops``
+      the EXACT chain length;
+    - ``status='unresolved'``: the walk exceeded the hop budget — a
+      redirect LOOP or an over-long chain, indistinguishable under a
+      hop cap (HTTP clients cap at ~20 for the same reason); ``final``
+      and ``hops`` are NULL so both engines agree bit-for-bit without
+      exposing algorithm-dependent partial distances.
+
+    Scale shape — POINTER DOUBLING, not per-hop walking: the state
+    table maps every src to a node ``2^r`` hops away (or its terminal,
+    with the exact distance once reached); each round composes the
+    mapping with itself — ONE self equi-join — so a length-L chain
+    resolves in ``ceil(log2(L))`` rounds instead of L sequential
+    joins. The DuckDB oracle twin walks per-hop with a bounded
+    recursive CTE; both land on identical (final, hops) because
+    doubling composes exact distances. State is localCheckpointed per
+    round (flat lineage, the ``connected_components`` discipline) and
+    the loop exits early on an all-done scalar probe (the Lloyd-round
+    pattern: one scalar per round, never a driver-side row loop)."""
+    if max_hops < 1:
+        raise ValueError(f"resolve_redirects: max_hops must be >= 1, got {max_hops}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    if e.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
+        raise ValueError("resolve_redirects: NULL src/dst endpoint in edge list")
+    if (
+        e.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            "resolve_redirects: edges are not a functional mapping "
+            "(some src has >1 outgoing redirect) — dedupe upstream "
+            "(e.g. keep the latest fetch's record)"
+        )
+
+    srcs = e.select(F.col("src").alias("s2")).distinct()
+    # state: src -> (cur at exact distance hops; done once cur is terminal)
+    f = (
+        e.join(srcs, e["dst"] == srcs["s2"], "left")
+        .select(
+            "src",
+            F.col("dst").alias("cur"),
+            F.lit(1).cast("int").alias("hops"),
+            F.col("s2").isNull().alias("done"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = max(1, (max_hops - 1).bit_length() + 1)  # 2^rounds >= 2*max_hops
+    for _ in range(rounds):
+        if f.filter(~F.col("done")).limit(1).count() == 0:
+            break
+        j = f.select(
+            F.col("src").alias("j_src"),
+            F.col("cur").alias("j_cur"),
+            F.col("hops").alias("j_hops"),
+            F.col("done").alias("j_done"),
+        )
+        stepped = (
+            f.filter(~F.col("done"))
+            .join(j, F.col("cur") == F.col("j_src"))
+            .select(
+                "src",
+                F.col("j_cur").alias("cur"),
+                (F.col("hops") + F.col("j_hops")).alias("hops"),
+                F.col("j_done").alias("done"),
+            )
+        )
+        f = f.filter(F.col("done")).unionByName(stepped).localCheckpoint(eager=True)
+
+    ok = F.col("done") & (F.col("hops") <= F.lit(max_hops))
+    return f.select(
+        "src",
+        F.when(ok, F.col("cur")).alias("final"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        F.when(ok, F.lit("ok")).otherwise(F.lit("unresolved")).alias("status"),
+    )
+
+
+def resolve_redirects_sql_ctes(edges_sql: str, max_hops: int = 20) -> str:
+    """DuckDB twin of :func:`resolve_redirects`: bounded recursive-CTE
+    walk over ``edges_sql`` (columns ``src, dst``, functional, already
+    deduplicated). Ends in CTE ``redir(src, final, hops, status)``.
+    The walk explores exactly the paths of length <= max_hops, so
+    'ok' iff the terminal is within the budget — the same boundary
+    the doubling side enforces with ``hops <= max_hops``."""
+    return f"""e AS ({edges_sql}),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.cur
+      WHERE w.hops < {int(max_hops)}
+    ),
+    term AS (
+      SELECT w.src, w.cur, w.hops
+      FROM walk w LEFT JOIN e t ON t.src = w.cur
+      WHERE t.src IS NULL
+    ),
+    redir AS (
+      SELECT s.src,
+             t.cur AS final,
+             CAST(t.hops AS INTEGER) AS hops,
+             CASE WHEN t.src IS NULL THEN 'unresolved' ELSE 'ok' END AS status
+      FROM (SELECT DISTINCT src FROM e) s
+      LEFT JOIN term t ON t.src = s.src
+    )"""
+
+
 def pagerank_sql_ctes(
     edges_sql: str, n_iters: int = 2, damping: float = 0.85
 ) -> str:
