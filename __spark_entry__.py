@@ -4639,6 +4639,61 @@ def q_redirect_resolution(spark, sf_dir):
 
 
 # ===========================================================================
+# X60: positional inverted index + phrase search (text/invindex.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.text import invindex  # noqa: E402
+
+
+@q(
+    "inverted_term_stats",
+    f"""
+    WITH post AS ({invindex.POSTINGS_SQL}),
+    ts AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+      FROM post GROUP BY term
+    )
+    SELECT term, df, cf FROM ts ORDER BY cf DESC, term ASC LIMIT 50
+    """,
+)
+def q_inverted_term_stats(spark, sf_dir):
+    """X60: vocabulary statistics over the positional postings
+    relation (invindex.postings + term_stats) — ONE posexplode of the
+    repo tokenization (the honest cost of arbitrary-vocabulary
+    indexing; X38's BM25 deliberately avoids it for literal query
+    sets), then one hash aggregate with an exact count-distinct
+    (two-phase Expand plan, skew-safe). Top-50 by collection
+    frequency, term-tiebroken, as TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    ts = invindex.term_stats(invindex.postings(d))
+    return ts.orderBy(F.desc("cf"), F.asc("term")).limit(50)
+
+
+@q(
+    "phrase_search",
+    f"""
+    WITH post AS ({invindex.POSTINGS_SQL})
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos
+    FROM ({invindex.phrase_match_sql(['slow', 'hash', 'batch'])})
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """X60: exact-phrase search (invindex.phrase_match) — the phrase's
+    term postings are filtered FIRST (literal isin, pushable to a
+    persisted index's parquet scan), then k-1 positional equi-joins on
+    (doc_id, pos+i); join inputs are term-sized, never corpus-sized.
+    The persisted bucket-pruned form (build_inverted_index /
+    phrase_match_indexed — O(phrase terms) manifest metadata per
+    probe) is pytest-gated in tests/test_invindex.py because it is
+    side-effectful; this row pins the join semantics row-exactly
+    against the oracle's identical SQL twin."""
+    d = load(spark, sf_dir, "documents")
+    return invindex.phrase_match(
+        invindex.postings(d), ["slow", "hash", "batch"]
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
