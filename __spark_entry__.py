@@ -4694,6 +4694,38 @@ def q_phrase_search(spark, sf_dir):
 
 
 # ===========================================================================
+# X61: windowed co-occurrence + PMI collocations (text/collocations.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.text import collocations  # noqa: E402
+
+
+@q(
+    "pmi_collocations",
+    f"""
+    WITH post AS ({invindex.POSTINGS_SQL}),
+    {collocations.pmi_sql_ctes(window=3, min_count=5)}
+    SELECT term_a, term_b, cnt, ROUND(pmi, 6) AS pmi FROM pmi
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """X61: PMI collocation scoring (collocations.pmi_collocations) —
+    ordered within-window-3 pair counts in the LINEAR form (each
+    posting explodes into 3 target positions, ONE equi-join on
+    (doc_id, pos) — never the per-doc-quadratic distance filter),
+    exact integer counts, N/W as a broadcast 1-row scalar aggregate,
+    and the PMI double computed in the one expression order the
+    oracle mirrors term-for-term (bit-identical before the 6 dp
+    display rounding; pinned exactly in tests/test_collocations.py).
+    min_count=5 cuts the hapax tail before the unigram joins."""
+    d = load(spark, sf_dir, "documents")
+    out = collocations.pmi_collocations(d, window=3, min_count=5)
+    return out.select(
+        "term_a", "term_b", "cnt", F.round("pmi", 6).alias("pmi")
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
