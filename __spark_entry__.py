@@ -4726,6 +4726,109 @@ def q_pmi_collocations(spark, sf_dir):
 
 
 # ===========================================================================
+# X62: sitemap source (sources/sitemap.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.sources import sitemap as sitemap_src  # noqa: E402
+
+_SITEMAP_PAGES_SQL = """
+      SELECT CAST(c_nationkey AS VARCHAR) AS sitemap_url,
+             '<urlset>' || string_agg(
+               '<url><loc>https://n' || c_nationkey || '.example.com/c/'
+                 || c_custkey || '</loc>'
+               || CASE WHEN c_custkey % 3 = 0
+                    THEN '<lastmod>2024-01-'
+                      || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+                      || '</lastmod>' ELSE '' END
+               || CASE WHEN c_custkey % 4 = 0
+                    THEN '<priority>0.' || c_custkey % 10 || '</priority>'
+                    ELSE '' END
+               || '</url>', '' ORDER BY c_custkey) || '</urlset>' AS xml
+      FROM customer GROUP BY c_nationkey
+"""
+
+
+@q(
+    "sitemap_roundtrip",
+    f"""
+    WITH pages AS ({_SITEMAP_PAGES_SQL}),
+    entries AS ({sitemap_src.parse_urlset_sql("pages")})
+    SELECT sitemap_url, COUNT(*) AS n_urls,
+           COUNT(lastmod) AS n_lastmod,
+           COUNT(priority) AS n_prio,
+           CAST(SUM(CAST(COALESCE(priority, 0) AS DECIMAL(10,1))) AS DOUBLE)
+             AS prio_sum
+    FROM entries GROUP BY sitemap_url
+    """,
+)
+def q_sitemap_roundtrip(spark, sf_dir):
+    """X62: sitemap urlset parsing (sitemap_src.parse_urlset) as a
+    synthesize->parse round trip: both engines build one urlset XML
+    per nation from customer rows (order-pinned string_agg twin of
+    array_join(array_sort(collect_list(struct)))), with lastmod/
+    priority present only on planted key slices so the absent-field
+    NULL paths execute, then parse with the SAME (?s) lazy-dotall
+    block regexes verbatim (the X43/X46 Java/RE2 common-subset
+    contract) and entity decoding. Priority sums go through
+    DECIMAL(10,1) — exact at any aggregation order. The bounded
+    sitemapindex expansion with cycle termination is pytest-gated
+    (tests/test_sitemap.py, side-effect-free but multi-level)."""
+    c = load(spark, sf_dir, "customer")
+    piece = F.concat(
+        F.lit("<url><loc>https://n"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".example.com/c/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-"),
+                F.lpad((F.col("c_custkey") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(
+                F.lit("<priority>0."),
+                (F.col("c_custkey") % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(""),
+        F.lit("</url>"),
+    )
+    pages = (
+        c.select(
+            F.col("c_nationkey").cast("string").alias("sitemap_url"),
+            F.struct(F.col("c_custkey"), piece.alias("piece")).alias("s"),
+        )
+        .groupBy("sitemap_url")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda x: x["piece"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    entries = sitemap_src.parse_urlset(pages)
+    return entries.groupBy("sitemap_url").agg(
+        F.count("*").alias("n_urls"),
+        F.count("lastmod").alias("n_lastmod"),
+        F.count("priority").alias("n_prio"),
+        F.sum(F.coalesce(F.col("priority"), F.lit(0.0)).cast("decimal(10,1)"))
+        .cast("double")
+        .alias("prio_sum"),
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
