@@ -46,6 +46,8 @@ from webscrape_neko_jirushi_spark.operators import (  # noqa: E402
     graph,
     similarity,
 )
+from webscrape_neko_jirushi_spark.operators import merge as merge_ops  # noqa: E402
+from webscrape_neko_jirushi_spark.text import collocations, invindex  # noqa: E402
 from webscrape_neko_jirushi_spark.operators.index_store import IndexManifest  # noqa: E402
 from webscrape_neko_jirushi_spark.session import get_spark  # noqa: E402
 from webscrape_neko_jirushi_spark.sources.synth_corpus import (  # noqa: E402
@@ -81,6 +83,19 @@ def _ann_index_bits(n_vecs: int) -> int:
 
 DELTA_DOCS = 60  # fixed-size crawl delta for the incremental text legs
 DELTA_VECS = 20  # fixed-size delta for the incremental embedding leg
+
+
+def _doc0_trigram() -> list[str]:
+    """First three tokens of synth doc 0, recomputed driver-side with
+    the corpus generator's own md5 formula (synth_corpus._u32 with the
+    default seed) — a guaranteed-present probe phrase without scanning
+    the corpus for it."""
+    import hashlib
+
+    def u32(*args: str) -> int:
+        return int(hashlib.md5("|".join(args).encode()).hexdigest()[:8], 16)
+
+    return [f"w{u32('scale-corpus-1', 'w', '0', str(p)) % 8000}" for p in range(3)]
 
 
 def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
@@ -181,6 +196,18 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
             e, str(ivfpq_idx), cents, dim=DIM, m=8, ksub=16, seed=7,
             n_vecs=n_vecs,
         )
+    mrg_buckets = max(16, n_docs // 2500)  # bucket ~2500 docs at any scale
+    mrg = root / f"docs_{n_docs}_mrg{mrg_buckets}"
+    if IndexManifest.load(mrg) is None:
+        merge_ops.build_merge_table(
+            spark.read.parquet(str(docs)), mrg, "doc_id", mrg_buckets
+        )
+    inv_buckets = max(16, n_docs // 500)  # bucket ~500 docs' postings
+    inv = root / f"docs_{n_docs}_inv{inv_buckets}"
+    if IndexManifest.load(inv) is None:
+        invindex.build_inverted_index(
+            spark.read.parquet(str(docs)), inv, inv_buckets
+        )
     return {
         "docs": str(docs),
         "vecs": str(vecs),
@@ -190,6 +217,8 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
         "emb": str(emb_idx),
         "pq": str(pq_idx),
         "ivfpq": str(ivfpq_idx),
+        "mrg": str(mrg),
+        "inv": str(inv),
     }
 
 
@@ -746,6 +775,56 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.sum("n_tokens").alias("tokens"),
         )
 
+    def merge_delta_upsert():
+        # X58: fixed DELTA_DOCS-doc re-fetch delta merged COW into the
+        # bucketed corpus table — touched buckets <= delta keys, each
+        # ~2500 docs at ANY size (n_buckets scales with n), read and
+        # rewritten via the manifest; expected ~FLAT like
+        # ann_probe_indexed. Returns the touched bucket list
+        # (driver-side by design, bounded by n_buckets).
+        delta = docs.filter(F.col("doc_id") >= n_docs - DELTA_DOCS).select(
+            "doc_id", F.concat(F.lit("refetch "), F.col("text")).alias("text")
+        )
+        return merge_ops.merge_into(spark, paths["mrg"], delta)["touched"]
+
+    def scd2_docs_epoch():
+        # X58 SCD2: ONE full-outer join on the key + unions over a 10%
+        # planted-change batch — expected ~linear
+        hist0 = merge_ops.scd2_init(docs.select("doc_id", "text"), epoch=0)
+        ups = docs.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", F.concat(F.lit("v2 "), F.col("text")).alias("text")
+        )
+        h1 = merge_ops.scd2_apply(hist0, ups, "doc_id", ["text"], epoch=1)
+        return h1.groupBy("is_current").agg(F.count("*").alias("n"))
+
+    def redirect_chains_h12():
+        # X59: pointer doubling over mod-10 descending chains — the
+        # round count is FIXED (ceil(log2(12))+1 = 5) at any n, each
+        # round one self equi-join over ~n rows → expected ~linear
+        edges = docs.select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+        ).filter(F.col("src") % 10 != 0)
+        return graph.resolve_redirects(edges, max_hops=12)
+
+    def phrase_probe_inv():
+        # X60: 3-term phrase probe through the IndexManifest — resolves
+        # <=3 term buckets, each ~20k postings at ANY corpus size
+        # (bucket count scales with n); the probed terms' own postings
+        # grow ~n/vocab, so expected ~flat with a shallow linear tail
+        return invindex.phrase_match_indexed(
+            spark, paths["inv"], _doc0_trigram()
+        )
+
+    def pmi_window3():
+        # X61: the linear co-occurrence form (explode x3 + ONE
+        # equi-join + pair-keyed agg); vocabulary fixed at 8000 so the
+        # pair table is bounded and counts grow ~linearly
+        out = collocations.pmi_collocations(docs, window=3, min_count=2)
+        return out.agg(
+            F.count("*").alias("pairs"),
+            F.sum("cnt").cast("long").alias("occ"),
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -784,6 +863,11 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "range_join_b24": range_join_points,
         "pca_train_project_k8": pca_train_project,
         "curate_e2e": curate_e2e,
+        "merge_delta_upsert": merge_delta_upsert,
+        "scd2_epoch_10pct": scd2_docs_epoch,
+        "redirect_chains_h12": redirect_chains_h12,
+        "phrase_probe_inv": phrase_probe_inv,
+        "pmi_window3_m2": pmi_window3,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,

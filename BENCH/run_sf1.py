@@ -136,6 +136,18 @@ QUERIES = [
     # X54 reads only documents; the byte-exact corpus_md5 pin is the
     # strongest 10x check in the file (any stage divergence breaks it)
     "curation_pipeline_e2e",
+    # X60/X61 read only documents: the postings explode and the
+    # windowed pair join are the new heavy queries at this tier (the
+    # pair join is the one whose plan would flip quadratic if the
+    # window trick regressed to a distance filter). phrase_search is
+    # NOT here: its literal trigram comes from the sf vocabulary,
+    # which the synth corpus doesn't share (0 rows would check
+    # nothing — the bm25_relevance rule); its 10x evidence is
+    # DEDUP_SCALE's phrase_probe_inv leg. The X58/X59/X62 driver rows
+    # read orders/customer (absent here) — their 10x evidence is
+    # DEDUP_SCALE's merge/scd2/redirect legs.
+    "inverted_term_stats",
+    "pmi_collocations",
 ]
 
 
