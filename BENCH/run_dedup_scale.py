@@ -1056,6 +1056,37 @@ def main() -> None:
         "family has a measured delta-proportional incremental path, vs",
         "its full-rebuild twin directly above in the table.",
         "",
+        "`merge_delta_upsert` is the file-pruned copy-on-write MERGE",
+        "(`operators/merge.py::merge_into`) of a FIXED 60-doc re-fetch",
+        "delta into the hash-bucketed corpus table: touched buckets are",
+        "bounded by the delta's key count and each holds ~2500 docs at",
+        "every tier (the bucket count scales with n), resolved and",
+        "committed through one manifest read + CAS — expected ~flat;",
+        "the growth column is the measurement that a 0.1% delta never",
+        "pays a corpus rewrite. `scd2_epoch_10pct` is SCD-type-2",
+        "history maintenance over a 10% planted-change batch — ONE",
+        "full-outer join on the key, expected ~linear.",
+        "",
+        "`redirect_chains_h12` resolves mod-10 redirect chains by",
+        "pointer doubling (`graph.resolve_redirects`): the round count",
+        "is FIXED by the hop budget (ceil(log2 12)+1 = 5) at any n, each",
+        "round one self equi-join — expected ~linear with a planning",
+        "floor. `phrase_probe_inv` probes a 3-term phrase through the",
+        "term-bucketed inverted index (`text/invindex.py`): <=3 bucket",
+        "dirs of ~constant occupancy resolve from one manifest read —",
+        "expected ~flat (the X9 probe discipline for text).",
+        "",
+        "`pmi_window3_m2` is windowed co-occurrence + PMI",
+        "(`text/collocations.py`, window 3, min_count 2): the linear",
+        "explode-3 + equi-join form — pair INSTANCES grow ~linearly",
+        "(~117 per doc), but the distinct-pair aggregate state",
+        "saturates toward the 8000-word vocabulary's pair space at the",
+        "100x tier, so its growth sits at the high end of the family",
+        "(with `lm_perplexity_score`, whose bigram state does the",
+        "same) while remaining far from the quadratic column — the",
+        "per-doc-quadratic distance-filter form this leg guards",
+        "against would land there.",
+        "",
         "All pruned-probe index writers repartition on the partition",
         "key before `partitionBy`, so each build/append lands ONE file",
         "per partition dir: probe latency is O(probed dirs) file-opens,",
