@@ -4829,6 +4829,167 @@ def q_sitemap_roundtrip(spark, sf_dir):
 
 
 # ===========================================================================
+# X63: data-quality expectations (operators/expectations.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import expectations as dq  # noqa: E402
+
+
+@q(
+    "dq_expectations",
+    r"""
+    WITH m AS (
+      SELECT
+        CASE WHEN COUNT(*) > 0
+             THEN CAST(COUNT(o_orderdate) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             ELSE 1.0 END AS m_comp,
+        CASE WHEN COUNT(*) > 0
+             THEN CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)
+             ELSE 1.0 END AS m_uniq,
+        CAST(MIN(o_totalprice) AS DOUBLE) AS m_min,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS m_max,
+        CASE WHEN COUNT(o_totalprice) > 0
+             THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  / CAST(COUNT(o_totalprice) AS DOUBLE)
+             ELSE 1.0 END AS m_mean,
+        CASE WHEN COUNT(o_orderpriority) > 0
+             THEN CAST(CAST(SUM(CASE WHEN regexp_matches(o_orderpriority,
+                    '^[1-5]-[A-Z]+\z') THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                  / CAST(COUNT(o_orderpriority) AS DOUBLE)
+             ELSE 1.0 END AS m_match,
+        CAST(COUNT(*) AS DOUBLE) AS m_rows
+      FROM orders
+    )
+    SELECT 'completeness(o_orderdate)' AS check, m_comp AS metric,
+           m_comp >= 1.0 AS passed FROM m
+    UNION ALL SELECT 'uniqueness(o_orderkey)', m_uniq, m_uniq >= 1.0 FROM m
+    UNION ALL SELECT 'min(o_totalprice)', m_min, m_min >= 0.0 FROM m
+    UNION ALL SELECT 'max(o_totalprice)', m_max, m_max <= 1000000.0 FROM m
+    UNION ALL SELECT 'mean(o_totalprice)', m_mean,
+                     m_mean >= 1000.0 AND m_mean <= 500000.0 FROM m
+    UNION ALL SELECT 'match_rate(o_orderpriority)', m_match,
+                     m_match >= 1.0 FROM m
+    UNION ALL SELECT 'row_count', m_rows, m_rows >= 1.0 FROM m
+    """,
+)
+def q_dq_expectations(spark, sf_dir):
+    """X63: declarative data-quality suite (expectations.check_suite —
+    Deequ's single-pass metric computation, VLDB'18): seven
+    constraints over orders evaluated in ONE aggregate pass (no
+    per-rule jobs — plan-gated in tests/test_expectations.py), every
+    metric a ratio/extremum of exact integer or decimal aggregates in
+    one fixed IEEE expression order, so the oracle reproduces them
+    bit-identically; `passed` is a plain threshold comparison. The
+    drift monitor (baseline_compare) and publish gate (suite_passed)
+    are pytest-gated."""
+    o = load(spark, sf_dir, "orders")
+    suite = [
+        dq.completeness("o_orderdate", 1.0),
+        dq.uniqueness("o_orderkey", 1.0),
+        dq.min_value("o_totalprice", 0.0),
+        dq.max_value("o_totalprice", 1000000.0),
+        dq.mean_between("o_totalprice", 1000.0, 500000.0),
+        dq.match_rate("o_orderpriority", r"^[1-5]-[A-Z]+\z", 1.0),
+        dq.row_count_between(1),
+    ]
+    return dq.check_suite(o, suite)
+
+
+# ===========================================================================
+# X64: targeted salted skew join (operators/skewjoin.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators.skewjoin import salted_join  # noqa: E402
+
+_ETYPE_DIM = [
+    ("click", 3), ("view", 1), ("purchase", 10), ("signup", 5), ("error", 0),
+]
+
+
+@q(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT * FROM (VALUES
+        ('click', 3), ('view', 1), ('purchase', 10), ('signup', 5),
+        ('error', 0)) AS v(event_type, weight)
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(d.weight) AS BIGINT) AS wsum,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS vsum
+    FROM events e LEFT JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_skew_salted_join(spark, sf_dir):
+    """X64: targeted salted equi-join (skewjoin.salted_join) — the
+    mitigation half of the X50 skew toolkit: hot probe keys split
+    across 8 deterministic content-hash salts, ONLY the matching
+    build rows replicated per salt (plan-gated: the join is on
+    (key, _salt), no BNLJ), then joined and aggregated. The oracle is
+    the PLAIN join + identical aggregate — result-multiset parity is
+    the entire correctness claim of a performance rewrite, so the row
+    can only hash-match if salting changed nothing."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(_ETYPE_DIM, "event_type string, weight int")
+    j = salted_join(e, dim, "event_type", 8, hot_keys=["click", "view"], how="left")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("weight").cast("long").alias("wsum"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("vsum"),
+    )
+
+
+# ===========================================================================
+# X65: incremental aggregate maintenance (operators/matview.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import matview as mv  # noqa: E402
+
+_MV_SPEC = [
+    ("n", "count", None),
+    ("total", "sum", "o_totalprice"),
+    ("lo", "min", "o_totalprice"),
+    ("hi", "max", "o_totalprice"),
+    ("mean", "avg", "o_totalprice"),
+]
+
+
+@q(
+    "matview_incremental",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(COUNT(o_totalprice) AS DOUBLE) AS mean
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_matview_incremental(spark, sf_dir):
+    """X65: incremental materialized aggregates (matview.mv_refresh) —
+    the fact table arrives as three disjoint mod-3 deltas; each folds
+    into the state at delta cost (delta-sized aggregate + group-sized
+    merge; the history is never re-read). The oracle is the FULL
+    recompute over all orders: `incremental == full` is an EQUALITY
+    claim because counts/mins/maxes are exact and sums ride
+    DECIMAL(28,6) (merge order cannot perturb them); avg derives at
+    read time as the one fixed sum/count expression. Merge
+    order-invariance, new-group, all-NULL-group and schema-stability
+    cases are pytest-gated."""
+    o = load(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    state = None
+    for i in range(3):
+        delta = o.filter(F.col("o_orderkey") % 3 == i)
+        state = mv.mv_refresh(state, delta, keys, _MV_SPEC)
+    return mv.mv_read(state, keys, _MV_SPEC)
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

@@ -1,0 +1,171 @@
+"""Declarative data-quality expectations (SURVEY.md §2.11 X63) —
+the Deequ/Great-Expectations layer a 100-TB ingestion pipeline runs on
+every batch before publishing it: completeness, uniqueness, bounds,
+format-conformance and volume checks, ALL evaluated in ONE aggregate
+pass over the table (Schelter et al., "Automating Large-Scale Data
+Quality Verification", VLDB 2018 — the single-pass metric computation
+is the paper's core trick, re-expressed as one Spark agg).
+
+The reference validates by crashing mid-pipeline (data_manager.py's
+ad-hoc size checks, cleanup scripts re-scanning per rule); here every
+constraint contributes aggregate COLUMNS to a single ``agg`` — one
+corpus scan regardless of suite size, partial-aggregated map-side,
+no per-rule jobs.
+
+Design for oracle parity: every metric is a ratio/extremum of exact
+integer aggregates (or a decimal-exact mean), composed in ONE fixed
+IEEE expression order, so the DuckDB twin reproduces metrics
+bit-identically; ``passed`` is a plain comparison on the metric.
+
+- :class:`Check` — (name, metric Column, passed Column) triple; the
+  factories below build the standard suite members.
+- :func:`check_suite` — ONE aggregate pass → one row per check:
+  ``(check, metric, passed)``.
+- :func:`suite_passed` — the gate scalar (AND of all rows).
+- :func:`baseline_compare` — metric drift vs a stored baseline run
+  (join on check name; |delta| > tol flags drift) — the "yesterday's
+  batch looked like this" monitor; persist baselines through
+  ``SnapshotStore`` (they are 1-row-per-check tables).
+
+Scale: the agg is a global 1-row aggregate — partial per partition,
+one tiny final reduce; ``uniqueness`` adds a count-distinct (the
+two-phase Expand plan). At 100 TB this is the cheapest full-table
+statement the pipeline runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One suite member: ``metric`` and ``passed`` are expressions over
+    the ONE aggregate row (they may only reference aggregate
+    functions of input columns)."""
+
+    name: str
+    metric: Column
+    passed: Column
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    # the one fixed expression order every twin mirrors:
+    # CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 0-guarded
+    return F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(1.0))
+
+
+def completeness(col: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values >= min_ratio."""
+    m = _ratio(F.count(F.col(col)), F.count(F.lit(1)))
+    return Check(f"completeness({col})", m, m >= float(min_ratio))
+
+
+def uniqueness(col: str, min_ratio: float = 1.0) -> Check:
+    """Distinct/total >= min_ratio (1.0 = a primary key). NULLs count
+    as rows but not as a distinct value — a null-riddled key column
+    fails uniqueness rather than slipping past it."""
+    m = _ratio(F.countDistinct(F.col(col)), F.count(F.lit(1)))
+    return Check(f"uniqueness({col})", m, m >= float(min_ratio))
+
+
+def min_value(col: str, lo: float) -> Check:
+    m = F.min(F.col(col)).cast("double")
+    return Check(f"min({col})", m, m >= float(lo))
+
+
+def max_value(col: str, hi: float) -> Check:
+    m = F.max(F.col(col)).cast("double")
+    return Check(f"max({col})", m, m <= float(hi))
+
+
+def mean_between(col: str, lo: float, hi: float) -> Check:
+    """Mean via DECIMAL(28,4)-exact sum / exact count — aggregation-
+    order-independent, so both engines produce the identical double."""
+    m = _ratio(
+        F.sum(F.col(col).cast("decimal(28,4)")),
+        F.count(F.col(col)),
+    )
+    return Check(
+        f"mean({col})", m, (m >= float(lo)) & (m <= float(hi))
+    )
+
+
+def match_rate(col: str, pattern: str, min_ratio: float = 1.0) -> Check:
+    """Fraction of non-null values matching ``pattern`` (Java/RE2
+    common-subset regexes only — the X43 portability contract)."""
+    m = _ratio(
+        F.sum(F.col(col).rlike(pattern).cast("long")),
+        F.count(F.col(col)),
+    )
+    return Check(f"match_rate({col})", m, m >= float(min_ratio))
+
+
+def row_count_between(lo: int, hi: int | None = None) -> Check:
+    m = F.count(F.lit(1)).cast("double")
+    ok = m >= float(lo)
+    if hi is not None:
+        ok = ok & (m <= float(hi))
+    return Check("row_count", m, ok)
+
+
+def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """ONE aggregate pass; one output row per check:
+    ``(check, metric double, passed boolean)`` in suite order."""
+    if not checks:
+        raise ValueError("check_suite: empty suite")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"check_suite: duplicate check names in {names}")
+    agg = df.agg(
+        *[c.metric.alias(f"_m{i}") for i, c in enumerate(checks)],
+        *[c.passed.alias(f"_p{i}") for i, c in enumerate(checks)],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.col(f"_m{i}").alias("metric"),
+                F.col(f"_p{i}").alias("passed"),
+            )
+            for i, c in enumerate(checks)
+        ]
+    )
+    return agg.select(F.inline(rows))
+
+
+def suite_passed(results: DataFrame) -> bool:
+    """The publish gate: True iff every check passed."""
+    row = results.agg(
+        F.coalesce(F.min(F.col("passed").cast("int")), F.lit(1)).alias("ok")
+    ).first()
+    return bool(row["ok"])
+
+
+def baseline_compare(
+    current: DataFrame, baseline: DataFrame, tol: float = 0.05
+) -> DataFrame:
+    """Metric drift vs a stored baseline run: one row per check name
+    present in EITHER run — ``(check, metric, base_metric, delta,
+    drifted)``; a check missing from one side has NULL there and
+    drifts by definition (suite changes are drift too)."""
+    cur = current.select("check", F.col("metric").alias("metric"))
+    base = baseline.select("check", F.col("metric").alias("base_metric"))
+    j = cur.join(base, "check", "full_outer")
+    delta = F.col("metric") - F.col("base_metric")
+    return j.select(
+        "check",
+        "metric",
+        "base_metric",
+        delta.alias("delta"),
+        F.when(
+            F.col("metric").isNull() | F.col("base_metric").isNull(), F.lit(True)
+        )
+        .otherwise(F.abs(delta) > float(tol))
+        .alias("drifted"),
+    )
