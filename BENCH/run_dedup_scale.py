@@ -825,6 +825,17 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.sum("cnt").cast("long").alias("occ"),
         )
 
+    def fuzzy_pairs_d1():
+        # X66: pigeonhole-segment fuzzy join at d=1 over the synthetic
+        # texts (unique ~250-char bodies): segment buckets barely
+        # collide, so cost is the map-side candidate generation +
+        # equi-join — expected ~linear
+        from webscrape_neko_jirushi_spark.text import fuzzyjoin
+
+        return fuzzyjoin.fuzzy_self_pairs(docs, "doc_id", "text", 1).agg(
+            F.count("*").alias("pairs")
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -868,6 +879,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "redirect_chains_h12": redirect_chains_h12,
         "phrase_probe_inv": phrase_probe_inv,
         "pmi_window3_m2": pmi_window3,
+        "fuzzy_pairs_d1": fuzzy_pairs_d1,
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,

@@ -4990,6 +4990,39 @@ def q_matview_incremental(spark, sf_dir):
 
 
 # ===========================================================================
+# X66: bounded edit-distance fuzzy join (text/fuzzyjoin.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.text import fuzzyjoin  # noqa: E402
+
+
+@q(
+    "fuzzy_name_pairs",
+    fuzzyjoin.fuzzy_self_pairs_sql(
+        "(SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 0)",
+        "c_custkey",
+        "c_name",
+        1,
+    ),
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """X66: bounded edit-distance fuzzy self-join
+    (fuzzyjoin.fuzzy_self_pairs, d=1) over a customer-name slice —
+    pigeonhole-segment blocking (PassJoin's sound core: one of d+1
+    even segments must appear exactly, shifted <= d) generates
+    candidates with ONE equi-join on (segment idx, source length,
+    segment text); exact JVM-side levenshtein verifies. This slice is
+    the documented WORST blocking case (every name shares the
+    'Customer#' prefix, so one segment bucket goes hot) and the row
+    count still stays verify-bounded; the oracle runs the identical
+    blocking + DuckDB's levenshtein (cross-engine agreement
+    fuzz-pinned in tests/test_fuzzyjoin.py)."""
+    c = load(spark, sf_dir, "customer")
+    s = c.filter(F.col("c_custkey") % 20 == 0).select("c_custkey", "c_name")
+    return fuzzyjoin.fuzzy_self_pairs(s, "c_custkey", "c_name", 1)
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
