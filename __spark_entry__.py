@@ -5023,6 +5023,54 @@ def q_fuzzy_name_pairs(spark, sf_dir):
 
 
 # ===========================================================================
+# X67: bloom-prefiltered join (operators/bloomjoin.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators.bloomjoin import (  # noqa: E402
+    bloom_prefiltered_join,
+)
+
+
+@q(
+    "bloom_join_lineitem",
+    """
+    WITH sel AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+    FROM lineitem l JOIN sel ON sel.o_orderkey = l.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bloom_join_lineitem(spark, sf_dir):
+    """X67: bloom-prefiltered join (bloomjoin.bloom_prefiltered_join)
+    — lineitem (the large probe side) is cut map-side by a sharded
+    bloom of the selective orders slice's keys BEFORE the join
+    shuffle (the engine's own URL-seen BloomShards: distributed
+    applyInPandas build, broadcast-cached Arrow probe); bloom FPs
+    survive the prefilter and die in the exact join, so the result is
+    bit-identical to the PLAIN join — which is exactly what the
+    oracle runs. Inner/semi only (outer rejected loudly); filter
+    reuse across joins pytest-gated."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    sel = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    joined, _ = bloom_prefiltered_join(
+        spark, li, sel, "l_orderkey", n_shards=4, expected_per_shard=100_000
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("rev"),
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
