@@ -5071,6 +5071,44 @@ def q_bloom_join_lineitem(spark, sf_dir):
 
 
 # ===========================================================================
+# X68: equi-depth range layout (operators/layout.py)
+# ===========================================================================
+
+_ED_SEL, _ED_CTES = layout.equi_depth_bins_sql("n_chars", 8, sub_bits=10)
+
+
+@q(
+    "equi_depth_histogram",
+    f"""
+    WITH t AS (SELECT n_chars FROM documents),
+    {_ED_CTES},
+    binned AS ({_ED_SEL})
+    SELECT _bin, COUNT(*) AS n,
+           MIN(n_chars) AS lo, MAX(n_chars) AS hi
+    FROM binned GROUP BY _bin
+    """,
+)
+def q_equi_depth_histogram(spark, sf_dir):
+    """X68: equi-depth binning (layout.equi_depth_bins) — split points
+    from the X57 HDR sketch's k-quantiles instead of
+    repartitionByRange's reservoir SAMPLING, so the layout is
+    DETERMINISTIC across reruns, persistable, and mergeable as the
+    table grows; bin assignment is a pure map-side fold over the
+    <= k-1 sorted split literals (broadcast 1-row array, no driver
+    collect). The persisted directory layout + manifest-pinned splits
+    + pruned range_scan are pytest-gated (side-effectful); this row
+    pins the sketch->quantile->bin arithmetic per-row against the
+    identical SQL twin."""
+    d = load(spark, sf_dir, "documents").select("n_chars")
+    binned = layout.equi_depth_bins(d, "n_chars", 8, sub_bits=10)
+    return binned.groupBy("_bin").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

@@ -111,3 +111,65 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     b = sorted(r["id"] for r in xs.filter(pred_y).collect())
     c = sorted(r["id"] for r in df.filter(pred_y).collect())
     assert a == b == c
+
+
+# ===========================================================================
+# X68: equi-depth range layout
+# ===========================================================================
+
+def test_equi_depth_balance_and_determinism(spark):
+    from webscrape_neko_jirushi_spark.operators import layout as L
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    binned = L.equi_depth_bins(df, "v", 8, sub_bits=10)
+    counts = {
+        r["_bin"]: r["n"]
+        for r in binned.groupBy("_bin").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(counts) == 8
+    # uniform data: every bin within 2x of ideal (HDR bucket rounding)
+    ideal = 10_000 / 8
+    assert all(n < 2 * ideal for n in counts.values()), counts
+    # deterministic: a second derivation is identical (no sampling)
+    binned2 = L.equi_depth_bins(df, "v", 8, sub_bits=10)
+    assert sorted(map(tuple, binned.collect())) == sorted(
+        map(tuple, binned2.collect())
+    )
+
+
+def test_equi_depth_sql_twin(spark):
+    import duckdb
+
+    from webscrape_neko_jirushi_spark.operators import layout as L
+
+    df = spark.range(0, 3000).select((F.col("id") * 7 % 1000).alias("v"))
+    got = sorted(
+        (r["v"], r["_bin"])
+        for r in L.equi_depth_bins(df, "v", 4, sub_bits=8).collect()
+    )
+    sel, ctes = L.equi_depth_bins_sql("v", 4, sub_bits=8)
+    con = duckdb.connect()
+    con.register("tt", df.toPandas())
+    want = sorted(
+        (int(a), int(b))
+        for a, b in con.execute(
+            f"WITH t AS (SELECT v FROM tt), {ctes} {sel}"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_range_layout_prune_and_parity(spark, tmp_path):
+    from webscrape_neko_jirushi_spark.operators import layout as L
+    from webscrape_neko_jirushi_spark.operators.index_store import IndexManifest
+
+    df = spark.range(0, 20_000).select(F.col("id").alias("v"))
+    m = L.build_range_layout(df, tmp_path / "rl", "v", 16, sub_bits=10)
+    assert all(len(fs) == 1 for fs in m.partitions.values())  # small-files rule
+    out = L.range_scan(spark, tmp_path / "rl", 5000, 6000)
+    got = sorted(r["v"] for r in out.select("v").collect())
+    assert got == list(range(5000, 6001))
+    # pruning: the scan touches a small fraction of the bin files
+    assert L.files_touched(out) <= 4 < m.n_files()
+    with pytest.raises(ValueError, match="k must be"):
+        L.equi_depth_bins(df, "v", 1)

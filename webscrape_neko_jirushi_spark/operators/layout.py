@@ -117,3 +117,135 @@ def files_touched(df: DataFrame) -> int:
     return (
         df.select(F.input_file_name().alias("f")).distinct().count()
     )
+
+
+# ===========================================================================
+# X68: equi-depth range layout from the HDR sketch
+# ===========================================================================
+
+def equi_depth_bins(
+    df: DataFrame, col: str, k: int, sub_bits: int = 10
+) -> DataFrame:
+    """Adds ``_bin`` — the equi-depth bin (0..k-1) of ``col``, with
+    split points from the X57 HDR sketch's k-quantiles rather than
+    ``repartitionByRange``'s reservoir SAMPLING: the sketch is exact
+    integer counts, so the splits (and therefore the whole layout)
+    are DETERMINISTIC across reruns, persistable next to the data,
+    and mergeable when the table grows (sketch-merge, then re-derive
+    splits — no re-scan). Adjacent quantiles can collapse onto one
+    split under heavy repetition (fewer, fatter bins — the honest
+    equi-depth answer for skewed data).
+
+    Fully relational: the ≤ k-1 distinct splits fold into ONE sorted
+    array literal broadcast back (the ``cms_query`` bounded-table
+    shape); ``_bin = size(filter(splits, s -> s <= v))`` is a pure
+    map-side column — no driver-side collect anywhere."""
+    from .hdr import hdr_build, hdr_quantiles
+
+    if k < 2:
+        raise ValueError(f"equi_depth_bins: k must be >= 2, got {k}")
+    qs = [i / k for i in range(1, k)]
+    splits = (
+        hdr_quantiles(hdr_build(df, col, sub_bits), qs)
+        .select("estimate")
+        .distinct()
+    )
+    arr = splits.agg(
+        F.array_sort(F.collect_list("estimate")).alias("_splits")
+    )
+    v = F.col(col).cast("long")
+    binc = F.size(
+        F.filter(F.col("_splits"), lambda s: s <= v)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(arr))
+        .withColumn("_bin", binc)
+        .drop("_splits")
+    )
+
+
+def equi_depth_bins_sql(col: str, k: int, sub_bits: int = 10) -> str:
+    """DuckDB twin of :func:`equi_depth_bins` over a 1-column CTE
+    named ``t`` (column ``{col}``): SELECT of (``{col}``, ``_bin``)
+    — identical sketch, quantile, and counting arithmetic."""
+    from .hdr import hdr_build_sql, hdr_quantiles_sql
+
+    qs = [i / k for i in range(1, k)]
+    return f"""
+      SELECT d.{col},
+             CAST((SELECT COUNT(*) FROM sp WHERE sp.estimate <= CAST(d.{col} AS BIGINT)) AS INTEGER) AS _bin
+      FROM t d
+    """, f"""sk AS ({hdr_build_sql(col, sub_bits)}),
+      qq AS ({hdr_quantiles_sql('SELECT * FROM sk', qs)}),
+      sp AS (SELECT DISTINCT estimate FROM qq)"""
+
+
+def build_range_layout(
+    df: DataFrame, path, col: str, k: int, sub_bits: int = 10
+):
+    """Persist ``df`` directory-partitioned by equi-depth ``_bin``
+    (one file per bin dir — the repo-wide small-files rule), with the
+    split points pinned in the ``IndexManifest`` meta so a reader
+    prunes bins from ONE manifest read (`range_scan`). Deterministic
+    layout: same data → byte-identical bin membership (no sampling).
+    """
+    from .index_store import IndexManifest
+
+    from .hdr import hdr_build, hdr_quantiles
+
+    qs = [i / k for i in range(1, k)]
+    # the splits are collected ONCE here (bounded: <= k-1 longs) and
+    # pinned in the manifest; bin assignment is then a pure literal
+    # fold — the write path pays no broadcast join
+    split_vals = sorted(
+        r["estimate"]
+        for r in hdr_quantiles(hdr_build(df, col, sub_bits), qs)
+        .select("estimate")
+        .distinct()
+        .collect()
+    )
+    v = F.col(col).cast("long")
+    binc = sum(
+        (v >= F.lit(int(s))).cast("int") for s in split_vals
+    ) if split_vals else F.lit(0)
+    binned = df.withColumn("_bin", binc.cast("int"))
+    root = IndexManifest._local_root(path)
+    binned.repartition("_bin").write.partitionBy("_bin").mode(
+        "overwrite"
+    ).parquet(str(root))
+    return IndexManifest.commit(
+        root,
+        "_bin",
+        meta={"col": col, "k": k, "sub_bits": sub_bits, "splits": split_vals},
+    )
+
+
+def range_scan(spark, path, lo: int, hi: int) -> DataFrame:
+    """Rows with ``col`` in ``[lo, hi]`` — bins overlapping the range
+    resolve from the manifest's pinned splits (O(bins) metadata, the
+    X9 probe discipline), then the exact predicate re-filters (bin
+    membership is a superset: split estimates are bucket LOWER
+    bounds)."""
+    from .index_store import IndexManifest
+
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(f"range_scan: no manifest at {path}")
+    splits = list(m.meta["splits"])
+    col = m.meta["col"]
+
+    def bin_of(v: int) -> int:
+        return sum(1 for s in splits if s <= v)
+
+    # HDR estimates are one-sided (estimate <= true value), so a value
+    # equal to a split's TRUE quantile can land one bin higher than
+    # bin_of(lo) suggests — widen by one bin each side for safety; the
+    # exact filter below makes the scan sound regardless
+    b_lo = max(0, bin_of(lo) - 1)
+    b_hi = bin_of(hi) + 1
+    wanted = [v for v in m.partitions if b_lo <= int(v) <= b_hi]
+    files = m.files_for(wanted)
+    if not files:
+        return spark.createDataFrame([], schema=f"{col} long")
+    df = spark.read.option("basePath", str(m.root)).parquet(*files)
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
