@@ -5109,6 +5109,33 @@ def q_equi_depth_histogram(spark, sf_dir):
 
 
 # ===========================================================================
+# X70: deterministic per-group sample (text/curation.py)
+# ===========================================================================
+
+@q(
+    "group_sample_docs",
+    curation.group_sample_sql(
+        "(SELECT source, doc_id FROM documents)",
+        ["source"],
+        5,
+        "doc_id",
+        cols="source, doc_id",
+    ),
+)
+def q_group_sample_docs(spark, sf_dir):
+    """X70: exact-k per-group reproducible sampling
+    (curation.group_sample) — the per-source QA-slice primitive a
+    rate-based stratified sample can't provide (tiny groups sample to
+    zero, hot groups dominate): row_number over the portable hash of
+    (salt, doc_id) within each source, keep rank <= 5; the hash
+    pins the SAMPLE SET itself across runs, partitionings, and
+    engines (twin = the same md5 arithmetic under ROW_NUMBER —
+    per-row rank equality is the check)."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id")
+    return curation.group_sample(d, ["source"], 5, "doc_id")
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

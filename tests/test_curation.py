@@ -252,3 +252,47 @@ def test_token_budget_sample_exact_nested_deterministic(spark, corpus):
 
     with pytest.raises(ValueError, match="negative"):
         curation.token_budget_sample(docs, {"a": -1}, "stratum", "n_tok", "doc_id")
+
+
+# ===========================================================================
+# X70: deterministic per-group fixed-size sample
+# ===========================================================================
+
+def test_group_sample_exact_k_and_determinism(spark):
+    import duckdb
+    import pytest
+
+    from webscrape_neko_jirushi_spark.text.curation import (
+        group_sample,
+        group_sample_sql,
+    )
+
+    rows = [(f"g{i % 4}" if i % 10 else "tiny", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id int")
+    out = group_sample(df, ["g"], 7, "id")
+    counts = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 7 for g, n in counts.items() if g != "tiny")
+    assert counts["tiny"] == 7 if sum(1 for g, _ in rows if g == "tiny") >= 7 else True
+    assert out.filter(F.col("sample_rank") > 7).count() == 0
+
+    # identical sample set across recomputation AND repartitioning
+    again = group_sample(df.repartition(13), ["g"], 7, "id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    # engine twin: the same rows with the same ranks
+    con = duckdb.connect()
+    con.register("rel", df.toPandas())
+    want = sorted(
+        (a, int(b), int(c))
+        for a, b, c in con.execute(
+            group_sample_sql("rel", ["g"], 7, "id", cols="g, id")
+        ).fetchall()
+    )
+    got = sorted((r["g"], r["id"], r["sample_rank"]) for r in out.collect())
+    assert got == want
+
+    with pytest.raises(ValueError, match="k must be"):
+        group_sample(df, ["g"], 0, "id")

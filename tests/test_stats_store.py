@@ -89,3 +89,36 @@ def test_archive_snapshot_is_consistent_and_restorable(spark, tmp_path):
     got = {r["id"] for r in spark.read.parquet(str(restored_dir)).collect()}
     assert got == set(range(100))
     assert all(n == "manifest.json" or n.startswith("data/") for n in names)
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    """X69: read_at(v) serves each version's exact committed state;
+    replaces are versioned too; expired versions raise loudly."""
+    import pytest
+
+    store = SnapshotStore(tmp_path / "tt", spark)
+    for epoch in range(1, 4):
+        df = spark.range(epoch * 10, epoch * 10 + epoch).withColumnRenamed("id", "x")
+        store.commit(epoch, appends={"t": df})
+    # v4 REPLACES the table with a 1-row state
+    store.commit(4, replaces={"t": spark.range(99, 100).withColumnRenamed("id", "x")})
+
+    def vals(v):
+        return sorted(r["x"] for r in store.read_at("t", SCHEMA, v).collect())
+
+    assert vals(1) == [10]
+    assert vals(2) == [10, 20, 21]
+    assert vals(3) == [10, 20, 21, 30, 31, 32]
+    assert vals(4) == [99]
+    assert sorted(r["x"] for r in store.read("t", SCHEMA).collect()) == [99]
+    # the versions() audit surface
+    assert [v["version"] for v in store.versions()] == [1, 2, 3, 4]
+    assert all(v["tables"] == ["t"] for v in store.versions())
+    # after expiry, old versions raise instead of serving HEAD
+    expire_snapshots(store, keep_last=1)
+    with pytest.raises(ValueError, match="expired or never committed"):
+        store.read_at("t", SCHEMA, 2)
+    assert vals(4) == [99]
+    # vacuum respects surviving-version liveness: v4's data remains
+    store.vacuum(0.0)
+    assert vals(4) == [99]

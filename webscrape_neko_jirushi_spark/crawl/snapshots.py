@@ -152,6 +152,49 @@ class SnapshotStore:
             os.close(dfd)
         return version
 
+    # -- time travel (SURVEY §2.11 X69) --------------------------------------
+    def versions(self) -> list[dict]:
+        """Every manifest version still on disk (oldest first):
+        ``{"version", "epoch", "tables": [names]}`` — the audit
+        surface ``expire_snapshots`` trims and ``read_at`` addresses.
+        """
+        out = []
+        for mp in sorted((self.root / "manifests").glob("v*.json")):
+            with open(mp) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "epoch": m["epoch"],
+                    "tables": sorted(m["tables"]),
+                }
+            )
+        return out
+
+    def read_at(
+        self, table: str, schema: T.StructType, version: int
+    ) -> DataFrame:
+        """``table`` exactly as manifest ``version`` committed it —
+        time travel (the X30 corpus-diff's natural input: diff
+        ``read_at(v1)`` vs ``read_at(v2)`` without keeping external
+        copies). Works for any version ``expire_snapshots`` has not
+        dropped and ``vacuum`` has not reclaimed; a missing version
+        raises loudly rather than silently serving HEAD."""
+        mp = self.root / "manifests" / f"v{version:06d}.json"
+        if not mp.exists():
+            raise ValueError(
+                f"read_at: version {version} not found at {self.root} "
+                "(expired or never committed)"
+            )
+        with open(mp) as f:
+            m = json.load(f)
+        dirs = m["tables"].get(table, [])
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[str(self.root / "data" / d) for d in dirs]
+        )
+
     def compact(self, table: str, schema: T.StructType, epoch: int) -> None:
         """Rewrite a many-dir table into one dir (metadata hygiene for
         long crawls); readers are unaffected (next manifest swap)."""

@@ -442,3 +442,62 @@ def curate_corpus(
         survivors.select(id_col, *[F.col(c) for c in carry_cols]), id_col
     )
     return out.withColumn("n_tokens", token_count(F.col(text_col)))
+
+
+# ===========================================================================
+# X70: deterministic per-group fixed-size sample
+# ===========================================================================
+
+def group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str,
+    salt: str = "gsamp",
+) -> DataFrame:
+    """EXACTLY ``min(k, |group|)`` rows per group, chosen uniformly
+    and REPRODUCIBLY — the per-host QA-sample / per-source eval-slice
+    primitive ``hash_stratified_sample`` can't provide (a fraction
+    keeps a *rate*, not a count: tiny groups can sample to zero, hot
+    groups still dominate). Rank = ``row_number`` over the portable
+    hash of (salt, key) within the group, keep rank <= k; the hash
+    makes the order — and therefore the SAMPLE SET — identical across
+    runs, partitionings, and engines (the twin runs the same md5
+    arithmetic), with ``key_col`` as the total-order tiebreak.
+
+    Adds ``sample_rank`` (1-based). Skew note: each group pays one
+    window sort of its own rows — bounded by the hottest group, the
+    same shape every per-group ordinal in the repo uses
+    (``reorganize.ordinal_rename``); for k=1 prefer the
+    winner-in-aggregate form (``min(struct(hash, key))``) which never
+    sorts."""
+    if k < 1:
+        raise ValueError(f"group_sample: k must be >= 1, got {k}")
+    h = portable_hash64(F.col(key_col).cast("string"), salt=salt)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def group_sample_sql(
+    rel: str,
+    group_cols: list[str],
+    k: int,
+    key_col: str,
+    salt: str = "gsamp",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`group_sample` over ``rel`` — identical
+    hash, ordering, and rank filter."""
+    h = portable_hash64_sql(f"CAST({key_col} AS VARCHAR)", salt=salt)
+    gb = ", ".join(group_cols)
+    return f"""
+      SELECT {cols}, sample_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY {gb} ORDER BY {h} ASC, {key_col} ASC
+        ) AS sample_rank
+        FROM {rel}
+      ) WHERE sample_rank <= {int(k)}
+    """
