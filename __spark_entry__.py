@@ -5136,6 +5136,71 @@ def q_group_sample_docs(spark, sf_dir):
 
 
 # ===========================================================================
+# X71: adaptive per-host politeness (crawl/politeness.py AIMD)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.crawl.politeness import (  # noqa: E402
+    adaptive_host_delays,
+    adaptive_host_delays_sql,
+)
+
+_AIMD_BUDGET_SQL = """
+      SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+             10 AS max_per_epoch,
+             CAST(500 + (user_id % 50) * 33 AS BIGINT) AS min_delay_ms
+      FROM events GROUP BY user_id % 50
+"""
+_AIMD_LOG_SQL = """
+      SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+             CASE event_type WHEN 'error' THEN 500
+                             WHEN 'purchase' THEN 429
+                             ELSE 200 END AS status_code,
+             CAST(NULL AS VARCHAR) AS error
+      FROM events
+"""
+
+
+@q(
+    "adaptive_politeness_delays",
+    f"""
+    WITH b AS ({_AIMD_BUDGET_SQL}), l AS ({_AIMD_LOG_SQL})
+    {adaptive_host_delays_sql("b", "l", backoff_num=3, backoff_den=2)}
+    """,
+)
+def q_adaptive_politeness_delays(spark, sf_dir):
+    """X71: AIMD per-host delay controller
+    (politeness.adaptive_host_delays) — the feedback loop the
+    reference's fixed 5s sleep can't express: hosts whose last-epoch
+    error share (5xx/429/transport) exceeds 10% back off
+    multiplicatively (3/2, integer `div` — floor-division on BOTH
+    engines; double-division-then-cast would diverge, Spark
+    truncates where DuckDB rounds), clean hosts probe down
+    additively to the polite floor, mixed/no-traffic hosts hold.
+    ALL-INTEGER arithmetic (error share as 1000*n_err > thr*n) ⇒
+    bit-identical controller on any engine/partitioning. Budget and
+    log synthesized identically on both sides from events."""
+    e = load(spark, sf_dir, "events")
+    budget = (
+        e.groupBy((F.col("user_id") % 50).alias("_h"))
+        .agg(F.count("*").alias("_drop"))
+        .select(
+            F.concat(F.lit("h"), F.col("_h").cast("string")).alias("host"),
+            F.lit(10).alias("max_per_epoch"),
+            (500 + F.col("_h") * 33).cast("long").alias("min_delay_ms"),
+        )
+    )
+    log = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.when(F.col("event_type") == "error", 500)
+        .when(F.col("event_type") == "purchase", 429)
+        .otherwise(200)
+        .alias("status_code"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    return adaptive_host_delays(budget, log, backoff_num=3, backoff_den=2)
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

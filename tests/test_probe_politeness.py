@@ -308,3 +308,57 @@ def test_complete_pipeline_precondition_failure(spark, tmp_path):
     result = CompletePipeline(eng, max_epochs=2).run()
     assert result.stages_completed["scraping"] is False
     assert result.errors and "precondition" in result.errors[0]
+
+
+# ===========================================================================
+# X71: adaptive per-host politeness (AIMD)
+# ===========================================================================
+
+def test_adaptive_delays_semantics_and_twin(spark):
+    import duckdb
+    import pytest
+
+    from webscrape_neko_jirushi_spark.crawl.politeness import (
+        adaptive_host_delays,
+        adaptive_host_delays_sql,
+    )
+
+    budget = spark.createDataFrame(
+        [("bad", 10, 1001), ("good", 10, 1001), ("mixed", 10, 1001),
+         ("idle", 10, 777), ("capped", 10, 50_000), ("floored", 10, 520)],
+        "host string, max_per_epoch int, min_delay_ms long",
+    )
+    log_rows = (
+        [("bad", 500, None)] * 3 + [("bad", 200, None)] * 2          # 60% err
+        + [("good", 200, None)] * 5                                   # clean
+        + [("mixed", 200, None)] * 19 + [("mixed", None, "timeout")]  # 5% err
+        + [("capped", 429, None)] * 5
+        + [("floored", 200, None)] * 4
+    )
+    log = spark.createDataFrame(log_rows, "host string, status_code int, error string")
+    out = {
+        r["host"]: r["min_delay_ms"]
+        for r in adaptive_host_delays(
+            budget, log, backoff_num=3, backoff_den=2
+        ).collect()
+    }
+    assert out["bad"] == 1001 * 3 // 2      # multiplicative backoff, floor-div
+    assert out["good"] == 1001 - 100        # additive probe
+    assert out["mixed"] == 1001             # 5% < 10% threshold, has errors: hold
+    assert out["idle"] == 777               # no traffic: hold
+    assert out["capped"] == 60_000          # cap binds
+    assert out["floored"] == 500            # floor binds (520-100 -> 500)
+
+    con = duckdb.connect()
+    con.register("b", budget.toPandas())
+    con.register("l", log.toPandas())
+    want = {
+        h: int(d)
+        for h, _m, d in con.execute(
+            adaptive_host_delays_sql("b", "l", backoff_num=3, backoff_den=2)
+        ).fetchall()
+    }
+    assert out == want
+
+    with pytest.raises(ValueError, match="backoff"):
+        adaptive_host_delays(budget, log, backoff_num=1)

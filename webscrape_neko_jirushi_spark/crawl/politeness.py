@@ -231,3 +231,109 @@ def robots_allowed(url: Column, host: Column, robots_map: dict[str, list[str]], 
     """One-shot form of ``robots_allowed_bc`` (broadcasts per call —
     fine for tests/ad hoc use; the engine holds one broadcast)."""
     return robots_allowed_bc(url, host, spark.sparkContext.broadcast(robots_map))
+
+
+# ===========================================================================
+# X71: adaptive per-host politeness (AIMD controller)
+# ===========================================================================
+
+def adaptive_host_delays(
+    host_budget: DataFrame,
+    fetch_log: DataFrame,
+    err_threshold_milli: int = 100,
+    backoff_num: int = 2,
+    backoff_den: int = 1,
+    decrease_ms: int = 100,
+    floor_ms: int = 500,
+    cap_ms: int = 60_000,
+) -> DataFrame:
+    """Next epoch's ``min_delay_ms`` per host from the last epoch's
+    outcomes — the feedback loop the reference's FIXED 5s sleep
+    (comprehensive_scraper.py politeness constant) can't express: a
+    struggling host (5xx/429/errors) needs MORE spacing, a healthy one
+    tolerates less. Classic AIMD, inverted for delays (delay ~ 1/rate):
+
+    - error share > ``err_threshold_milli``/1000 → multiplicative
+      backoff: ``delay * backoff_num / backoff_den`` (integer,
+      capped at ``cap_ms``);
+    - zero errors → additive probe: ``delay - decrease_ms``
+      (floored at ``floor_ms`` — never below the polite minimum);
+    - otherwise hold.
+
+    ALL-INTEGER arithmetic (the error share compares ``1000 * n_err >
+    threshold * n`` — no float division anywhere), so the controller
+    is bit-identical on any engine and partitioning. One hash
+    aggregate over the fetch log + a broadcast-sized join with the
+    budget table; hosts with no traffic keep their delay untouched.
+    Errors counted: transport errors (``error`` non-null), HTTP 429,
+    and 5xx. Returns the full ``host_budget`` row set with the
+    updated ``min_delay_ms``.
+    """
+    if backoff_num <= backoff_den:
+        raise ValueError(
+            "adaptive_host_delays: backoff_num/backoff_den must be > 1 "
+            f"(got {backoff_num}/{backoff_den})"
+        )
+    is_err = (
+        F.col("error").isNotNull()
+        | (F.col("status_code") == 429)
+        | (F.col("status_code") >= 500)
+    ).cast("long")
+    stats = fetch_log.groupBy("host").agg(
+        F.count("*").alias("_n"), F.sum(is_err).alias("_n_err")
+    )
+    j = host_budget.join(stats, "host", "left")
+    d = F.col("min_delay_ms")
+    # integer `div`, NOT double division + cast: Spark's long cast
+    # truncates where DuckDB's rounds — div floors on both engines
+    backed_off = F.least(
+        F.lit(int(cap_ms)).cast("long"),
+        F.expr(f"(min_delay_ms * {int(backoff_num)}) div {int(backoff_den)}"),
+    )
+    probed = F.greatest(F.lit(int(floor_ms)).cast("long"), d - decrease_ms)
+    new_delay = (
+        F.when(F.col("_n").isNull(), d)  # no traffic: hold
+        .when(1000 * F.col("_n_err") > int(err_threshold_milli) * F.col("_n"), backed_off)
+        .when(F.col("_n_err") == 0, probed)
+        .otherwise(d)
+    )
+    return j.select(
+        "host",
+        "max_per_epoch",
+        new_delay.cast("long").alias("min_delay_ms"),
+    )
+
+
+def adaptive_host_delays_sql(
+    budget_rel: str,
+    log_rel: str,
+    err_threshold_milli: int = 100,
+    backoff_num: int = 2,
+    backoff_den: int = 1,
+    decrease_ms: int = 100,
+    floor_ms: int = 500,
+    cap_ms: int = 60_000,
+) -> str:
+    """DuckDB twin — the identical integer arithmetic (`//` is the
+    integer-div twin of Spark's `div`; both floor, and delays are
+    non-negative — double division + cast would DIVERGE, Spark's
+    long cast truncates where DuckDB's rounds)."""
+    return f"""
+      SELECT b.host, b.max_per_epoch,
+        CAST(CASE
+          WHEN s._n IS NULL THEN b.min_delay_ms
+          WHEN 1000 * s._n_err > {int(err_threshold_milli)} * s._n THEN
+            least(CAST({int(cap_ms)} AS BIGINT),
+                  (b.min_delay_ms * {int(backoff_num)}) // {int(backoff_den)})
+          WHEN s._n_err = 0 THEN
+            greatest(CAST({int(floor_ms)} AS BIGINT),
+                     b.min_delay_ms - {int(decrease_ms)})
+          ELSE b.min_delay_ms
+        END AS BIGINT) AS min_delay_ms
+      FROM {budget_rel} b LEFT JOIN (
+        SELECT host, COUNT(*) AS _n,
+               CAST(SUM(CASE WHEN error IS NOT NULL OR status_code = 429
+                          OR status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS _n_err
+        FROM {log_rel} GROUP BY host
+      ) s ON s.host = b.host
+    """
