@@ -148,6 +148,14 @@ QUERIES = [
     # DEDUP_SCALE's merge/scd2/redirect legs.
     "inverted_term_stats",
     "pmi_collocations",
+    # X68/X70 read only documents: the HDR bucket law and the window
+    # rank both get their 10x check (bucket saturation and rank-hash
+    # ties are exactly the one-tier-up failure modes). The X58/59/
+    # 62-67/71 driver rows read orders/customer/lineitem/events
+    # (absent here) — their 10x evidence is DEDUP_SCALE's merge/scd2/
+    # redirect/fuzzy legs.
+    "equi_depth_histogram",
+    "group_sample_docs",
 ]
 
 

@@ -96,7 +96,7 @@ def pmi_collocations(
     pairs = cooccurrence_pairs(documents, window, id_col, text_col)
     uni = post.groupBy("term").agg(F.count("*").alias("cf"))
     totals = post.agg(F.count("*").alias("n_tok")).crossJoin(
-        pairs.agg(F.sum("cnt").alias("n_pairs"))
+        F.broadcast(pairs.agg(F.sum("cnt").alias("n_pairs")))
     )
     ua = uni.select(F.col("term").alias("term_a"), F.col("cf").alias("cf_a"))
     ub = uni.select(F.col("term").alias("term_b"), F.col("cf").alias("cf_b"))
