@@ -95,8 +95,19 @@ def pmi_collocations(
     post = postings(documents, id_col, text_col)
     pairs = cooccurrence_pairs(documents, window, id_col, text_col)
     uni = post.groupBy("term").agg(F.count("*").alias("cf"))
-    totals = post.agg(F.count("*").alias("n_tok")).crossJoin(
-        F.broadcast(pairs.agg(F.sum("cnt").alias("n_pairs")))
+    # W in CLOSED FORM from per-doc token counts — a length-L doc
+    # contributes t(t+1)/2 + w*max(0, L-1-w) ordered pairs
+    # (t = min(w, L-1)): one light aggregate over the postings, never
+    # an execution of the pair table itself (measured: the
+    # SUM(cnt)-over-pairs form re-ran the heavy explode+join subtree
+    # just to produce one scalar — ~2x the whole query at 100x)
+    L = F.col("_L")
+    t = F.least(F.lit(window), L - 1)
+    per_doc = (t * (t + 1) / 2).cast("long") + window * F.greatest(
+        F.lit(0).cast("long"), L - 1 - window
+    )
+    totals = post.groupBy("doc_id").agg(F.count("*").alias("_L")).agg(
+        F.sum("_L").alias("n_tok"), F.sum(per_doc).alias("n_pairs")
     )
     ua = uni.select(F.col("term").alias("term_a"), F.col("cf").alias("cf_a"))
     ub = uni.select(F.col("term").alias("term_b"), F.col("cf").alias("cf_b"))
@@ -129,8 +140,16 @@ def pmi_sql_ctes(window: int = 3, min_count: int = 5) -> str:
     ),
     uni AS (SELECT term, COUNT(*) AS cf FROM post GROUP BY term),
     totals AS (
-      SELECT (SELECT COUNT(*) FROM post) AS n_tok,
-             (SELECT CAST(SUM(cnt) AS BIGINT) FROM pairs) AS n_pairs
+      -- W in closed form (twin of the Spark side: t(t+1)/2 exact ->
+      -- BIGINT cast is round==truncate-safe on the even product)
+      SELECT CAST(SUM(_L) AS BIGINT) AS n_tok,
+             CAST(SUM(CAST(t * (t + 1) / 2 AS BIGINT)
+                      + {int(window)} * greatest(CAST(0 AS BIGINT), _L - 1 - {int(window)})) AS BIGINT) AS n_pairs
+      FROM (
+        SELECT COUNT(*) AS _L,
+               least({int(window)}, COUNT(*) - 1) AS t
+        FROM post GROUP BY doc_id
+      ) wt
     ),
     pmi AS (
       SELECT p.term_a, p.term_b, p.cnt,
