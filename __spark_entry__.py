@@ -5201,6 +5201,154 @@ def q_adaptive_politeness_delays(spark, sf_dir):
 
 
 # ===========================================================================
+# X72: CDX capture-index source (sources/cdx.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.sources import cdx as cdx_src  # noqa: E402
+
+# Deterministic CDX-11 lines synthesized from documents in BOTH
+# engines: every doc gets one capture; every 3rd a second (later)
+# capture whose digest changes only for every 6th (the rest are
+# WARC revisits); every 97th also emits a malformed line to
+# exercise the validity guard. URL spelling is deliberately dirty
+# (uppercase, www, :443, fragment) so latest_captures groups on the
+# SURT key, not the raw string.
+_CDX_LINES_SQL = """(
+  SELECT concat_ws(' ', '-',
+      printf('%014d', 20200000000000 + (doc_id * 37) % 86400),
+      'HTTPS://WWW.' || source || '.Example:443/Item/'
+        || CAST(doc_id AS VARCHAR)
+        || CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END,
+      CASE doc_id % 4 WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/jpeg'
+                      WHEN 2 THEN 'application/pdf' ELSE '-' END,
+      CASE WHEN doc_id % 7 = 0 THEN '404' ELSE '200' END,
+      substr(md5(text), 1, 12), '-', '-',
+      CAST(n_chars AS VARCHAR), CAST(doc_id * 1000 + 17 AS VARCHAR),
+      'crawl-' || CAST(doc_id % 3 AS VARCHAR) || '.warc.gz') AS line
+  FROM documents
+  UNION ALL
+  SELECT concat_ws(' ', '-',
+      printf('%014d', 20200000000000 + 86400 + (doc_id * 53) % 86400),
+      'HTTPS://WWW.' || source || '.Example:443/Item/'
+        || CAST(doc_id AS VARCHAR)
+        || CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END,
+      CASE doc_id % 4 WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/jpeg'
+                      WHEN 2 THEN 'application/pdf' ELSE '-' END,
+      '200',
+      CASE WHEN doc_id % 6 = 0 THEN substr(md5('v2' || text), 1, 12)
+           ELSE substr(md5(text), 1, 12) END, '-', '-',
+      CAST(n_chars AS VARCHAR), CAST(doc_id * 1000 + 555 AS VARCHAR),
+      'crawl-' || CAST(doc_id % 3 AS VARCHAR) || '.warc.gz') AS line
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'garbage ' || CAST(doc_id AS VARCHAR) AS line
+  FROM documents WHERE doc_id % 97 = 0
+)"""
+
+_CDX_CAPS_SQL = (
+    f"(SELECT * REPLACE ({cdx_src.surt_key_sql('url')} AS urlkey)"
+    f" FROM ({cdx_src.parse_cdx_sql(_CDX_LINES_SQL)}) p WHERE valid)"
+)
+
+
+def _cdx_lines(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example:443/Item/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    mime = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("text/html"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("image/jpeg"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("application/pdf"))
+        .otherwise(F.lit("-"))
+    )
+    fname = F.concat(
+        F.lit("crawl-"), (F.col("doc_id") % 3).cast("string"), F.lit(".warc.gz")
+    )
+    c0 = d.select(
+        F.concat_ws(
+            " ",
+            F.lit("-"),
+            F.format_string(
+                "%014d", F.lit(20200000000000) + (F.col("doc_id") * 37) % 86400
+            ),
+            url,
+            mime,
+            F.when(F.col("doc_id") % 7 == 0, F.lit("404")).otherwise(F.lit("200")),
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 12),
+            F.lit("-"),
+            F.lit("-"),
+            F.col("n_chars").cast("string"),
+            (F.col("doc_id") * 1000 + 17).cast("string"),
+            fname,
+        ).alias("line")
+    )
+    c1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat_ws(
+            " ",
+            F.lit("-"),
+            F.format_string(
+                "%014d",
+                F.lit(20200000000000 + 86400) + (F.col("doc_id") * 53) % 86400,
+            ),
+            url,
+            mime,
+            F.lit("200"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.substring(
+                    F.md5(F.concat(F.lit("v2"), F.col("text")).cast("binary")), 1, 12
+                ),
+            ).otherwise(F.substring(F.md5(F.col("text").cast("binary")), 1, 12)),
+            F.lit("-"),
+            F.lit("-"),
+            F.col("n_chars").cast("string"),
+            (F.col("doc_id") * 1000 + 555).cast("string"),
+            fname,
+        ).alias("line")
+    )
+    junk = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("garbage "), F.col("doc_id").cast("string")).alias("line")
+    )
+    return c0.unionAll(c1).unionAll(junk)
+
+
+def _cdx_captures(spark, sf_dir):
+    parsed = cdx_src.parse_cdx(_cdx_lines(spark, sf_dir))
+    return parsed.filter("valid").withColumn(
+        "urlkey", cdx_src.surt_key(F.col("url"))
+    )
+
+
+@q("cdx_latest_captures", cdx_src.latest_captures_sql(_CDX_CAPS_SQL))
+def q_cdx_latest_captures(spark, sf_dir):
+    """X72: CDX-11 capture-index parse + SURT canonicalization +
+    latest-capture-per-urlkey (sources/cdx.py) — the Common-Crawl-
+    index analog of the reference's output-directory walk
+    (data_manager.py): dirty URL spellings collapse onto one SURT
+    key, the winner is selected INSIDE one hash aggregate
+    (max(struct(ts, offset, filename, payload...)) — no window over
+    the revisit-hot urlkey), and malformed lines are guarded out by
+    the parse validity flag. Twin = same regex strings + ROW_NUMBER."""
+    return cdx_src.latest_captures(_cdx_captures(spark, sf_dir))
+
+
+@q("cdx_revisit_report", cdx_src.revisit_report_sql(_CDX_CAPS_SQL))
+def q_cdx_revisit_report(spark, sf_dir):
+    """X72: capture-index revisit economics (sources/cdx.py) — one
+    multi-count-distinct aggregate (Expand, skew-safe) over the
+    parsed captures: how many captures re-stored an already-seen
+    digest (the bytes a deduplicating WARC store saves). Planted
+    rate: every 3rd doc has a second capture, digest changed only
+    for every 6th -> revisit_ratio pinned by construction."""
+    return cdx_src.revisit_report(_cdx_captures(spark, sf_dir))
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
