@@ -5349,6 +5349,81 @@ def q_cdx_revisit_report(spark, sf_dir):
 
 
 # ===========================================================================
+# X73: leakage-safe split (text/splits.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.text import splits as splits_mod  # noqa: E402
+
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+# Duplicate families from exact text dedup (X1): cluster label =
+# min(doc_id) of each md5-identical group with >1 member.
+_SPLIT_CLUSTERS_SQL = """(
+  SELECT d.doc_id, m.cluster_id
+  FROM documents d
+  JOIN (SELECT md5(text) AS k, MIN(doc_id) AS cluster_id, COUNT(*) AS c
+        FROM documents GROUP BY md5(text)) m ON md5(d.text) = m.k
+  WHERE m.c > 1
+)"""
+
+_SPLIT_ASSIGN_SQL = splits_mod.leakage_safe_split_sql(
+    "(SELECT doc_id, source, n_chars FROM documents)",
+    _SPLIT_FRACS,
+    clusters_expr=_SPLIT_CLUSTERS_SQL,
+    cols="d.doc_id, d.source, d.n_chars",
+)
+
+
+def _split_assign(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    k = F.md5(F.col("text").cast("binary"))
+    groups = (
+        d.select(k.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("cluster_id"), F.count("*").alias("c"))
+        .filter("c > 1")
+    )
+    clusters = (
+        d.select("doc_id", k.alias("k"))
+        .join(groups, "k")
+        .select("doc_id", "cluster_id")
+    )
+    return splits_mod.leakage_safe_split(
+        d.select("doc_id", "source", "n_chars"),
+        _SPLIT_FRACS,
+        clusters=clusters,
+    )
+
+
+@q("leakage_safe_split_assign", _SPLIT_ASSIGN_SQL)
+def q_leakage_safe_split_assign(spark, sf_dir):
+    """X73: leakage-safe train/val/test assignment
+    (splits.leakage_safe_split) — the eval-contamination guard the
+    reference's single training pool never needs: the split key is
+    the hash of the DUPLICATE GROUP (exact-dup families from X1's
+    md5 grouping), so a near-dup family moves into one split as a
+    unit; band boundaries are integer literals shared verbatim with
+    the twin, assignment is a map-side CASE after one broadcastable
+    label join — no corpus shuffle, no RNG, partitioning-independent."""
+    return _split_assign(spark, sf_dir)
+
+
+@q(
+    "leakage_split_report",
+    splits_mod.split_report_sql(f"({_SPLIT_ASSIGN_SQL})", token_col="n_chars"),
+)
+def q_leakage_split_report(spark, sf_dir):
+    """X73: split acceptance report (splits.split_report) — per-split
+    doc/group/token tallies plus the leakage audit as data:
+    leaked_groups counts groups spanning more than one split,
+    structurally 0 for the hash assignment (and the oracle recomputes
+    the same audit from scratch)."""
+    return splits_mod.split_report(
+        _split_assign(spark, sf_dir), token_col="n_chars"
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
