@@ -5424,6 +5424,48 @@ def q_leakage_split_report(spark, sf_dir):
 
 
 # ===========================================================================
+# X74: winnowing fingerprints (text/winnowing.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.text import winnowing as winnow_mod  # noqa: E402
+
+_WINNOW_DOCS_SQL = "(SELECT doc_id, text FROM documents)"
+_WINNOW_FPS_SQL = winnow_mod.winnow_fingerprints_sql(_WINNOW_DOCS_SQL, k=8, w=4)
+
+
+@q("winnow_fingerprints_docs", _WINNOW_FPS_SQL)
+def q_winnow_fingerprints_docs(spark, sf_dir):
+    """X74: winnowing fingerprints (winnowing.winnow_fingerprints;
+    MOSS, SIGMOD'03) — the POSITIONAL near-dup signature minhash
+    can't give: rightmost-minimal k-gram hash of every w-window,
+    selected by ONE window-min over a packed 60-bit (hash, flipped
+    pos) int64 (struct-min in a moving frame is not engine-portable;
+    integer `div` decode — `/`+cast double-rounds above 2^53). One
+    shuffle, no Python; twin = the same pack/min/decode arithmetic."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_mod.winnow_fingerprints(d, k=8, w=4)
+
+
+@q(
+    "winnow_overlap_pairs",
+    winnow_mod.fingerprint_overlap_sql(
+        f"({_WINNOW_FPS_SQL})", min_shared=3, max_bucket=64
+    ),
+)
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """X74: fingerprint-overlap candidate pairs
+    (winnowing.fingerprint_overlap) — equi-join on fingerprint hash
+    over per-doc DISTINCT hashes with a max_bucket=64 star cap on
+    ubiquitous hashes (boilerplate phrases; the X3 recall trade,
+    visible in the data: at sf0.1 the cap prunes the vocab-shared
+    grams and pair count DROPS vs sf0.01), then one count aggregate;
+    shared >= 3 survives. Cost = sum(bucket^2), never corpus^2."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_mod.winnow_fingerprints(d, k=8, w=4)
+    return winnow_mod.fingerprint_overlap(fps, min_shared=3, max_bucket=64)
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
