@@ -5466,6 +5466,29 @@ def q_winnow_overlap_pairs(spark, sf_dir):
 
 
 # ===========================================================================
+# X75: exact heavy hitters via Misra-Gries (operators/heavyhitters.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import heavyhitters as hh_mod  # noqa: E402
+
+
+@q("heavy_hitters_users", hh_mod.heavy_hitters_sql("events", "user_id", m=10))
+def q_heavy_hitters_users(spark, sf_dir):
+    """X75: exact top-10 users by event count via the Misra-Gries
+    candidate pass (heavyhitters.heavy_hitters_exact) — per-partition
+    k=4096 bounded summaries (batch-wise value_counts merge, the
+    mergeable-summaries reduce), tiny sketch-row shuffle, broadcast
+    exact-verify, plan-embedded certification (m-th count > total
+    decrement D, else raise_error). The full-cardinality groupBy the
+    sketch avoids at 10^9-key scale IS the DuckDB oracle; tie-break
+    (cnt DESC, user_id ASC) is total so the certified set is
+    deterministic."""
+    return hh_mod.heavy_hitters_exact(
+        load(spark, sf_dir, "events"), "user_id", m=10, k=4096
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
