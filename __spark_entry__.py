@@ -5489,6 +5489,68 @@ def q_heavy_hitters_users(spark, sf_dir):
 
 
 # ===========================================================================
+# X76: bottom-k source-overlap sketches (text/overlap.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.text import overlap as ov_mod  # noqa: E402
+
+_OV_K = 128
+_OV_SRC_H_SQL = f"({ov_mod.source_shingle_hashes_sql('documents', k_shingle=5)})"
+_OV_SIGS_SQL = f"({ov_mod.bottomk_signatures_sql(_OV_SRC_H_SQL, k=_OV_K)})"
+
+
+@q(
+    "source_overlap_sketch",
+    ov_mod.source_overlap_bottomk_sql(_OV_SIGS_SQL, k=_OV_K),
+)
+def q_source_overlap_sketch(spark, sf_dir):
+    """X76: pairwise source-overlap estimates from bottom-k (KMV)
+    shingle sketches (overlap.source_overlap_bottomk) — the mixture-
+    design primitive: k=128 smallest portable shingle hashes per
+    source (EXACT lossless map-side prune bounds the ranking shuffle
+    at k x tasks x sources rows, never the corpus's distinct-shingle
+    count), then per pair the k' = min(k, |union|) union-minima and
+    |both| / k'. Deterministic sketch (k-minimum-VALUES, not a
+    sample), so the DuckDB twin matches cell-for-cell."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    sh = ov_mod.source_shingle_hashes(d, k_shingle=5)
+    return ov_mod.source_overlap_bottomk(
+        ov_mod.bottomk_signatures(sh, k=_OV_K), k=_OV_K
+    )
+
+
+@q(
+    "source_overlap_exact",
+    f"""
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_inter
+      FROM {_OV_SRC_H_SQL} a JOIN {_OV_SRC_H_SQL} b USING (h)
+      WHERE a.source < b.source
+      GROUP BY a.source, b.source
+    ) i
+    JOIN (SELECT source, COUNT(*) AS n FROM {_OV_SRC_H_SQL} GROUP BY source) sa
+      ON sa.source = i.source_a
+    JOIN (SELECT source, COUNT(*) AS n FROM {_OV_SRC_H_SQL} GROUP BY source) sb
+      ON sb.source = i.source_b
+    """,
+)
+def q_source_overlap_exact(spark, sf_dir):
+    """X76: exact pairwise source Jaccard over the full distinct
+    shingle-hash sets (overlap.source_overlap_exact) — the estimator's
+    ground truth and the small-corpus path: equi-join on h (never
+    all-pairs of shingles), |A u B| by inclusion-exclusion from
+    broadcast per-source sizes. Pairs with zero intersection don't
+    appear (no join row) — same on both sides."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    return ov_mod.source_overlap_exact(
+        ov_mod.source_shingle_hashes(d, k_shingle=5)
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
