@@ -34,7 +34,13 @@ def _no_auto_broadcast(spark):
         yield
     finally:
         for k, v in old.items():
-            if v is not None:
+            # unset keys that had no explicit value: leaving -1 set
+            # leaks "auto-broadcast off" into every later test in the
+            # session (it flipped fuzzy_name_pairs' sketch-side join
+            # to CartesianProduct in the full-suite sweep once)
+            if v is None:
+                spark.conf.unset(k)
+            else:
                 spark.conf.set(k, v)
 
 

@@ -153,8 +153,12 @@ def fuzzy_self_pairs(
     t2 = tiny.select(
         F.col("_tid").alias("_tid2"), F.col("_ts").alias("_ts2"), "_k"
     )
+    # pin the broadcast: the constant `_k` folds away, turning this
+    # into a cross join — hinted it plans as BNLJ over the bounded
+    # tiny class even when auto-broadcast is disabled session-wide
+    # (unhinted it degraded to CartesianProduct under that conf)
     tiny_pairs = (
-        tiny.join(t2, "_k")
+        tiny.join(F.broadcast(t2), "_k")
         .filter(F.col("_tid") < F.col("_tid2"))
         .select(
             F.col("_tid").alias("id_a"),
