@@ -5551,6 +5551,47 @@ def q_source_overlap_exact(spark, sf_dir):
 
 
 # ===========================================================================
+# X77: rendezvous (HRW) consistent assignment (crawl/assign.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.crawl import assign as rz_mod  # noqa: E402
+
+_RZ_WORKERS = [f"fetcher-{i}" for i in range(8)]
+
+
+@q(
+    "rendezvous_assignment",
+    f"""
+    SELECT {rz_mod.rendezvous_assign_sql('user_id', _RZ_WORKERS)},
+           COUNT(*) AS n_keys
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) k
+    GROUP BY worker
+    """,
+)
+def q_rendezvous_assignment(spark, sf_dir):
+    """X77: rendezvous/HRW owner per crawl key (assign.
+    rendezvous_assign) — the coordination-free host->fetcher map:
+    argmax over 8 workers of the 50-bit portable hash of key|worker,
+    packed score*W+i and resolved by ONE greatest(...) projection
+    (zero shuffle, zero Python, whole-stage codegen); removing a
+    worker provably reassigns only its own keys (pytest-gated), which
+    is what keeps per-host politeness state alive across fleet
+    changes. Query = per-worker key counts over the distinct user_id
+    keyspace; the twin runs the identical packed-argmax arithmetic."""
+    keys = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        rz_mod.rendezvous_assign(keys, "user_id", _RZ_WORKERS)
+        .groupBy("worker")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
