@@ -5592,6 +5592,97 @@ def q_rendezvous_assignment(spark, sf_dir):
 
 
 # ===========================================================================
+# X78: interleaved-doc caption mining (operators/interleave.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import interleave as il_mod  # noqa: E402
+
+# interleaved-span analog of the input_hint shape, built from lineitem
+# in lockstep (kind by l_linenumber % 3, text/media payloads from the
+# line's keys — deterministic on both engines)
+# offset = dense per-doc ordinal over the UNIQUE (l_linenumber,
+# l_partkey, l_suppkey) order — the testdata has duplicate
+# (orderkey, linenumber) rows, and the span contract (enforced by a
+# loud guard in the operator) requires one span per position
+_IL_FLAT_SQL = """(
+  SELECT l_orderkey AS doc_id,
+         CASE WHEN l_linenumber % 3 = 0 THEN 'image' ELSE 'text' END AS kind,
+         CASE WHEN l_linenumber % 3 <> 0
+              THEN 'item ' || CAST(l_partkey AS VARCHAR) || ' ' || l_returnflag
+         END AS text,
+         CASE WHEN l_linenumber % 3 = 0
+              THEN 'img://' || CAST(l_partkey AS VARCHAR)
+         END AS media_ref,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey
+         ) AS INTEGER) AS "offset"
+  FROM lineitem)"""
+
+
+def _interleaved_docs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    is_img = F.col("l_linenumber") % 3 == 0
+    flat = li.select(
+        F.col("l_orderkey").alias("doc_id"),
+        F.when(is_img, F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+        F.when(
+            ~is_img,
+            F.concat(
+                F.lit("item "),
+                F.col("l_partkey").cast("string"),
+                F.lit(" "),
+                F.col("l_returnflag"),
+            ),
+        ).alias("text"),
+        F.when(
+            is_img, F.concat(F.lit("img://"), F.col("l_partkey").cast("string"))
+        ).alias("media_ref"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                "l_linenumber", "l_partkey", "l_suppkey"
+            )
+        )
+        .cast("int")
+        .alias("offset"),
+    )
+    # array order is irrelevant (the miner orders by offset in-window)
+    return flat.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("kind", "text", "media_ref", "offset")
+        ).alias("spans")
+    )
+
+
+@q("interleaved_captions", il_mod.mine_captions_sql(_IL_FLAT_SQL, max_gap=2))
+def q_interleaved_captions(spark, sf_dir):
+    """X78: image-caption pair mining over interleaved span documents
+    (interleave.mine_captions) — the OBELICS/Flamingo-style
+    construction on the input_hint's exact shape: nearest text span
+    per media span via FOUR scalar window exprs over ONE (doc_id,
+    offset) window (no structs in frames — the X74 portability rule),
+    closer side wins, ties -> before, gap <= 2. One explode, one
+    window shuffle, zero Python; the twin runs identical IGNORE
+    NULLS frames."""
+    return il_mod.mine_captions(_interleaved_docs(spark, sf_dir), max_gap=2)
+
+
+@q(
+    "interleave_profile",
+    il_mod.interleave_stats_sql(_IL_FLAT_SQL, max_gap=2),
+)
+def q_interleave_profile(spark, sf_dir):
+    """X78: per-doc interleaving structure profile
+    (interleave.interleave_stats) — span counts by kind, kind-
+    transition count (lag over the same window spec), and
+    n_captioned = media spans with a text neighbor within gap 2.
+    The corpus-QA face: 'interleaved' mixtures that profile as
+    alt-text scraping are caught here before training."""
+    return il_mod.interleave_stats(_interleaved_docs(spark, sf_dir), max_gap=2)
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

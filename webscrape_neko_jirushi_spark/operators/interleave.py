@@ -1,0 +1,253 @@
+"""Interleaved-document span operators: caption mining + structure
+stats (SURVEY.md §2.11 X78).
+
+The input contract's payload IS interleaved documents —
+``(doc_id, spans: array<struct<kind, text, media_ref, offset>>)``
+(BASELINE.json input_hint) — and the highest-value training-data
+derivation over that shape is image-text pair mining: for every media
+span, the nearest text span is its caption candidate (the
+OBELICS/Flamingo-style construction; the reference's analog is pairing
+each downloaded image with the profile description scraped next to it,
+`comprehensive_scraper.py` name/desc + image loop).
+
+- :func:`mine_captions` — explode spans once, then FOUR window
+  expressions over ONE (doc_id, offset) window spec: nearest text
+  span strictly before (``last(..., ignorenulls)`` over
+  (-inf, -1]) and strictly after (``first(...)`` over [+1, +inf)),
+  each as separate scalar columns (no structs inside window frames —
+  the X74 portability rule). Media rows pick the closer side by
+  offset gap, ties to BEFORE (captions precede their image more often
+  than not in extracted web text, and the tie must be deterministic);
+  ``max_gap`` drops pairs separated by more than that many spans.
+  One shuffle (the per-doc window), zero Python.
+- :func:`interleave_stats` — per-doc structure profile: span counts
+  by kind, text->media transition count (a lag over the same window
+  spec), and media coverage = fraction of media spans that found a
+  caption within ``max_gap``. The corpus-QA face: a mixture that
+  claims "interleaved" but profiles as 0.9 media-coverage-at-gap-1 is
+  alt-text scraping, not interleaving.
+
+Both twins run the identical window arithmetic (DuckDB
+``IGNORE NULLS`` frames match Spark's ``ignorenulls=True``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exploded(docs: DataFrame, id_col: str, spans_col: str) -> DataFrame:
+    sp = F.explode(spans_col).alias("s")
+    return docs.select(id_col, sp).select(
+        id_col,
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def _offset_guard(id_col: str):
+    """Contract enforcement: a span SEQUENCE has one span per
+    position. Duplicate (doc, offset) makes every window peer order
+    engine-/run-dependent, so it must fail loudly, never return a
+    nondeterministic caption. Peer count via a RANGE(0,0) frame over
+    the SAME (doc, offset) window — no extra shuffle."""
+    peers = F.count("*").over(
+        Window.partitionBy(id_col).orderBy("offset").rangeBetween(0, 0)
+    )
+    return F.when(
+        peers > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("interleave: duplicate span offset in doc "),
+                F.col(id_col).cast("string"),
+                F.lit(" at offset "),
+                F.col("offset").cast("string"),
+            )
+        ),
+    )
+
+
+def mine_captions(
+    docs: DataFrame,
+    max_gap: int = 3,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    media_kind: str = "image",
+    text_kind: str = "text",
+) -> DataFrame:
+    """(doc_id, media_ref, offset, caption, gap, side) — one row per
+    media span that has a text span within ``max_gap`` positions;
+    ``side`` is 'before'/'after' (ties -> 'before'). Media spans with
+    no text neighbor in range are dropped (they are the uncaptionable
+    residue, countable via :func:`interleave_stats`)."""
+    if max_gap < 1:
+        raise ValueError(f"max_gap={max_gap} (>=1) required")
+    s = _exploded(docs, id_col, spans_col)
+    base = Window.partitionBy(id_col).orderBy("offset")
+    before = base.rowsBetween(Window.unboundedPreceding, -1)
+    after = base.rowsBetween(1, Window.unboundedFollowing)
+    is_text = F.col("kind") == text_kind
+    t_text = F.when(is_text, F.col("text"))
+    t_off = F.when(is_text, F.col("offset"))
+    w = s.select(
+        id_col,
+        "kind",
+        "media_ref",
+        F.coalesce(_offset_guard(id_col), F.col("offset")).alias("offset"),
+        F.last(t_text, ignorenulls=True).over(before).alias("prev_text"),
+        F.last(t_off, ignorenulls=True).over(before).alias("prev_off"),
+        F.first(t_text, ignorenulls=True).over(after).alias("next_text"),
+        F.first(t_off, ignorenulls=True).over(after).alias("next_off"),
+    ).filter(F.col("kind") == media_kind)
+    prev_gap = F.col("offset") - F.col("prev_off")
+    next_gap = F.col("next_off") - F.col("offset")
+    use_before = F.col("prev_off").isNotNull() & (
+        F.col("next_off").isNull() | (prev_gap <= next_gap)
+    )
+    caption = F.when(use_before, F.col("prev_text")).otherwise(
+        F.col("next_text")
+    )
+    gap = F.when(use_before, prev_gap).otherwise(next_gap)
+    side = F.when(use_before, F.lit("before")).otherwise(F.lit("after"))
+    return (
+        w.filter(F.col("prev_off").isNotNull() | F.col("next_off").isNotNull())
+        .select(
+            id_col,
+            "media_ref",
+            "offset",
+            caption.alias("caption"),
+            gap.cast("int").alias("gap"),
+            side.alias("side"),
+        )
+        .filter(F.col("gap") <= max_gap)
+    )
+
+
+def mine_captions_sql(
+    spans_expr: str,
+    max_gap: int = 3,
+    id_col: str = "doc_id",
+    media_kind: str = "image",
+    text_kind: str = "text",
+) -> str:
+    """DuckDB twin of :func:`mine_captions`. ``spans_expr`` is a
+    relation of EXPLODED spans (doc_id, kind, text, media_ref,
+    offset) — nests, no WITH."""
+    over = f"PARTITION BY {id_col} ORDER BY \"offset\""
+    bef = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    aft = f"{over} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    return f"""
+      SELECT {id_col}, media_ref, "offset",
+             CASE WHEN use_before THEN prev_text ELSE next_text END AS caption,
+             CAST(CASE WHEN use_before THEN "offset" - prev_off
+                       ELSE next_off - "offset" END AS INTEGER) AS gap,
+             CASE WHEN use_before THEN 'before' ELSE 'after' END AS side
+      FROM (
+        SELECT *,
+               prev_off IS NOT NULL AND (next_off IS NULL OR
+                 ("offset" - prev_off) <= (next_off - "offset")) AS use_before
+        FROM (
+          SELECT {id_col}, kind, media_ref, "offset",
+                 last_value(CASE WHEN kind = '{text_kind}' THEN text END
+                   IGNORE NULLS) OVER ({bef}) AS prev_text,
+                 last_value(CASE WHEN kind = '{text_kind}' THEN "offset" END
+                   IGNORE NULLS) OVER ({bef}) AS prev_off,
+                 first_value(CASE WHEN kind = '{text_kind}' THEN text END
+                   IGNORE NULLS) OVER ({aft}) AS next_text,
+                 first_value(CASE WHEN kind = '{text_kind}' THEN "offset" END
+                   IGNORE NULLS) OVER ({aft}) AS next_off
+          FROM {spans_expr}
+        ) w WHERE kind = '{media_kind}'
+      ) c
+      WHERE (prev_off IS NOT NULL OR next_off IS NOT NULL)
+        AND (CASE WHEN use_before THEN "offset" - prev_off
+                  ELSE next_off - "offset" END) <= {max_gap}
+    """
+
+
+def interleave_stats(
+    docs: DataFrame,
+    max_gap: int = 3,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    media_kind: str = "image",
+    text_kind: str = "text",
+) -> DataFrame:
+    """Per-doc interleaving profile: (doc_id, n_text, n_media,
+    n_transitions, n_captioned) where n_transitions counts kind
+    changes between consecutive spans and n_captioned counts media
+    spans with a text neighbor within ``max_gap``. ONE explode, the
+    caption miner's window reused, one aggregate."""
+    caps = mine_captions(
+        docs, max_gap, id_col, spans_col, media_kind, text_kind
+    )
+    per_media = caps.groupBy(id_col).agg(
+        F.count("*").alias("n_captioned")
+    )
+    s = _exploded(docs, id_col, spans_col)
+    prev_kind = F.lag("kind").over(
+        Window.partitionBy(id_col).orderBy("offset")
+    )
+    # the guard rides along as a +0 term so duplicate offsets fail
+    # here too (the lag's peer order would otherwise be undefined)
+    guard0 = F.coalesce(_offset_guard(id_col) * 0, F.lit(0)).cast("int")
+    flat = s.select(
+        id_col,
+        "kind",
+        (
+            (prev_kind.isNotNull() & (prev_kind != F.col("kind"))).cast(
+                "int"
+            )
+            + guard0
+        ).alias("is_transition"),
+    )
+    agg = flat.groupBy(id_col).agg(
+        F.sum((F.col("kind") == text_kind).cast("int")).alias("n_text"),
+        F.sum((F.col("kind") == media_kind).cast("int")).alias("n_media"),
+        F.sum("is_transition").alias("n_transitions"),
+    )
+    return agg.join(per_media, id_col, "left").select(
+        id_col,
+        "n_text",
+        "n_media",
+        "n_transitions",
+        F.coalesce("n_captioned", F.lit(0)).alias("n_captioned"),
+    )
+
+
+def interleave_stats_sql(
+    spans_expr: str,
+    max_gap: int = 3,
+    id_col: str = "doc_id",
+    media_kind: str = "image",
+    text_kind: str = "text",
+) -> str:
+    """DuckDB twin of :func:`interleave_stats` (nests, no WITH)."""
+    caps = mine_captions_sql(
+        spans_expr, max_gap, id_col, media_kind, text_kind
+    )
+    return f"""
+      SELECT a.{id_col},
+             a.n_text, a.n_media, a.n_transitions,
+             COALESCE(c.n_captioned, 0) AS n_captioned
+      FROM (
+        SELECT {id_col},
+               CAST(SUM(CASE WHEN kind = '{text_kind}' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+               CAST(SUM(CASE WHEN kind = '{media_kind}' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+               CAST(SUM(is_transition) AS BIGINT) AS n_transitions
+        FROM (
+          SELECT {id_col}, kind,
+                 CASE WHEN lag(kind) OVER (PARTITION BY {id_col}
+                        ORDER BY "offset") NOT IN (kind)
+                      THEN 1 ELSE 0 END AS is_transition
+          FROM {spans_expr}
+        ) t GROUP BY {id_col}
+      ) a
+      LEFT JOIN (
+        SELECT {id_col}, COUNT(*) AS n_captioned
+        FROM ({caps}) cc GROUP BY {id_col}
+      ) c ON a.{id_col} = c.{id_col}
+    """
