@@ -836,6 +836,77 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             F.count("*").alias("pairs")
         )
 
+    def heavy_hitters_mg():
+        # X75: exact top-5 via the Misra-Gries candidate pass over a
+        # planted 30/70 skew (7 heavy keys carry ~30% of rows, the
+        # rest are uniques — the worst case for summary decrements).
+        # D <= N/(k+1) while the heavy counts grow ~0.3n/7, so the
+        # certification clears at every tier; expected ~linear (two
+        # scans, sketch-row-only shuffles)
+        from webscrape_neko_jirushi_spark.operators import heavyhitters
+
+        keyed = docs.select(
+            F.when(F.col("doc_id") % 10 < 3, F.col("doc_id") % 7)
+            .otherwise(F.col("doc_id"))
+            .alias("key")
+        )
+        return heavyhitters.heavy_hitters_exact(keyed, "key", m=5, k=4096)
+
+    def source_overlap_b128():
+        # X76: bottom-k source-overlap over 20 synthetic sources
+        # (doc_id % 20): the distinct (source, shingle-hash) scan
+        # dominates and the lossless map-side prune caps the ranking
+        # shuffle at k x tasks x sources — expected ~linear with the
+        # 190-pair output constant
+        from webscrape_neko_jirushi_spark.text import overlap
+
+        d = docs.select(
+            (F.col("doc_id") % 20).cast("string").alias("source"), "text"
+        )
+        sh = overlap.source_shingle_hashes(d)
+        return overlap.source_overlap_bottomk(
+            overlap.bottomk_signatures(sh, k=128), k=128
+        )
+
+    def caption_mining_g2():
+        # X78: interleaved caption mining over spans nested MAP-SIDE
+        # from each doc's first 30 words (kind = i % 3, every third
+        # span a media ref) — one explode + one (doc, offset) window,
+        # expected ~linear
+        from webscrape_neko_jirushi_spark.operators import interleave
+
+        words = F.slice(F.split(F.col("text"), " "), 1, 30)
+        spans = F.transform(
+            words,
+            lambda w, i: F.struct(
+                F.when(i % 3 == 2, F.lit("image"))
+                .otherwise(F.lit("text"))
+                .alias("kind"),
+                F.when(~(i % 3 == 2), w).alias("text"),
+                F.when(i % 3 == 2, F.concat(F.lit("img://"), w)).alias(
+                    "media_ref"
+                ),
+                i.cast("int").alias("offset"),
+            ),
+        )
+        nested = docs.select("doc_id", spans.alias("spans"))
+        return interleave.mine_captions(nested, max_gap=2)
+
+    def rendezvous_w64():
+        # X77: HRW assignment of every doc_id to 64 workers + the
+        # per-worker tally — the projection is 64 unrolled hash
+        # scores per row in whole-stage codegen, so this measures
+        # pure scan+project throughput; expected ~linear
+        from webscrape_neko_jirushi_spark.crawl import assign
+
+        return (
+            assign.rendezvous_assign(
+                docs.select("doc_id"), "doc_id", [f"w{i}" for i in range(64)]
+            )
+            .groupBy("worker")
+            .agg(F.count("*").alias("n_keys"))
+        )
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -883,6 +954,10 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "lsh_incremental_d60": lsh_incremental,
         "simhash_incremental_d60": simhash_incremental,
         "emb_incremental_d20": emb_incremental,
+        "heavy_hitters_mg": heavy_hitters_mg,
+        "source_overlap_b128": source_overlap_b128,
+        "caption_mining_g2": caption_mining_g2,
+        "rendezvous_w64": rendezvous_w64,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -1165,6 +1240,31 @@ def main() -> None:
         "scan + localCheckpoint pins a fixed-size subset, the Lloyd",
         "rounds then scan sample-sized data — growth should track the",
         "single filter scan, not rounds x corpus.",
+        "",
+        "`heavy_hitters_mg` is the certified exact top-5",
+        "(`operators/heavyhitters.py`) over a planted 30/70 skew (7",
+        "heavy keys, unique tail — the decrement-worst case): two",
+        "corpus scans with sketch-row-only shuffles and a broadcast",
+        "verify; the plan-embedded certification (m-th count > D)",
+        "holds at every tier because D <= N/4097 while heavy counts",
+        "grow ~0.3n/7 — expected ~linear. `source_overlap_b128` is",
+        "the bottom-k source-overlap estimator (`text/overlap.py`,",
+        "k=128 over 20 synthetic sources): the distinct (source,",
+        "shingle-hash) scan dominates; the LOSSLESS map-side prune",
+        "caps the ranking shuffle at k x tasks x sources rows, and",
+        "the 190-pair stage is sketch-sized — expected ~linear.",
+        "",
+        "`caption_mining_g2` is interleaved caption mining",
+        "(`operators/interleave.py`) over spans nested map-side from",
+        "each doc's first 30 words (every third span a media ref):",
+        "one explode + one (doc, offset) window carrying the",
+        "span-contract guard — expected ~linear. `rendezvous_w64` is",
+        "the HRW worker assignment (`crawl/assign.py`) of every",
+        "doc_id to 64 workers (64 unrolled hash scores per row in",
+        "whole-stage codegen) + the per-worker tally — pure",
+        "scan+project throughput, expected ~linear; its absolute",
+        "numbers are the evidence that a pure-projection owner",
+        "function costs nothing against a registry at any scale.",
         "",
     ]
     if not leg_filter:  # partial smoke runs must not rewrite the evidence
