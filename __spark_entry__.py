@@ -5683,6 +5683,52 @@ def q_interleave_profile(spark, sf_dir):
 
 
 # ===========================================================================
+# X79: snapshot distribution drift (operators/drift.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import drift as drift_mod  # noqa: E402
+
+# "new snapshot" = the corpus under a simple retention filter — the
+# refresh whose shape change the report is gating on
+_DRIFT_NEW_SQL = "(SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 2000)"
+
+
+@q(
+    "drift_lang_report",
+    drift_mod.category_drift_sql("documents", _DRIFT_NEW_SQL, "lang"),
+)
+def q_drift_lang_report(spark, sf_dir):
+    """X79: per-language drift rows between the raw corpus and its
+    length-filtered refresh (drift.category_drift) — one union-tag
+    scan, one groupBy(bucket) with two conditional counts, a
+    broadcast 1-row totals join (the X61 closed-form-normalizer
+    pattern); per-bucket chi2 terms are one engine-exact division per
+    ROW. NULL langs are a real bucket."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("n_chars").between(200, 2000))
+    return drift_mod.category_drift(docs, new, F.col("lang"))
+
+
+@q(
+    "drift_length_summary",
+    drift_mod.drift_summary_sql(
+        "documents", _DRIFT_NEW_SQL, "CAST(n_chars // 200 AS BIGINT)"
+    ),
+)
+def q_drift_length_summary(spark, sf_dir):
+    """X79: one-row TVD + L-inf drift of the length profile
+    (drift.drift_summary, buckets = floor(n_chars/200)) — the summary
+    reduces over INTEGER cross products in decimal(38,0) (PSI/KL
+    need ln(), and libm transcendentals are not bit-identical across
+    engines; TVD and L-inf are, because sum/max of integers admit no
+    float-ordering ambiguity). Safe to gate a pipeline on equality."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("n_chars").between(200, 2000))
+    bucket = F.floor(F.col("n_chars") / 200).cast("long")
+    return drift_mod.drift_summary(docs, new, bucket)
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
