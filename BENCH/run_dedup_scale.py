@@ -892,6 +892,16 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         nested = docs.select("doc_id", spans.alias("spans"))
         return interleave.mine_captions(nested, max_gap=2)
 
+    def drift_summary_b64():
+        # X79: TVD/L-inf drift between the corpus and its length-
+        # filtered refresh (integer-exact decimal reductions) —
+        # one union-tag scan + one bucket agg, expected ~linear
+        from webscrape_neko_jirushi_spark.operators import drift
+
+        new = docs.filter(F.length("text") % 97 != 0)
+        bucket = F.floor(F.length("text") / 64).cast("long")
+        return drift.drift_summary(docs, new, bucket)
+
     def rendezvous_w64():
         # X77: HRW assignment of every doc_id to 64 workers + the
         # per-worker tally — the projection is 64 unrolled hash
@@ -958,6 +968,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "source_overlap_b128": source_overlap_b128,
         "caption_mining_g2": caption_mining_g2,
         "rendezvous_w64": rendezvous_w64,
+        "drift_summary_b64": drift_summary_b64,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -1265,6 +1276,10 @@ def main() -> None:
         "scan+project throughput, expected ~linear; its absolute",
         "numbers are the evidence that a pure-projection owner",
         "function costs nothing against a registry at any scale.",
+        "`drift_summary_b64` is the snapshot drift summary",
+        "(`operators/drift.py`, 64-char length buckets vs a filtered",
+        "refresh): one union-tag scan + one bucket aggregate with",
+        "integer-exact decimal reductions — expected ~linear.",
         "",
     ]
     if not leg_filter:  # partial smoke runs must not rewrite the evidence
