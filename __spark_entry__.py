@@ -5683,6 +5683,42 @@ def q_interleave_profile(spark, sf_dir):
 
 
 # ===========================================================================
+# X80: media-reuse chrome detection (operators/interleave.py)
+# ===========================================================================
+
+
+@q(
+    "media_reuse_report",
+    il_mod.media_reuse_report_sql(_IL_FLAT_SQL, min_docs=30),
+)
+def q_media_reuse_report(spark, sf_dir):
+    """X80: media_ref reuse breadth (interleave.media_reuse_report) —
+    the multimodal analog of X40 boilerplate detection: a ref
+    embedded in >= 30 DISTINCT docs is site chrome (logos, nav
+    icons), exactly what a caption miner must not pair. One explode +
+    one (count, countDistinct) aggregate; breadth is distinct DOCS,
+    not occurrences (a ref twice in one doc is not breadth)."""
+    return il_mod.media_reuse_report(
+        _interleaved_docs(spark, sf_dir), min_docs=30
+    )
+
+
+@q(
+    "media_chrome_strip_stats",
+    il_mod.strip_chrome_stats_sql(_IL_FLAT_SQL, min_docs=30),
+)
+def q_media_chrome_strip_stats(spark, sf_dir):
+    """X80: per-doc media counts before/after stripping chrome refs
+    (interleave.strip_chrome_stats) — the chrome set stays DATA
+    (broadcast anti-join on media_ref, the X40 strip shape), never a
+    driver-side collect; all-chrome docs land at 0, visible for the
+    admission gate."""
+    return il_mod.strip_chrome_stats(
+        _interleaved_docs(spark, sf_dir), min_docs=30
+    )
+
+
+# ===========================================================================
 # X79: snapshot distribution drift (operators/drift.py)
 # ===========================================================================
 

@@ -218,6 +218,112 @@ def interleave_stats(
     )
 
 
+def media_reuse_report(
+    docs: DataFrame,
+    min_docs: int = 8,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    media_kind: str = "image",
+) -> DataFrame:
+    """(media_ref, n_docs, n_occurrences, is_chrome) — the multimodal
+    analog of X40 boilerplate detection: a media_ref embedded in
+    ``min_docs``+ DISTINCT documents is site chrome (logos, nav
+    icons, badges), not content — exactly the images a caption miner
+    must not pair and a training mixture must not oversample. One
+    explode + one aggregate (count + distinct count per ref); the
+    evidence floor is the X40 rule: classification needs breadth, a
+    ref seen twice is not chrome."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs={min_docs} (>=2) required")
+    s = _exploded(docs, id_col, spans_col).filter(
+        (F.col("kind") == media_kind) & F.col("media_ref").isNotNull()
+    )
+    return s.groupBy("media_ref").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+        (F.countDistinct(id_col) >= min_docs).alias("is_chrome"),
+    )
+
+
+def media_reuse_report_sql(
+    spans_expr: str,
+    min_docs: int = 8,
+    id_col: str = "doc_id",
+    media_kind: str = "image",
+) -> str:
+    """DuckDB twin of :func:`media_reuse_report` over EXPLODED spans."""
+    return f"""
+      SELECT media_ref,
+             CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT {id_col}) >= {min_docs} AS is_chrome
+      FROM {spans_expr}
+      WHERE kind = '{media_kind}' AND media_ref IS NOT NULL
+      GROUP BY media_ref
+    """
+
+
+def strip_chrome_stats(
+    docs: DataFrame,
+    min_docs: int = 8,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    media_kind: str = "image",
+) -> DataFrame:
+    """Per-doc effect of stripping chrome media: (doc_id,
+    n_media_before, n_media_after). The chrome set is joined back as
+    DATA (broadcast anti-join on media_ref — the X40 strip shape),
+    never collected to the driver: at web scale the chrome set is
+    bounded by corpus/min_docs but can still be millions of refs."""
+    chrome = (
+        media_reuse_report(docs, min_docs, id_col, spans_col, media_kind)
+        .filter("is_chrome")
+        .select("media_ref")
+    )
+    s = _exploded(docs, id_col, spans_col).filter(
+        (F.col("kind") == media_kind) & F.col("media_ref").isNotNull()
+    )
+    kept = s.join(F.broadcast(chrome), "media_ref", "left_anti")
+    before = s.groupBy(id_col).agg(F.count("*").alias("n_media_before"))
+    after = kept.groupBy(id_col).agg(F.count("*").alias("n_media_after"))
+    return before.join(after, id_col, "left").select(
+        id_col,
+        "n_media_before",
+        F.coalesce("n_media_after", F.lit(0)).alias("n_media_after"),
+    )
+
+
+def strip_chrome_stats_sql(
+    spans_expr: str,
+    min_docs: int = 8,
+    id_col: str = "doc_id",
+    media_kind: str = "image",
+) -> str:
+    """DuckDB twin of :func:`strip_chrome_stats`."""
+    media = (
+        f"(SELECT {id_col}, media_ref FROM {spans_expr} "
+        f"WHERE kind = '{media_kind}' AND media_ref IS NOT NULL)"
+    )
+    chrome = (
+        f"(SELECT media_ref FROM {media} m GROUP BY media_ref "
+        f"HAVING COUNT(DISTINCT {id_col}) >= {min_docs})"
+    )
+    return f"""
+      SELECT b.{id_col}, b.n_media_before,
+             COALESCE(a.n_media_after, 0) AS n_media_after
+      FROM (
+        SELECT {id_col}, COUNT(*) AS n_media_before
+        FROM {media} m GROUP BY {id_col}
+      ) b
+      LEFT JOIN (
+        SELECT {id_col}, COUNT(*) AS n_media_after
+        FROM {media} m
+        WHERE media_ref NOT IN (SELECT media_ref FROM {chrome} c)
+        GROUP BY {id_col}
+      ) a ON a.{id_col} = b.{id_col}
+    """
+
+
 def interleave_stats_sql(
     spans_expr: str,
     max_gap: int = 3,
