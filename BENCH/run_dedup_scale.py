@@ -892,6 +892,33 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         nested = docs.select("doc_id", spans.alias("spans"))
         return interleave.mine_captions(nested, max_gap=2)
 
+    def interleaved_near_dups_g():
+        # X81: both-modality near-dups over spans nested map-side
+        # (same construction as caption_mining_g2, last word of each
+        # doc reused as a shared media ref so the media leg has real
+        # intersections): X5 banding for the text leg + candidate-
+        # driven media verify — expected ~linear like simhash_wide
+        from webscrape_neko_jirushi_spark.operators import interleave
+
+        words = F.slice(F.split(F.col("text"), " "), 1, 24)
+        spans = F.transform(
+            words,
+            lambda w, i: F.struct(
+                F.when(i % 4 == 3, F.lit("image"))
+                .otherwise(F.lit("text"))
+                .alias("kind"),
+                F.when(~(i % 4 == 3), w).alias("text"),
+                F.when(i % 4 == 3, F.concat(F.lit("img://"), w)).alias(
+                    "media_ref"
+                ),
+                i.cast("int").alias("offset"),
+            ),
+        )
+        nested = docs.select("doc_id", spans.alias("spans"))
+        return interleave.interleaved_near_dups(
+            nested, max_hamming=6, min_media_jaccard=0.3
+        ).agg(F.count("*").alias("pairs"))
+
     def drift_summary_b64():
         # X79: TVD/L-inf drift between the corpus and its length-
         # filtered refresh (integer-exact decimal reductions) —
@@ -969,6 +996,7 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "caption_mining_g2": caption_mining_g2,
         "rendezvous_w64": rendezvous_w64,
         "drift_summary_b64": drift_summary_b64,
+        "interleaved_near_dups_g": interleaved_near_dups_g,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -1280,6 +1308,12 @@ def main() -> None:
         "(`operators/drift.py`, 64-char length buckets vs a filtered",
         "refresh): one union-tag scan + one bucket aggregate with",
         "integer-exact decimal reductions — expected ~linear.",
+        "`interleaved_near_dups_g` is the both-modality dedup",
+        "(`operators/interleave.py`): simhash banding over the",
+        "offset-ordered text view of map-side-nested spans + a",
+        "candidate-driven media-Jaccard verify — expected to track",
+        "the simhash banding legs (~linear), since the media verify",
+        "touches only candidate pairs.",
         "",
     ]
     if not leg_filter:  # partial smoke runs must not rewrite the evidence

@@ -5719,6 +5719,42 @@ def q_media_chrome_strip_stats(spark, sf_dir):
 
 
 # ===========================================================================
+# X81: interleaved (text AND media) near-dup pairs (operators/interleave.py)
+# ===========================================================================
+
+# 1-in-20 doc subset: the Spark side is banded (never n^2) at any
+# size, but the ORACLE's text leg is deliberately brute-force (it
+# checks answers, it doesn't scale) — the subset keeps its a<b join
+# feasible at sf0.1 while still covering ~7.4k interleaved docs
+_IL_SUB_SQL = f"(SELECT * FROM {_IL_FLAT_SQL} f WHERE doc_id % 20 = 0)"
+
+
+@q(
+    "interleaved_near_dups",
+    il_mod.interleaved_near_dups_sql(
+        _IL_SUB_SQL, _SIMHASH_SQL, max_hamming=6, min_media_jaccard=0.5
+    ),
+)
+def q_interleaved_near_dups(spark, sf_dir):
+    """X81: near-dup pairs of interleaved documents requiring BOTH
+    modalities to agree (interleave.interleaved_near_dups) — text
+    simhash hamming <= 6 over the offset-ordered text view (X5
+    pigeonhole banding, no cartesian product) AND media-ref Jaccard
+    >= 0.5 verified candidate-DRIVEN on the text pairs (the X4
+    discipline). Text-only matching merges template pages with
+    different images; media-only merges galleries with different
+    prose; the intersection is the conservative interleaved dedup.
+    Twin = brute-force text leg over the same fuzz-gated simhash
+    fragment + identical media arithmetic."""
+    docs = _interleaved_docs(spark, sf_dir).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return il_mod.interleaved_near_dups(
+        docs, max_hamming=6, min_media_jaccard=0.5
+    )
+
+
+# ===========================================================================
 # X79: snapshot distribution drift (operators/drift.py)
 # ===========================================================================
 

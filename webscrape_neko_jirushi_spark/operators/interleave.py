@@ -324,6 +324,205 @@ def strip_chrome_stats_sql(
     """
 
 
+def joined_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    text_kind: str = "text",
+) -> DataFrame:
+    """(id_col, text): each doc's text spans concatenated in offset
+    order — the canonical text VIEW of an interleaved doc that the
+    text-dedup family operates on. Docs with no text spans are
+    dropped (no text = no text evidence; and empty strings would
+    otherwise form one giant identical-signature clique in any
+    signature-based downstream). In-aggregate ordering via
+    sort_array(collect_list(struct(offset, text))) — valid because
+    the span contract (X78) guarantees unique offsets."""
+    s = _exploded(docs, id_col, spans_col).filter(
+        (F.col("kind") == text_kind) & F.col("text").isNotNull()
+    )
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "text"))
+            ),
+            lambda st: st["text"],
+        ),
+        " ",
+    )
+    return s.groupBy(id_col).agg(ordered.alias("text"))
+
+
+def media_pair_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    media_kind: str = "image",
+) -> DataFrame:
+    """Annotate candidate pairs (id_a, id_b, ...) with the Jaccard of
+    the two docs' DISTINCT media_ref sets — candidate-DRIVEN (the X4
+    discipline: two equi-joins keyed by the pair ids, never an
+    all-pairs media join). Pairs where BOTH docs have no media get
+    jaccard 1.0 (vacuous agreement: the media modality does not
+    disagree); one-sided media gets 0.0."""
+    m = (
+        _exploded(docs, id_col, spans_col)
+        .filter((F.col("kind") == media_kind) & F.col("media_ref").isNotNull())
+        .select(F.col(id_col), "media_ref")
+        .distinct()
+    )
+    sizes = m.groupBy(id_col).agg(F.count("*").alias("_nm"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(m.select(F.col(id_col).alias("id_a"), "media_ref"), "id_a")
+        .join(
+            m.select(F.col(id_col).alias("id_b"), "media_ref"),
+            ["id_b", "media_ref"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_ni"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_nm").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_nm").alias("_nb"))
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+    )
+    na = F.coalesce("_na", F.lit(0))
+    nb = F.coalesce("_nb", F.lit(0))
+    ni = F.coalesce("_ni", F.lit(0))
+    jac = F.when((na + nb) == 0, F.lit(1.0)).otherwise(
+        ni / (na + nb - ni)
+    )
+    return out.select(
+        *[c for c in pairs.columns], jac.alias("media_jaccard")
+    )
+
+
+def interleaved_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    min_media_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(id_a, id_b, hamming, media_jaccard): pairs of interleaved
+    documents that are near-duplicates in BOTH modalities — text
+    simhash within ``max_hamming`` (60-bit one-pass signature over
+    the offset-ordered text view, found by pigeonhole banding — X5,
+    never a cartesian product) AND media-ref Jaccard >=
+    ``min_media_jaccard`` verified ONLY on the text candidates. The
+    dedup that matters for interleaved corpora: text-only matching
+    merges template pages with different images; media-only matching
+    merges galleries with different prose; requiring both is the
+    conservative intersection (SURVEY X81)."""
+    from . import dedup
+
+    texts = joined_text(docs, id_col, spans_col)
+    sigs = dedup.simhash_signatures(texts, "text", id_col)
+    text_pairs = dedup.simhash_banded_pairs(
+        sigs, id_col, "simhash", max_hamming=max_hamming, n_bits=60
+    )
+    with_media = media_pair_jaccard(text_pairs, docs, id_col, spans_col)
+    return with_media.filter(
+        F.col("media_jaccard") >= min_media_jaccard
+    )
+
+
+def interleaved_near_dups_sql(
+    spans_expr: str,
+    simhash_sql: str,
+    max_hamming: int = 6,
+    min_media_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`interleaved_near_dups` over EXPLODED
+    spans. ``simhash_sql`` is the engine's 60-bit signature fragment
+    over a column named ``text`` (the driver's `_SIMHASH_SQL` twin —
+    pass it in so the fuzz-gated expression is THE one used here).
+    The text side is brute-force (a < b with bit_count verify): the
+    banding is provably the same pair set, and the oracle exists to
+    check answers, not to scale."""
+    return f"""
+      SELECT id_a, id_b, hamming,
+             CASE WHEN (na + nb) = 0 THEN 1.0
+                  ELSE ni * 1.0 / (na + nb - ni) END AS media_jaccard
+      FROM (
+        SELECT p.id_a, p.id_b, p.hamming,
+               COALESCE(sa._nm, 0) AS na, COALESCE(sb._nm, 0) AS nb,
+               COALESCE(i.ni, 0) AS ni
+        FROM (
+          SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM (
+            SELECT {id_col}, {simhash_sql} AS simhash FROM (
+              SELECT {id_col},
+                     string_agg(text, ' ' ORDER BY "offset") AS text
+              FROM {spans_expr}
+              WHERE kind = 'text' AND text IS NOT NULL
+              GROUP BY {id_col}
+            ) jt
+          ) a
+          JOIN (
+            SELECT {id_col}, {simhash_sql} AS simhash FROM (
+              SELECT {id_col},
+                     string_agg(text, ' ' ORDER BY "offset") AS text
+              FROM {spans_expr}
+              WHERE kind = 'text' AND text IS NOT NULL
+              GROUP BY {id_col}
+            ) jt
+          ) b ON a.{id_col} < b.{id_col}
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ) p
+        LEFT JOIN (
+          SELECT x.id_a, x.id_b, COUNT(*) AS ni
+          FROM (
+            SELECT p2.id_a, p2.id_b, ma.media_ref
+            FROM (
+              SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+              FROM (SELECT {id_col}, {simhash_sql} AS simhash FROM (
+                      SELECT {id_col},
+                             string_agg(text, ' ' ORDER BY "offset") AS text
+                      FROM {spans_expr}
+                      WHERE kind = 'text' AND text IS NOT NULL
+                      GROUP BY {id_col}) jt) a
+              JOIN (SELECT {id_col}, {simhash_sql} AS simhash FROM (
+                      SELECT {id_col},
+                             string_agg(text, ' ' ORDER BY "offset") AS text
+                      FROM {spans_expr}
+                      WHERE kind = 'text' AND text IS NOT NULL
+                      GROUP BY {id_col}) jt) b
+                ON a.{id_col} < b.{id_col}
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+            ) p2
+            JOIN (SELECT DISTINCT {id_col} AS id_a, media_ref
+                  FROM {spans_expr}
+                  WHERE kind = 'image' AND media_ref IS NOT NULL) ma
+              USING (id_a)
+            JOIN (SELECT DISTINCT {id_col} AS id_b, media_ref
+                  FROM {spans_expr}
+                  WHERE kind = 'image' AND media_ref IS NOT NULL) mb
+              USING (id_b, media_ref)
+          ) x GROUP BY x.id_a, x.id_b
+        ) i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        LEFT JOIN (
+          SELECT {id_col} AS id_a, CAST(COUNT(DISTINCT media_ref) AS BIGINT) AS _nm
+          FROM {spans_expr}
+          WHERE kind = 'image' AND media_ref IS NOT NULL GROUP BY {id_col}
+        ) sa ON sa.id_a = p.id_a
+        LEFT JOIN (
+          SELECT {id_col} AS id_b, CAST(COUNT(DISTINCT media_ref) AS BIGINT) AS _nm
+          FROM {spans_expr}
+          WHERE kind = 'image' AND media_ref IS NOT NULL GROUP BY {id_col}
+        ) sb ON sb.id_b = p.id_b
+      ) j
+      WHERE (CASE WHEN (na + nb) = 0 THEN 1.0
+                  ELSE ni * 1.0 / (na + nb - ni) END) >= {min_media_jaccard}
+    """
+
+
 def interleave_stats_sql(
     spans_expr: str,
     max_gap: int = 3,
