@@ -104,6 +104,75 @@ def drift_summary(
     )
 
 
+def windowed_bucket_counts(
+    stream: DataFrame,
+    ts_col: str,
+    bucket: Column,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming face, stage 1: per-tumbling-window bucket counts
+    over an event-time stream — pure builtin streaming ops
+    (watermark + window + count), so state is bounded at
+    buckets-per-open-window and late data folds into the same
+    additive count merge. Feed the materialized windows to
+    :func:`windowed_drift` (the X53 windowed-HLL two-stage shape)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), bucket.alias("bucket"))
+        .groupBy(F.window(ts_col, window).alias("window"), F.col("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def windowed_drift(
+    window_counts: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """Stage 2 (batch, over the materialized stream output): one row
+    per window — (window, n_buckets, tvd, l_inf) of that window's
+    bucket distribution vs a pinned ``baseline`` of (bucket, n)
+    rows. Buckets on either side only still participate (zero on the
+    other). Same integer-exact decimal reductions as
+    :func:`drift_summary`; the baseline is broadcast against the
+    window grid (windows x baseline-buckets rows — monitoring-sized,
+    never corpus-sized)."""
+    wins = window_counts.select("window").distinct()
+    wc = window_counts.select(
+        "window", "bucket", F.col("n").alias("_w"), F.lit(0).alias("_b")
+    )
+    bl = wins.join(
+        F.broadcast(
+            baseline.select("bucket", F.col("n").alias("_b"))
+        )
+    ).select("window", "bucket", F.lit(0).alias("_w"), "_b")
+    per = (
+        wc.unionByName(bl)
+        .groupBy("window", "bucket")
+        .agg(F.sum("_w").alias("n_w"), F.sum("_b").alias("n_b"))
+    )
+    tot_w = per.groupBy("window").agg(F.sum("n_w").alias("_nw"))
+    tot_b = baseline.agg(F.sum("n").alias("_nb"))
+    j = per.join(tot_w, "window").join(F.broadcast(tot_b))
+    cross = F.abs(
+        F.col("n_w").cast(_DEC) * F.col("_nb").cast(_DEC)
+        - F.col("n_b").cast(_DEC) * F.col("_nw").cast(_DEC)
+    )
+    agg = j.groupBy("window").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(cross).alias("_s"),
+        F.max(cross).alias("_m"),
+        F.first("_nw").alias("_nw"),
+        F.first("_nb").alias("_nb"),
+    )
+    denom = F.col("_nw").cast("double") * F.col("_nb").cast("double")
+    return agg.select(
+        "window",
+        "n_buckets",
+        (F.col("_s").cast("double") / (F.lit(2.0) * denom)).alias("tvd"),
+        (F.col("_m").cast("double") / denom).alias("l_inf"),
+    )
+
+
 def _counts_sql(old_expr: str, new_expr: str, bucket_expr: str) -> str:
     return f"""
       SELECT c.*, t._no, t._nn
