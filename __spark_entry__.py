@@ -5755,6 +5755,49 @@ def q_interleaved_near_dups(spark, sf_dir):
 
 
 # ===========================================================================
+# X82: cross-split shared-asset leakage audit (text/splits.py)
+# ===========================================================================
+
+_MSL_ASSIGN_SQL = splits_mod.leakage_safe_split_sql(
+    f"(SELECT DISTINCT doc_id FROM {_IL_FLAT_SQL} f)",
+    _SPLIT_FRACS,
+    cols="d.doc_id",
+)
+_MSL_ASSETS_SQL = (
+    f"(SELECT DISTINCT doc_id, media_ref FROM {_IL_FLAT_SQL} f "
+    f"WHERE kind = 'image' AND media_ref IS NOT NULL)"
+)
+
+
+@q(
+    "media_split_leakage",
+    splits_mod.split_asset_leakage_sql(
+        f"({_MSL_ASSIGN_SQL})", _MSL_ASSETS_SQL
+    ),
+)
+def q_media_split_leakage(spark, sf_dir):
+    """X82: media refs straddling the train/eval boundary
+    (splits.split_asset_leakage over the X73 assignment) — the
+    contamination a group-atomic TEXT split cannot see: the same
+    image re-hosted inside differently-worded pages lands its host
+    docs in different text groups, and the asset leaks into eval.
+    One doc-id equi-join + one aggregate counting distinct DOCS per
+    side (the X80 breadth rule); only leaking refs return, so an
+    empty result is the audit passing."""
+    docs = _interleaved_docs(spark, sf_dir)
+    assign = splits_mod.leakage_safe_split(
+        docs.select("doc_id"), _SPLIT_FRACS
+    )
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "image") & F.col("s.media_ref").isNotNull())
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    return splits_mod.split_asset_leakage(assign, media)
+
+
+# ===========================================================================
 # X79: snapshot distribution drift (operators/drift.py)
 # ===========================================================================
 

@@ -192,3 +192,61 @@ def split_report_sql(
         ) g
       ) l
     """
+
+
+def split_asset_leakage(
+    assigned: DataFrame,
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    asset_col: str = "media_ref",
+    train_split: str = "train",
+) -> DataFrame:
+    """(asset_col, n_train_docs, n_eval_docs): assets embedded in
+    documents on BOTH sides of the train/eval boundary — the
+    contamination a group-atomic TEXT split cannot see (the same
+    photo re-hosted inside differently-worded pages lands its hosts
+    in different text groups, and the IMAGE leaks into eval). Only
+    leaking assets are returned (both counts > 0); an empty result is
+    the audit passing.
+
+    ``assigned`` is any (id_col, split) assignment (X73's output);
+    ``assets`` is (id_col, asset_col) rows — media refs from
+    interleaved spans, hosts, npm package names, whatever must not
+    straddle the boundary. One equi-join on the doc id + one
+    aggregate; distinct DOCS per side, not occurrences (the X80
+    breadth rule)."""
+    lab = assigned.select(id_col, "split")
+    j = assets.select(id_col, asset_col).join(lab, id_col)
+    per = j.groupBy(asset_col).agg(
+        F.countDistinct(F.when(F.col("split") == train_split, F.col(id_col)))
+        .alias("n_train_docs"),
+        F.countDistinct(F.when(F.col("split") != train_split, F.col(id_col)))
+        .alias("n_eval_docs"),
+    )
+    return per.filter(
+        (F.col("n_train_docs") > 0) & (F.col("n_eval_docs") > 0)
+    )
+
+
+def split_asset_leakage_sql(
+    assigned_expr: str,
+    assets_expr: str,
+    id_col: str = "doc_id",
+    asset_col: str = "media_ref",
+    train_split: str = "train",
+) -> str:
+    """DuckDB twin of :func:`split_asset_leakage` (nests, no WITH)."""
+    return f"""
+      SELECT {asset_col},
+             CAST(COUNT(DISTINCT CASE WHEN split = '{train_split}'
+                        THEN {id_col} END) AS BIGINT) AS n_train_docs,
+             CAST(COUNT(DISTINCT CASE WHEN split <> '{train_split}'
+                        THEN {id_col} END) AS BIGINT) AS n_eval_docs
+      FROM (SELECT {id_col}, {asset_col} FROM {assets_expr} a) a
+      JOIN (SELECT {id_col}, split FROM {assigned_expr} s) s USING ({id_col})
+      GROUP BY {asset_col}
+      HAVING COUNT(DISTINCT CASE WHEN split = '{train_split}'
+               THEN {id_col} END) > 0
+         AND COUNT(DISTINCT CASE WHEN split <> '{train_split}'
+               THEN {id_col} END) > 0
+    """
