@@ -5798,6 +5798,103 @@ def q_media_split_leakage(spark, sf_dir):
 
 
 # ===========================================================================
+# X83: corpus datasheet (composition: stats + HDR + dedup + winner-agg)
+# ===========================================================================
+
+_DS_QS = [0.5, 0.9]
+
+
+@q(
+    "corpus_datasheet",
+    f"""
+    SELECT b.n_docs, b.total_chars, b.n_langs, b.n_sources,
+           1.0 - b.n_distinct_texts * 1.0 / b.n_docs AS dup_rate,
+           tl.top_lang,
+           q.p50_chars, q.p90_chars
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+      FROM documents
+    ) b
+    CROSS JOIN (
+      SELECT lang AS top_lang FROM (
+        SELECT lang, COUNT(*) AS c FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+      ) lc ORDER BY c DESC, lang ASC LIMIT 1
+    ) tl
+    CROSS JOIN (
+      SELECT MAX(CASE WHEN q = 0.5 THEN estimate END) AS p50_chars,
+             MAX(CASE WHEN q = 0.9 THEN estimate END) AS p90_chars
+      FROM (
+        WITH t AS (SELECT n_chars AS v FROM documents)
+        {hdr.hdr_quantiles_sql(hdr.hdr_build_sql('v', 8), _DS_QS)}
+      ) hq
+    ) q
+    """,
+)
+def q_corpus_datasheet(spark, sf_dir):
+    """X83: the one-row corpus datasheet — the composition showcase:
+    base tallies + exact-dup rate (1 - distinct md5 / n) in ONE
+    aggregate pass, majority language by the winner-in-aggregate
+    pattern (ties to the lexicographically smallest), p50/p90 length
+    from the X57 HDR sketch pivoted to columns, all stitched by
+    broadcast 1-row cross joins. Every ingredient is an existing
+    twin-gated primitive; the datasheet is what a mixture owner reads
+    before admitting the corpus."""
+    d = load(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_distinct_texts"
+        ),
+    )
+    top = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lang"))).alias(
+                "w"
+            )
+        )
+        .select(F.col("w.lang").alias("top_lang"))
+    )
+    sketch = hdr.hdr_build(d.select(F.col("n_chars").alias("v")), "v", 8)
+    qrows = hdr.hdr_quantiles(sketch, _DS_QS)
+    quant = qrows.agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("estimate"))).alias(
+            "p50_chars"
+        ),
+        F.max(F.when(F.col("q") == 0.9, F.col("estimate"))).alias(
+            "p90_chars"
+        ),
+    )
+    return (
+        base.join(F.broadcast(top))
+        .join(F.broadcast(quant))
+        .select(
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            "n_sources",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_texts") / F.col("n_docs")
+            ).alias("dup_rate"),
+            "top_lang",
+            "p50_chars",
+            "p90_chars",
+        )
+    )
+
+
+# ===========================================================================
 # X79: snapshot distribution drift (operators/drift.py)
 # ===========================================================================
 
