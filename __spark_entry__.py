@@ -5895,6 +5895,31 @@ def q_corpus_datasheet(spark, sf_dir):
 
 
 # ===========================================================================
+# X84: ANN recall as a query (operators/similarity.py::topk_recall)
+# ===========================================================================
+
+
+@q(
+    "ann_recall_at_10",
+    similarity.topk_recall_sql(
+        _ORACLES["cosine_topk"], _ORACLES["ann_topk_lsh"]
+    ),
+)
+def q_ann_recall_at_10(spark, sf_dir):
+    """X84: recall@10 of the LSH ANN probe against the brute-force
+    exact top-10 (similarity.topk_recall) — the index quality metric
+    AS A QUERY, so parameter sweeps (bits, multiprobe radius) are
+    measured by the engine itself: (k, n_overlap, recall) from an
+    inner join of two k-row tables (sketch-sized end to end). The
+    oracle composes the two queries' OWN oracle SQL, so this row is
+    only green if the exact leg, the ANN leg, and the metric all
+    agree with DuckDB simultaneously."""
+    exact = _QUERIES["cosine_topk"](spark, sf_dir)
+    approx = _QUERIES["ann_topk_lsh"](spark, sf_dir)
+    return similarity.topk_recall(exact, approx)
+
+
+# ===========================================================================
 # X79: snapshot distribution drift (operators/drift.py)
 # ===========================================================================
 

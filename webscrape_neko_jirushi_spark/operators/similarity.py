@@ -1635,3 +1635,60 @@ def ivfpq_topk(
         .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact one —
+    the ANN quality metric AS A QUERY (SURVEY X84), so index
+    parameter sweeps (bits, nprobe, multiprobe radius) are measured
+    by the engine itself instead of eyeballed in tests.
+
+    ``exact`` / ``approx`` are top-k result tables carrying ``id_col``
+    (and ``query_col`` when evaluating many queries at once — per-
+    query recall then macro-averages downstream). Returns one row
+    (per query): (k, n_overlap, recall) where k = |exact| for that
+    query — recall@k against ground truth of the same k. Inner join
+    on the id (never a cartesian); both inputs are k-row tables per
+    query, so everything is sketch-sized."""
+    keys = [query_col] if query_col else []
+    e = exact.select(*keys, id_col).distinct()
+    a = approx.select(*keys, id_col).distinct()
+    hit = e.join(a, [*keys, id_col]).groupBy(*keys).agg(
+        F.count("*").alias("n_overlap")
+    )
+    base = e.groupBy(*keys).agg(F.count("*").alias("k"))
+    j = base.join(hit, keys, "left") if keys else base.join(F.broadcast(hit))
+    return j.select(
+        *keys,
+        "k",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) / F.col("k")).alias("recall"),
+    )
+
+
+def topk_recall_sql(
+    exact_sql: str,
+    approx_sql: str,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`topk_recall` (single-query form) over two
+    top-k SELECTs."""
+    return f"""
+      SELECT b.k, COALESCE(h.n_overlap, 0) AS n_overlap,
+             COALESCE(h.n_overlap, 0) * 1.0 / b.k AS recall
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT DISTINCT {id_col} FROM ({exact_sql}) e0) e
+      ) b
+      CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM (SELECT DISTINCT {id_col} FROM ({exact_sql}) e1) e
+        JOIN (SELECT DISTINCT {id_col} FROM ({approx_sql}) a1) a
+          USING ({id_col})
+      ) h
+    """
