@@ -5920,6 +5920,32 @@ def q_ann_recall_at_10(spark, sf_dir):
 
 
 # ===========================================================================
+# X85: embedding-column health report (operators/expectations.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import expectations as ex_mod  # noqa: E402
+
+
+@q(
+    "embedding_quality_report",
+    ex_mod.embedding_quality_report_sql("embeddings", dim=64),
+)
+def q_embedding_quality_report(spark, sf_dir):
+    """X85: one-row vector-column health report
+    (expectations.embedding_quality_report, dim pinned to 64) — the
+    checks the generic X63 suite can't phrase because they quantify
+    INSIDE the array: NULL / wrong-dim / NaN-or-Inf / zero-vector
+    counts plus min/max norm over the valid vectors (defects excluded
+    from the norm scan, not poisoning it). A NaN survives every
+    aggregate it touches and a zero vector turns cosine into 0/0, so
+    this gate runs BEFORE any similarity op. One aggregate pass,
+    order-free reductions, norms rounded 6 dp at the boundary."""
+    return ex_mod.embedding_quality_report(
+        load(spark, sf_dir, "embeddings"), dim=64
+    )
+
+
+# ===========================================================================
 # X79: snapshot distribution drift (operators/drift.py)
 # ===========================================================================
 

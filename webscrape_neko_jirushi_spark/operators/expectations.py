@@ -169,3 +169,83 @@ def baseline_compare(
         .otherwise(F.abs(delta) > float(tol))
         .alias("drifted"),
     )
+
+
+def embedding_quality_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """One-row vector-column health report (SURVEY X85): the checks
+    the generic suite can't phrase because they quantify INSIDE the
+    array — (n_vecs, n_null, n_wrong_dim, n_nonfinite, n_zero,
+    min_norm, max_norm). A NaN survives every aggregate it touches
+    and a zero vector poisons cosine with a 0/0, so both must be
+    counted BEFORE any similarity op runs; ``dim`` pins the expected
+    width (mixed widths silently break zip_with dot products).
+
+    All reductions are order-free (counts, min/max); the only
+    in-vector fold (the squared-norm sum) runs in array order on both
+    engines, and the norms are rounded to 6 dp at the boundary (the
+    cosine-query rule). NULL and wrong-dim vectors are excluded from
+    the norm scan rather than poisoning it."""
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    wrong_dim = (
+        ~is_null & (F.size(v) != F.lit(int(dim)))
+        if dim is not None
+        else F.lit(False)
+    )
+    nonfinite = ~is_null & ~wrong_dim & F.exists(
+        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == float("inf"))
+    )
+    sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    valid = ~is_null & ~wrong_dim & ~nonfinite
+    zero = valid & (sq == 0.0)
+    norm = F.round(F.sqrt(sq), 6)
+    return df.agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.sum(wrong_dim.cast("long")).alias("n_wrong_dim"),
+        F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
+        F.sum(zero.cast("long")).alias("n_zero"),
+        F.min(F.when(valid, norm)).alias("min_norm"),
+        F.max(F.when(valid, norm)).alias("max_norm"),
+    )
+
+
+def embedding_quality_report_sql(
+    table_expr: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`embedding_quality_report`."""
+    v = vec_col
+    wrong = (
+        f"({v} IS NOT NULL AND length({v}) <> {int(dim)})"
+        if dim is not None
+        else "FALSE"
+    )
+    nonfin = (
+        f"({v} IS NOT NULL AND NOT {wrong} AND length(list_filter({v}, "
+        f"x -> isnan(CAST(x AS DOUBLE)) OR abs(x) = CAST('inf' AS DOUBLE))) > 0)"
+    )
+    sq = (
+        f"list_aggregate(list_transform({v}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+    )
+    valid = f"({v} IS NOT NULL AND NOT {wrong} AND NOT {nonfin})"
+    return f"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(SUM(CASE WHEN {wrong} THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+             CAST(SUM(CASE WHEN {nonfin} THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+             CAST(SUM(CASE WHEN {valid} AND {sq} = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             MIN(CASE WHEN {valid} THEN ROUND(SQRT({sq}), 6) END) AS min_norm,
+             MAX(CASE WHEN {valid} THEN ROUND(SQRT({sq}), 6) END) AS max_norm
+      FROM {table_expr}
+    """
