@@ -5992,6 +5992,66 @@ def q_drift_length_summary(spark, sf_dir):
 
 
 # ===========================================================================
+# X86: URL-parameter significance mining (crawl/urlparams.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.crawl import urlparams as up_mod  # noqa: E402
+
+# fetch-log analog from lineitem: page+sort drive the content digest,
+# sess is session noise, v is a constant — so the learner must emit
+# significant/significant/content_neutral/insufficient_evidence
+_FETCHLOG_SQL = """(
+  SELECT 'https://cat.example/list?sess=' || CAST(l_partkey % 7 AS VARCHAR)
+         || '&page=' || CAST(l_orderkey % 50 AS VARCHAR)
+         || '&sort=' || CAST(l_suppkey % 3 AS VARCHAR) || '&v=1' AS url,
+         md5('c|' || CAST(l_orderkey % 50 AS VARCHAR)
+             || '|' || CAST(l_suppkey % 3 AS VARCHAR)) AS digest
+  FROM lineitem) fl"""
+
+
+def _fetchlog_analog(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    page = (F.col("l_orderkey") % 50).cast("string")
+    srt = (F.col("l_suppkey") % 3).cast("string")
+    sess = (F.col("l_partkey") % 7).cast("string")
+    return li.select(
+        F.concat(
+            F.lit("https://cat.example/list?sess="), sess,
+            F.lit("&page="), page,
+            F.lit("&sort="), srt,
+            F.lit("&v=1"),
+        ).alias("url"),
+        F.md5(F.concat(F.lit("c|"), page, F.lit("|"), srt)).alias("digest"),
+    )
+
+
+@q("url_param_significance", up_mod.param_significance_sql(_FETCHLOG_SQL))
+def q_url_param_significance(spark, sf_dir):
+    """X86: per-param content-significance verdicts learned from the
+    fetch log (urlparams.param_significance) — Googlebot-style "URL
+    parameters" inference: explode k=v pairs (builtin split/array ops,
+    zero Python), group by (param, residual-URL-minus-this-pair),
+    count distinct values vs distinct content digests, verdict by the
+    probe-group law. min(digest) per URL so an unstable page never
+    votes twice. Shuffles on wide well-spread keys; in-plan
+    raise_error guards reject list-params and un-encoded '=' values
+    rather than mis-classifying them."""
+    return up_mod.param_significance(_fetchlog_analog(spark, sf_dir))
+
+
+@q("url_param_strip_savings", up_mod.param_strip_savings_sql(_FETCHLOG_SQL))
+def q_url_param_strip_savings(spark, sf_dir):
+    """X86: the frontier-reduction payoff row — strip the learned
+    content-neutral params (broadcast of the tiny verdict table) and
+    count distinct canonical forms before/after
+    (urlparams.param_strip_savings). before counts sorted-param
+    canonicals so param-order variants can't inflate the claim; on
+    this analog stripping sess collapses 1050 canonical URLs to 150
+    (n_saved = 900 duplicate fetches avoided per frontier pass)."""
+    return up_mod.param_strip_savings(_fetchlog_analog(spark, sf_dir))
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
