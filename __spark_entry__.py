@@ -5992,6 +5992,33 @@ def q_drift_length_summary(spark, sf_dir):
 
 
 # ===========================================================================
+# X87: interleaved-doc linearization (operators/interleave.py)
+# ===========================================================================
+
+
+@q(
+    "interleaved_linearize",
+    il_mod.linearize_sql(
+        _IL_FLAT_SQL + " fx",
+        "(SELECT DISTINCT l_orderkey AS doc_id FROM lineitem) sp",
+        budget=8,
+    ),
+)
+def q_interleaved_linearize(spark, sf_dir):
+    """X87: render interleaved span docs into ONE training-ready
+    token stream each (interleave.linearize_docs) — the MMC4/OBELICS
+    preprocessing step: offset-ordered spans, text spans as trimmed
+    text, media spans as the <|image|> sentinel, an 8-token budget
+    truncating at span boundaries (never mid-span, sentinels atomic).
+    The whole operator is array HOFs inside the row — ZERO added
+    shuffle, scan-bound at 10^10 docs; the only exchange in this
+    query's plan is the analog's own groupBy that builds the spans
+    arrays. Twin = window-cumsum formulation, equal by cost
+    monotonicity."""
+    return il_mod.linearize_docs(_interleaved_docs(spark, sf_dir), budget=8)
+
+
+# ===========================================================================
 # X86: URL-parameter significance mining (crawl/urlparams.py)
 # ===========================================================================
 

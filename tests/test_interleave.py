@@ -154,3 +154,116 @@ def test_caption_plan_no_python_one_window(spark):
     )
     assert "EvalPython" not in plan
     assert plan.count("Window") <= 2  # one logical window spec
+
+
+# --------------------------------------------------------------------------
+# X87: linearization
+# --------------------------------------------------------------------------
+
+
+def test_linearize_render_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            _doc("d1", [("text", "a cat photo"), ("image", "i1"), ("text", "tail")]),
+            _doc("d2", [("image", "i2")]),
+            ("d3", []),
+        ],
+        SCHEMA,
+    )
+    got = {r.doc_id: r for r in il.linearize_docs(docs).collect()}
+    assert got["d1"].text == "a cat photo <|image|> tail"
+    assert got["d1"].n_tokens == 3 + 1 + 1
+    assert got["d1"].n_spans_kept == 3 and not got["d1"].truncated
+    assert got["d1"].n_media_kept == 1
+    assert got["d2"].text == "<|image|>"
+    assert got["d3"].text == "" and got["d3"].n_spans_total == 0
+
+
+def test_linearize_offset_order_not_input_order(spark):
+    docs = spark.createDataFrame(
+        [("d", [("text", "world", None, 2), ("text", "hello", None, 1)])],
+        SCHEMA,
+    )
+    assert il.linearize_docs(docs).collect()[0].text == "hello world"
+
+
+def test_linearize_budget_cuts_at_span_boundary(spark):
+    docs = spark.createDataFrame(
+        [
+            _doc("d", [("text", "one two"), ("image", "i"), ("text", "x y z")]),
+        ],
+        SCHEMA,
+    )
+    r = il.linearize_docs(docs, budget=4).collect()[0]
+    # 2 + 1 fits; the 3-token tail would make 6 > 4 -> dropped whole
+    assert r.text == "one two <|image|>"
+    assert r.n_tokens == 3 and r.n_spans_kept == 2 and r.truncated
+    # budget 1 cannot even fit the first span -> empty render
+    r0 = il.linearize_docs(docs, budget=1).collect()[0]
+    assert r0.text == "" and r0.n_spans_kept == 0 and r0.truncated
+
+
+def test_linearize_null_spans_fail_loudly(spark):
+    import pytest
+
+    docs = spark.createDataFrame([("d", None)], SCHEMA)
+    with pytest.raises(Exception) as ei:
+        il.linearize_docs(docs).collect()
+    assert "linearize" in str(ei.value)
+
+
+def test_linearize_duckdb_twin(spark):
+    import random
+
+    rng = random.Random(87)
+    rows = []
+    for d in range(40):
+        seq = []
+        for _ in range(rng.randint(0, 8)):
+            if rng.random() < 0.4:
+                seq.append(("image", f"m{rng.randint(0, 5)}"))
+            else:
+                words = " ".join(
+                    f"w{rng.randint(0, 9)}" for _ in range(rng.randint(0, 4))
+                )
+                seq.append(("text", words))
+        rows.append(_doc(f"d{d}", seq))
+    docs = spark.createDataFrame(rows, SCHEMA).repartition(5)
+    for budget in (None, 0, 3, 7):
+        got = sorted(
+            tuple(r)
+            for r in il.linearize_docs(docs, budget=budget).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE flat(doc_id VARCHAR, kind VARCHAR, text VARCHAR,"
+            ' media_ref VARCHAR, "offset" INTEGER)'
+        )
+        con.executemany(
+            "INSERT INTO flat VALUES (?,?,?,?,?)",
+            [(d, *s) for d, spans in rows for s in spans],
+        )
+        con.execute(
+            "CREATE TABLE spine(doc_id VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO spine VALUES (?)", [(d,) for d, _ in rows]
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    il.linearize_sql("flat", "spine", budget=budget)
+                ).fetchall(),
+            )
+        )
+        assert got == want, f"budget={budget}"
+
+
+def test_linearize_plan_is_pure_projection(spark):
+    from webscrape_neko_jirushi_spark.plans.inspect import physical_plan
+
+    docs = spark.createDataFrame([_doc("d", [("text", "a")])], SCHEMA)
+    plan = physical_plan(il.linearize_docs(docs, budget=8))
+    assert "Exchange" not in plan  # zero shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

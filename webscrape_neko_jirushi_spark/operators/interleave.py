@@ -556,3 +556,199 @@ def interleave_stats_sql(
         FROM ({caps}) cc GROUP BY {id_col}
       ) c ON a.{id_col} = c.{id_col}
     """
+
+
+# --------------------------------------------------------------------------
+# X87: linearization — span array -> training-ready token stream
+# --------------------------------------------------------------------------
+
+
+def linearize_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    text_kind: str = "text",
+    media_token: str = "<|image|>",
+    media_cost: int = 1,
+    budget: int | None = None,
+) -> DataFrame:
+    """Render each interleaved document into ONE training-ready text
+    stream (the MMC4/OBELICS/Flamingo preprocessing step): spans in
+    offset order, text spans as their trimmed text, media spans as a
+    sentinel token the model's tokenizer maps to image embeddings.
+    ``budget`` (tokens; whitespace count for text, ``media_cost`` per
+    media span) truncates at a SPAN boundary — never mid-span, so a
+    sentinel is always either fully present or absent and text never
+    ends mid-caption.
+
+    Output: (id_col, text, n_tokens, n_spans_kept, n_spans_total,
+    n_media_kept, truncated).
+
+    Shape at scale: a PURE per-row projection — sort, render, cost,
+    and the prefix-under-budget fold all run as array HOFs inside the
+    row (``array_sort``/``transform``/``aggregate``), so the operator
+    adds ZERO shuffles to whatever plan feeds it; at 10^10 docs it is
+    scan-bound. The budget fold carries (cum, kept, open) through one
+    ``aggregate``; because costs are non-negative the fold's
+    first-overflow stop equals the SQL twin's monotone
+    ``cumsum <= budget`` window filter (:func:`linearize_sql`).
+    In-plan guard: duplicate offsets inside one doc would make the
+    render order engine-dependent -> ``raise_error`` (the X78 span
+    contract, enforced in-array here because there is no window to
+    hang the usual peer-count guard on).
+    """
+    if media_cost < 0:
+        raise ValueError("linearize_docs: media_cost must be >= 0")
+    if budget is not None and budget < 0:
+        raise ValueError("linearize_docs: budget must be >= 0")
+    spans = F.col(spans_col)
+    offs = F.transform(spans, lambda s: s["offset"])
+    guarded = F.when(
+        spans.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("linearize: NULL spans array in doc "),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    ).when(
+        F.array_size(F.array_distinct(offs)) != F.array_size(offs),
+        F.raise_error(
+            F.concat(
+                F.lit("linearize: duplicate span offset in doc "),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    ).otherwise(spans)
+    srt = F.array_sort(
+        F.transform(
+            guarded,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+            ),
+        )
+    )
+    is_text = lambda s: s["kind"] == text_kind  # noqa: E731
+    rendered = F.transform(
+        srt,
+        lambda s: F.when(
+            is_text(s), F.trim(F.coalesce(s["text"], F.lit("")))
+        ).otherwise(F.lit(media_token)),
+    )
+    costs = F.transform(
+        srt,
+        lambda s: F.when(
+            is_text(s),
+            _ws_token_count(F.coalesce(s["text"], F.lit(""))),
+        )
+        .otherwise(F.lit(media_cost))
+        .cast("long"),
+    )
+    n_total = F.array_size(srt)
+    if budget is None:
+        kept = n_total
+        cum = F.aggregate(
+            costs, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+    else:
+        fold = F.aggregate(
+            costs,
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(0).alias("kept"),
+                F.lit(True).alias("open"),
+            ),
+            lambda a, x: F.struct(
+                F.when(a["open"] & (a["cum"] + x <= budget), a["cum"] + x)
+                .otherwise(a["cum"])
+                .alias("cum"),
+                F.when(
+                    a["open"] & (a["cum"] + x <= budget), a["kept"] + 1
+                )
+                .otherwise(a["kept"])
+                .alias("kept"),
+                (a["open"] & (a["cum"] + x <= budget)).alias("open"),
+            ),
+        )
+        kept = fold["kept"]
+        cum = fold["cum"]
+    kept_spans = F.slice(srt, 1, kept)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(F.slice(rendered, 1, kept), " ").alias("text"),
+        cum.alias("n_tokens"),
+        kept.cast("long").alias("n_spans_kept"),
+        n_total.cast("long").alias("n_spans_total"),
+        F.array_size(
+            F.filter(kept_spans, lambda s: ~is_text(s))
+        ).cast("long").alias("n_media_kept"),
+        (kept < n_total).alias("truncated"),
+    )
+
+
+def _ws_token_count(text):
+    """Whitespace token count (twin of analysis.token_count, inlined
+    here to keep the HOF lambda import-cycle-free)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def linearize_sql(
+    spans_expr: str,
+    docs_expr: str,
+    id_col: str = "doc_id",
+    text_kind: str = "text",
+    media_token: str = "<|image|>",
+    media_cost: int = 1,
+    budget: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`linearize_docs`. ``spans_expr`` is a
+    relation of EXPLODED spans (doc_id, kind, text, offset);
+    ``docs_expr`` is the doc spine (distinct ``id_col``) so documents
+    whose every span is truncated away (or that have zero spans)
+    still emit their row, exactly as the array form does."""
+    tok = (
+        "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+        "ELSE length(regexp_split_to_array(trim(coalesce(text,'')), '\\s+')) END"
+    )
+    budget_pred = "TRUE" if budget is None else f"cumsum <= {budget}"
+    return f"""
+      SELECT d.{id_col},
+             COALESCE(k.text, '') AS text,
+             COALESCE(k.n_tokens, 0) AS n_tokens,
+             COALESCE(k.n_spans_kept, 0) AS n_spans_kept,
+             COALESCE(t.n_spans_total, 0) AS n_spans_total,
+             COALESCE(k.n_media_kept, 0) AS n_media_kept,
+             COALESCE(k.n_spans_kept, 0) < COALESCE(t.n_spans_total, 0)
+               AS truncated
+      FROM (SELECT DISTINCT {id_col} FROM {docs_expr}) d
+      LEFT JOIN (
+        SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_spans_total
+        FROM {spans_expr} GROUP BY {id_col}
+      ) t ON d.{id_col} = t.{id_col}
+      LEFT JOIN (
+        SELECT {id_col},
+               string_agg(piece, ' ' ORDER BY "offset") AS text,
+               CAST(MAX(cumsum) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+               CAST(SUM(is_media) AS BIGINT) AS n_media_kept
+        FROM (
+          SELECT {id_col}, "offset",
+                 CASE WHEN kind = '{text_kind}'
+                      THEN trim(coalesce(text, ''))
+                      ELSE '{media_token}' END AS piece,
+                 CASE WHEN kind = '{text_kind}' THEN 0 ELSE 1 END AS is_media,
+                 SUM(CASE WHEN kind = '{text_kind}' THEN {tok}
+                          ELSE {media_cost} END)
+                   OVER (PARTITION BY {id_col} ORDER BY "offset"
+                         ROWS UNBOUNDED PRECEDING) AS cumsum
+          FROM {spans_expr}
+        ) c
+        WHERE {budget_pred}
+        GROUP BY {id_col}
+      ) k ON d.{id_col} = k.{id_col}
+    """
