@@ -2333,10 +2333,10 @@ def q_ivf_topk_probe(spark, sf_dir):
     return similarity.ivf_topk(e, query, centroids, k=10, nprobe=2)
 
 
-def _ann_planes_values() -> str:
-    """The LCG hyperplanes (similarity._hyperplanes, seed 7, 8 bits,
-    dim 64) as SQL VALUES rows — deliberately oracle-replicable."""
-    planes = similarity._hyperplanes(64, 8, seed=7)
+def _ann_planes_values(bits: int = 8) -> str:
+    """The LCG hyperplanes (similarity._hyperplanes, seed 7, dim 64)
+    as SQL VALUES rows — deliberately oracle-replicable."""
+    planes = similarity._hyperplanes(64, bits, seed=7)
     return ", ".join(
         f"({p}, {j + 1}, {w!r})"
         for p, row in enumerate(planes)
@@ -5989,6 +5989,106 @@ def q_drift_length_summary(spark, sf_dir):
     new = docs.filter(F.col("n_chars").between(200, 2000))
     bucket = F.floor(F.col("n_chars") / 200).cast("long")
     return drift_mod.drift_summary(docs, new, bucket)
+
+
+# ===========================================================================
+# X88: margin-ranked multi-probe LSH (operators/similarity.py)
+# ===========================================================================
+
+_MP_BITS, _MP_PROBES = 12, 12
+
+
+@q(
+    "ann_topk_multiprobe",
+    f"""
+    WITH planes(p, dim, w) AS (VALUES {_ann_planes_values(bits=_MP_BITS)}),
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT m.vec_id, pl.p, SUM(m.e[pl.dim] * pl.w) AS s
+      FROM emb m CROSS JOIN planes pl GROUP BY m.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN ROUND(s, 9) >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    qproj AS (SELECT p, ROUND(s, 9) AS s9 FROM proj WHERE vec_id = 0),
+    qb AS (
+      SELECT CAST(SUM(CASE WHEN s9 >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM qproj
+    ),
+    pool AS (SELECT p, s9 * s9 AS c FROM qproj ORDER BY abs(s9), p LIMIT 16),
+    flips AS (
+      SELECT CAST(0 AS BIGINT) AS mask, CAST(0 AS DOUBLE) AS score
+      UNION ALL SELECT CAST(1 << p AS BIGINT), c FROM pool
+      UNION ALL SELECT CAST((1 << a.p) | (1 << b.p) AS BIGINT), a.c + b.c
+        FROM pool a JOIN pool b ON a.p < b.p
+      UNION ALL SELECT CAST((1 << a.p) | (1 << b.p) | (1 << c3.p) AS BIGINT),
+                       (a.c + b.c) + c3.c
+        FROM pool a JOIN pool b ON a.p < b.p JOIN pool c3 ON b.p < c3.p
+    ),
+    probes AS (
+      SELECT xor(f.mask, qb.bucket) AS bucket
+      FROM flips f, qb ORDER BY f.score, xor(f.mask, qb.bucket)
+      LIMIT {_MP_PROBES}
+    ),
+    cand AS (
+      SELECT b.vec_id FROM buckets b JOIN probes pr ON b.bucket = pr.bucket
+    ),
+    qv AS (SELECT e FROM emb WHERE vec_id = 0)
+    SELECT m.vec_id,
+      ROUND(
+        list_aggregate(list_transform(range(1, 65), i -> m.e[i] * q.e[i]), 'sum')
+        / (sqrt(list_aggregate(list_transform(range(1, 65), i -> m.e[i] * m.e[i]), 'sum'))
+         * sqrt(list_aggregate(list_transform(range(1, 65), i -> q.e[i] * q.e[i]), 'sum'))), 6) AS cosine
+    FROM cand c JOIN emb m ON m.vec_id = c.vec_id, qv q
+    ORDER BY cosine DESC, m.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_topk_multiprobe(spark, sf_dir):
+    """X88: ANN top-10 by margin-ranked multi-probe LSH
+    (similarity.multiprobe_sequence via ann_topk_lsh(n_probes=12),
+    Lv et al. VLDB'07 adapted to hyperplane LSH): instead of the
+    C(bits, h) Hamming ball, probe exactly 12 buckets — the home
+    bucket plus the cheapest flip sets, cost = squared query margin
+    per flipped plane (near-zero margin = neighbors straddle that
+    plane). Probe count is FIXED regardless of bits, which is what
+    lets the persisted-index path stay O(probed partitions) at 24+
+    bits where a radius-2 ball is 300 buckets. The oracle replays the
+    ranking bit-for-bit: same HALF_UP-9 projections, same
+    (|margin|, plane) pool order, same increasing-index IEEE sum,
+    same (score, bucket) tie-break."""
+    e = load(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    query = [float(x) for x in qrow["embedding"]]
+    return similarity.ann_topk_lsh(
+        e, query, k=10, bits=_MP_BITS, seed=7, n_probes=_MP_PROBES
+    )
+
+
+@q(
+    "multiprobe_recall_at_10",
+    None,  # composed below once both leg oracles exist
+)
+def q_multiprobe_recall_at_10(spark, sf_dir):
+    """X88+X84: recall@10 of the 12-probe margin-ranked sequence at
+    12 bits vs brute force — the index-quality metric for the scale
+    probe path, composed from the two legs' own oracles like
+    ann_recall_at_10. At 12 bits the home bucket holds ~n/4096
+    vectors, so this row measures exactly what the ranked flips
+    recover."""
+    exact = _QUERIES["cosine_topk"](spark, sf_dir)
+    approx = _QUERIES["ann_topk_multiprobe"](spark, sf_dir)
+    return similarity.topk_recall(exact, approx)
+
+
+_ORACLES["multiprobe_recall_at_10"] = similarity.topk_recall_sql(
+    _ORACLES["cosine_topk"], _ORACLES["ann_topk_multiprobe"]
+)
 
 
 # ===========================================================================

@@ -136,6 +136,70 @@ def _probe_buckets(
     return probe
 
 
+def multiprobe_sequence(
+    query: list[float],
+    planes: list[list[float]],
+    n_probes: int,
+    max_flips: int = 3,
+    margin_pool: int = 16,
+) -> list[int]:
+    """Margin-ranked multi-probe sequence (Lv et al., VLDB'07,
+    adapted to hyperplane LSH): the query's home bucket plus the
+    ``n_probes - 1`` neighbor buckets with the SMALLEST flip cost,
+    where flipping bit i costs the squared query projection onto
+    plane i (a near-zero margin means the true neighbors straddle
+    that plane, so that flip is cheap AND likely to recover them).
+
+    This replaces the Hamming-ball probe (:func:`_probe_buckets`) at
+    scale: a ball of radius 2 over 24 bits scans 301 buckets whether
+    they are promising or not; a ranked sequence scans exactly
+    ``n_probes``, best-first. Candidate flip sets are every subset of
+    <= ``max_flips`` bits among the ``margin_pool`` lowest-margin
+    planes — 697 candidates at the defaults, far more than any
+    realistic ``n_probes``; the bound fails loudly rather than
+    silently under-probing.
+
+    Determinism contract (the DuckDB twin replays this ranking
+    bit-for-bit): projections are HALF_UP-rounded to 9 decimals like
+    every bucket sign test; pool membership orders by (|proj|, plane
+    index); subset scores sum the squared rounded projections in
+    increasing plane-index order (IEEE addition order fixed on both
+    engines); final ranking is (score, bucket id).
+    """
+    from itertools import combinations
+
+    if n_probes < 1:
+        raise ValueError("multiprobe_sequence: n_probes must be >= 1")
+    projs = [
+        _round_half_up_9(sum(a * b for a, b in zip(query, p))) for p in planes
+    ]
+    qbits = 0
+    for i, s in enumerate(projs):
+        if s >= 0:
+            qbits |= 1 << i
+    pool = sorted(range(len(planes)), key=lambda i: (abs(projs[i]), i))[
+        :margin_pool
+    ]
+    pool.sort()  # combinations emit increasing-index subsets -> fixed sum order
+    cands: list[tuple[float, int]] = [(0.0, qbits)]
+    for h in range(1, max_flips + 1):
+        for flips in combinations(pool, h):
+            score = 0.0
+            m = 0
+            for i in flips:
+                score += projs[i] * projs[i]
+                m |= 1 << i
+            cands.append((score, qbits ^ m))
+    if n_probes > len(cands):
+        raise ValueError(
+            f"multiprobe_sequence: n_probes={n_probes} exceeds the "
+            f"{len(cands)} candidates reachable with max_flips={max_flips}, "
+            f"margin_pool={margin_pool}; raise those bounds"
+        )
+    cands.sort(key=lambda t: (t[0], t[1]))
+    return [b for _, b in cands[:n_probes]]
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query: list[float],
@@ -145,14 +209,21 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
-    ``multiprobe_hamming`` bit flips of the query's bucket. With the
-    bucket column persisted (``build_ann_index``), the probe becomes a
+    ``multiprobe_hamming`` bit flips of the query's bucket — or, when
+    ``n_probes`` is set, exactly the ``n_probes`` best buckets of the
+    margin-ranked :func:`multiprobe_sequence` (the scale path: probe
+    cost fixed instead of C(bits, h)). With the bucket column
+    persisted (``build_ann_index``), the probe becomes a
     partition-pruned scan — use ``ann_topk_indexed`` at scale."""
     dim = len(query)
     planes = _hyperplanes(dim, bits, seed)
-    probe = _probe_buckets(query, planes, multiprobe_hamming)
+    if n_probes is not None:
+        probe = multiprobe_sequence(query, planes, n_probes)
+    else:
+        probe = _probe_buckets(query, planes, multiprobe_hamming)
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     pruned = bucketed.filter(F.col("bucket").isin(probe))
     return (
@@ -299,6 +370,7 @@ def ann_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_hamming: int = 1,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """ANN top-k over a persisted ``build_ann_index`` table. Returns
     the same rows as ``ann_topk_lsh`` over the same corpus
@@ -323,7 +395,10 @@ def ann_topk_indexed(
             )
         bits, seed = int(m.meta["bits"]), int(m.meta["seed"])
     planes = _hyperplanes(len(query), bits, seed)
-    probe = _probe_buckets(query, planes, multiprobe_hamming)
+    if n_probes is not None:
+        probe = multiprobe_sequence(query, planes, n_probes)
+    else:
+        probe = _probe_buckets(query, planes, multiprobe_hamming)
     if m is not None:
         files = m.files_for(probe)
         if not files:
