@@ -919,6 +919,71 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             nested, max_hamming=6, min_media_jaccard=0.3
         ).agg(F.count("*").alias("pairs"))
 
+    def linearize_b16():
+        # X87: interleaved docs rendered to budget-truncated training
+        # token streams — sort/render/cost/fold all array HOFs inside
+        # the row, zero added shuffle; expected ~linear (scan-bound),
+        # same map-side span nesting as interleaved_near_dups_g
+        from webscrape_neko_jirushi_spark.operators import interleave
+
+        words = F.slice(F.split(F.col("text"), " "), 1, 24)
+        spans = F.transform(
+            words,
+            lambda w, i: F.struct(
+                F.when(i % 4 == 3, F.lit("image"))
+                .otherwise(F.lit("text"))
+                .alias("kind"),
+                F.when(~(i % 4 == 3), w).alias("text"),
+                F.when(i % 4 == 3, F.concat(F.lit("img://"), w)).alias(
+                    "media_ref"
+                ),
+                i.cast("int").alias("offset"),
+            ),
+        )
+        nested = docs.select("doc_id", spans.alias("spans"))
+        return interleave.linearize_docs(nested, budget=16).agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum(F.col("truncated").cast("long")).alias("truncated"),
+        )
+
+    def urlparam_verdicts():
+        # X86: param-significance mining over a fetch-log analog keyed
+        # off doc_id (sess neutral, page/sort significant, v constant):
+        # distinct-URL digest vote + ~4x explode + two groupBys on
+        # wide keys — expected ~linear in the log size (the verdict
+        # table itself is O(param names))
+        from webscrape_neko_jirushi_spark.crawl import urlparams
+
+        d = F.col("doc_id")
+        log = docs.select(
+            F.concat(
+                F.lit("https://h/x?sess="), (d % 7).cast("string"),
+                F.lit("&page="), (d % 50).cast("string"),
+                F.lit("&sort="), (d % 3).cast("string"),
+                F.lit("&v=1"),
+            ).alias("url"),
+            F.md5(
+                F.concat(
+                    (d % 50).cast("string"), F.lit("|"), (d % 3).cast("string")
+                )
+            ).alias("digest"),
+        )
+        return urlparams.param_significance(log)
+
+    def ann_multiprobe_idx():
+        # X88: margin-ranked probe sequence over the SAME persisted
+        # ANN index as ann_probe_indexed — probe budget capped at 16
+        # and clamped to the <=2-flip neighbourhood the small
+        # occupancy-sized index bits admit (at production 20+ bits the
+        # cap itself binds; the Hamming ball this replaces grows
+        # C(bits, h)); expected ~flat like the single-bucket probe
+        b = _ann_index_bits(n_vecs)
+        t = min(16, 1 + b + b * (b - 1) // 2)
+        return similarity.ann_topk_indexed(
+            spark, idx_path, query_vec, k=10, n_probes=t
+        )
+
     def drift_summary_b64():
         # X79: TVD/L-inf drift between the corpus and its length-
         # filtered refresh (integer-exact decimal reductions) —
@@ -997,6 +1062,9 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "rendezvous_w64": rendezvous_w64,
         "drift_summary_b64": drift_summary_b64,
         "interleaved_near_dups_g": interleaved_near_dups_g,
+        "linearize_b16": linearize_b16,
+        "urlparam_verdicts": urlparam_verdicts,
+        "ann_multiprobe_idx": ann_multiprobe_idx,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design
@@ -1314,6 +1382,23 @@ def main() -> None:
         "candidate-driven media-Jaccard verify — expected to track",
         "the simhash banding legs (~linear), since the media verify",
         "touches only candidate pairs.",
+        "",
+        "`linearize_b16` is interleaved-doc linearization",
+        "(`operators/interleave.py::linearize_docs`, 16-token budget):",
+        "offset-sort, sentinel render, token costing and the",
+        "prefix-under-budget fold all run as array HOFs INSIDE each",
+        "row — the operator adds zero shuffles, so its growth measures",
+        "pure scan+project throughput (~linear). `urlparam_verdicts`",
+        "is fetch-log URL-parameter significance mining",
+        "(`crawl/urlparams.py`): distinct-URL digest vote, ~4x k=v",
+        "explode, two groupBys on wide (param, residual) keys —",
+        "expected ~linear in log size with an O(param-names) output.",
+        "`ann_multiprobe_idx` probes the SAME persisted ANN index as",
+        "`ann_probe_indexed` but with the margin-ranked 16-probe",
+        "sequence (`similarity.multiprobe_sequence`): probe count is",
+        "fixed regardless of index bits (the Hamming ball it replaces",
+        "grows C(bits, h)), so the leg should stay ~flat while",
+        "recovering more candidates than the single-bucket probe.",
         "",
     ]
     if not leg_filter:  # partial smoke runs must not rewrite the evidence
