@@ -6119,6 +6119,40 @@ def q_interleaved_linearize(spark, sf_dir):
 
 
 # ===========================================================================
+# X87+X42 composition: interleaved corpus -> packed training sequences
+# ===========================================================================
+
+
+@q(
+    "training_export_e2e",
+    packing.pack_sequences_sql(
+        128,
+        relation="("
+        + il_mod.linearize_sql(
+            _IL_FLAT_SQL + " fx",
+            "(SELECT DISTINCT l_orderkey AS doc_id FROM lineitem) sp",
+            budget=16,
+        )
+        + ") lx",
+    ),
+)
+def q_training_export_e2e(spark, sf_dir):
+    """X87+X42: the interleaved corpus rendered and packed for
+    training in ONE Catalyst plan — linearize_docs (16-token budget,
+    media sentinels) feeding pack_sequences (128-token sequences,
+    concat-then-chunk in hash order). The stage contract that makes
+    the composition exact: a rendered stream's whitespace token count
+    equals linearize's own n_tokens (media_cost=1 = one sentinel
+    token, empty text spans add zero either way), so the packer can
+    re-count from text and both engines agree fragment-for-fragment.
+    The oracle nests the two stages' own twins verbatim."""
+    lin = il_mod.linearize_docs(
+        _interleaved_docs(spark, sf_dir), budget=16
+    ).select("doc_id", "text")
+    return packing.pack_sequences(lin, 128, buckets=0)
+
+
+# ===========================================================================
 # X86: URL-parameter significance mining (crawl/urlparams.py)
 # ===========================================================================
 
