@@ -6213,6 +6213,60 @@ def q_url_param_strip_savings(spark, sf_dir):
 
 
 # ===========================================================================
+# X89: frontier health + fairness (crawl/health.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.crawl import health as health_mod  # noqa: E402
+
+# frontier analog from events: host = user bucket, ts = discovery time
+_FRONTIER_SQL = (
+    "(SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host, ts FROM events) fr"
+)
+
+
+def _frontier_analog(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias(
+            "host"
+        ),
+        "ts",
+    )
+
+
+@q(
+    "frontier_health_hosts",
+    health_mod.frontier_health_sql(_FRONTIER_SQL, budget=200, starve_epochs=5),
+)
+def q_frontier_health_hosts(spark, sf_dir):
+    """X89: per-host frontier starvation audit
+    (health.frontier_health) — queue depth, oldest queued age
+    (integer microsecond diffs floor-divided to seconds, baselined on
+    the frontier's OWN max ts via a broadcast 1-row join), exact
+    ceil-division epochs-to-drain at the 200-fetch politeness budget,
+    and the starved flag. The report a crawl operator pages on: a
+    10^6-deep host at budget 100 is 10^4 epochs of dead URLs that no
+    aggregate throughput number shows."""
+    return health_mod.frontier_health(
+        _frontier_analog(spark, sf_dir), budget=200, starve_epochs=5
+    )
+
+
+@q("frontier_fairness", health_mod.frontier_fairness_sql(_FRONTIER_SQL))
+def q_frontier_fairness(spark, sf_dir):
+    """X89: one-row pending-work skew report
+    (health.frontier_fairness) — EXACT Gini over per-host queue
+    depths: rank via the bucketed two-phase global_sequence (no
+    single-partition window; tied depths are rank-sum invariant, so
+    no tie-break contract is needed), Σ rank·depth in DECIMAL(38,0),
+    num/den emitted as exact integers beside the 6-dp ratio. Gini is
+    the salting decision's direct input: ~0 = hash partitioning fine,
+    high = hot hosts need salt shards before they serialize an
+    epoch."""
+    return health_mod.frontier_fairness(_frontier_analog(spark, sf_dir))
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
