@@ -255,11 +255,15 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         # (the planted 10% near-dups): same two candidate-keyed
         # equi-joins as the jaccard verify, different final ratio —
         # measures the asymmetric verify's growth on the same pair
-        # stream. ~linear like ngram_jaccard
+        # stream. restrict_candidates mirrors the ngram_jaccard leg
+        # (same _candidate_restricted_base; before it, this leg grew
+        # 25-27x at 100x vs ngram's 8-14x on the SAME pair stream —
+        # the full-corpus explode+distinct was the whole gap)
         sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
         cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
         return dedup.containment_pairs(
-            docs, "text", "doc_id", 5, 0.8, candidates=cands
+            docs, "text", "doc_id", 5, 0.8, candidates=cands,
+            restrict_candidates=True,
         )
 
     def simhash_pairs():

@@ -70,6 +70,18 @@ def test_candidate_driven_parity(spark, docs):
     )
     # candidate superset of the true pairs -> identical verified output
     assert driven == full
+    # below-the-explode restriction (shared _candidate_restricted_base):
+    # shrinking the base to candidate docs must not change a single
+    # verified value — shingle sets, hence n_a/n_b and both directed
+    # containments, stay intact for every retained doc
+    restricted = sorted(
+        tuple(r)
+        for r in dedup.containment_pairs(
+            docs, "text", "doc_id", k=5, min_containment=0.8,
+            candidates=cands, restrict_candidates=True,
+        ).collect()
+    )
+    assert restricted == full
 
 
 def test_duckdb_twin(spark, docs):

@@ -536,6 +536,52 @@ def simhash_signatures(
     return counted.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _candidate_restricted_base(
+    df: DataFrame,
+    id_col: str,
+    candidates: DataFrame | None,
+    restrict_candidates: bool | None,
+    auto_threshold: int,
+    n_docs: int | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared below-the-explode candidate restriction for the exact
+    shingle-verify family (``ngram_jaccard_pairs``,
+    ``containment_pairs``): semi-join the BASE table to the candidate
+    id set so the shingle explode+distinct — the family's largest
+    shuffle — touches only candidate docs. Exactness untouched:
+    per-doc shingle SETS stay intact for every retained doc, and
+    non-candidate docs cannot survive the candidate-keyed verify
+    equi-joins anyway. ``restrict_candidates=None`` auto-selects via
+    ``n_docs`` (zero jobs) or a LIMIT-bounded count probe; see
+    ``ngram_jaccard_pairs``' docstring for the measured trade."""
+    if candidates is None:
+        return df, None
+    if restrict_candidates is None:
+        if n_docs is not None:
+            restrict_candidates = n_docs > auto_threshold
+        else:
+            restrict_candidates = (
+                df.select(id_col).limit(auto_threshold + 1).count() > auto_threshold
+            )
+    if not restrict_candidates:
+        return df, candidates
+    candidates = candidates.select("id_a", "id_b").localCheckpoint(eager=True)
+    # broadcast hint: the id set is 8 bytes/id (fits executor
+    # memory up to ~10^8-10^9 candidate docs — far beyond any
+    # corpus whose verify stage is tractable at all), and without
+    # it Catalyst sort-merge-joins the semi — i.e. shuffles the
+    # full base table WITH text by id, which is the exact shuffle
+    # this restriction exists to avoid (AQE does not convert here:
+    # the build side hides behind an explode+distinct stage whose
+    # size estimate never updates the join strategy in time).
+    cand_ids = F.broadcast(
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+    )
+    return df.join(cand_ids, id_col, "left_semi"), candidates
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -584,30 +630,9 @@ def ngram_jaccard_pairs(
     or supply ``n_docs`` (an upper-bound row-count hint): the auto
     gate then resolves from the hint with ZERO construction-time jobs
     (a caller loading a known table already has the count)."""
-    base = df
-    if candidates is not None and restrict_candidates is None:
-        if n_docs is not None:
-            restrict_candidates = n_docs > auto_threshold
-        else:
-            restrict_candidates = (
-                df.select(id_col).limit(auto_threshold + 1).count() > auto_threshold
-            )
-    if candidates is not None and restrict_candidates:
-        candidates = candidates.select("id_a", "id_b").localCheckpoint(eager=True)
-        # broadcast hint: the id set is 8 bytes/id (fits executor
-        # memory up to ~10^8-10^9 candidate docs — far beyond any
-        # corpus whose verify stage is tractable at all), and without
-        # it Catalyst sort-merge-joins the semi — i.e. shuffles the
-        # full base table WITH text by id, which is the exact shuffle
-        # this restriction exists to avoid (AQE does not convert here:
-        # the build side hides behind an explode+distinct stage whose
-        # size estimate never updates the join strategy in time).
-        cand_ids = F.broadcast(
-            candidates.select(
-                F.explode(F.array("id_a", "id_b")).alias(id_col)
-            ).distinct()
-        )
-        base = df.join(cand_ids, id_col, "left_semi")
+    base, candidates = _candidate_restricted_base(
+        df, id_col, candidates, restrict_candidates, auto_threshold, n_docs
+    )
     ex = (
         base.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
         .distinct()
@@ -657,6 +682,9 @@ def containment_pairs(
     k: int = 5,
     min_containment: float = 0.8,
     candidates: DataFrame | None = None,
+    restrict_candidates: bool | None = None,
+    auto_threshold: int = 100_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplication: shingle-set CONTAINMENT
     ``c(A in B) = |A ∩ B| / |A|`` — the quote/superset detector
@@ -676,8 +704,12 @@ def containment_pairs(
     (ONE shingle explode+distinct, per-doc sizes re-aggregated from
     the same exploded table, intersection via the shingle equi-join)
     — only the final ratio differs, so every measured property of
-    that plan (DEDUP_SCALE growth, candidate-driven restriction)
-    carries over. ``candidates`` bounds the pair space at scale;
+    that plan carries over, INCLUDING the below-the-explode candidate
+    restriction (``restrict_candidates`` / ``n_docs`` — same
+    ``_candidate_restricted_base`` helper, same auto gate; exact for
+    the same reason: restricting the base to candidate docs leaves
+    every retained doc's shingle set — hence ``n_a``/``n_b`` and both
+    containments — intact). ``candidates`` bounds the pair space at scale;
     note the candidate SOURCE must be containment-aware — Jaccard-LSH
     bands under-recall asymmetric pairs BY DESIGN, so feed pairs from
     a shared-gram index (``substrings.duplicated_kgram_spans``), a
@@ -685,8 +717,11 @@ def containment_pairs(
     LSH; the exact verify here is agnostic to where pairs came from.
     Without candidates the shingle self-join is exact and fine up to
     ~10^5 docs (the ngram_jaccard contract)."""
+    base, candidates = _candidate_restricted_base(
+        df, id_col, candidates, restrict_candidates, auto_threshold, n_docs
+    )
     ex = (
-        df.select(
+        base.select(
             F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
         )
         .distinct()
