@@ -258,7 +258,9 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         # stream. restrict_candidates mirrors the ngram_jaccard leg
         # (same _candidate_restricted_base; before it, this leg grew
         # 25-27x at 100x vs ngram's 8-14x on the SAME pair stream —
-        # the full-corpus explode+distinct was the whole gap)
+        # the full-corpus explode+distinct was the whole gap. Controlled
+        # warm A/B at 100x, alternating, one session: restricted
+        # 29.7-31.8s vs 54-63s unrestricted; same-session ngram 34.9-36.4s)
         sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
         cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
         return dedup.containment_pairs(
