@@ -6267,6 +6267,114 @@ def q_frontier_fairness(spark, sf_dir):
 
 
 # ===========================================================================
+# X90: paginated-document stitching (text/stitching.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.text import stitching as st_mod  # noqa: E402
+
+# paginated-article analog from orders: 500 chains, pages in o_orderkey
+# order, nav-crumb repeated across the page break on 2/3 of chains (the
+# other third has no shared text — the zero-overlap branch), built with
+# identical arithmetic on both engines
+_PAGES_SQL = """(
+  WITH pg_sp AS (
+    SELECT o_orderkey % 500 AS bmod,
+           o_orderkey AS ok,
+           o_orderstatus AS st,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey % 500 ORDER BY o_orderkey
+           ) AS INTEGER) AS page
+    FROM orders)
+  SELECT 'https://cat.example/article/' || CAST(bmod AS VARCHAR) AS base,
+         page,
+         CASE WHEN page > 1 AND bmod % 3 <> 0
+              THEN 'nav-' || CAST(bmod AS VARCHAR) || '-'
+                   || CAST(page - 1 AS VARCHAR) || ' '
+              ELSE '' END
+         || 'body ' || CAST(ok AS VARCHAR) || ' ' || st
+         || CASE WHEN bmod % 3 <> 0
+              THEN ' nav-' || CAST(bmod AS VARCHAR) || '-'
+                   || CAST(page AS VARCHAR)
+              ELSE '' END AS text
+  FROM pg_sp) pg"""
+
+
+def _pages_analog(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    sp = o.select(
+        (F.col("o_orderkey") % 500).alias("bmod"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    sp = sp.select(
+        "bmod",
+        "ok",
+        "st",
+        F.row_number()
+        .over(Window.partitionBy("bmod").orderBy("ok"))
+        .cast("int")
+        .alias("page"),
+    )
+    base0 = F.col("bmod").cast("string")
+    crumby = F.col("bmod") % 3 != 0
+    text = F.concat(
+        F.when(
+            (F.col("page") > 1) & crumby,
+            F.concat(
+                F.lit("nav-"),
+                base0,
+                F.lit("-"),
+                (F.col("page") - 1).cast("string"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("body "),
+        F.col("ok").cast("string"),
+        F.lit(" "),
+        F.col("st"),
+        F.when(
+            crumby,
+            F.concat(
+                F.lit(" nav-"), base0, F.lit("-"), F.col("page").cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return sp.select(
+        F.concat(F.lit("https://cat.example/article/"), base0).alias("base"),
+        F.col("page"),
+        text.alias("text"),
+    )
+
+
+@q("page_overlap_profile", st_mod.page_overlaps_sql(_PAGES_SQL))
+def q_page_overlap_profile(spark, sf_dir):
+    """X90: per-page suffix/prefix overlap diagnosis
+    (stitching.page_overlaps) — largest k <= 64 with
+    right(prev,k) = left(cur,k) via ONE lag window over (base ORDER BY
+    page) + an in-row sequence->filter->array_max HOF (zero Python,
+    O(k^2) chars per page, scan-bound). The QA face of stitching: a
+    pagination chain whose overlaps are all 0 was probably split on a
+    non-pagination param (X86 feeds the base key). Duplicate
+    (base, page) pairs raise in-plan — lag would be engine-dependent."""
+    return st_mod.page_overlaps(_pages_analog(spark, sf_dir))
+
+
+@q("stitched_documents", st_mod.stitch_pages_sql(_PAGES_SQL))
+def q_stitched_documents(spark, sf_dir):
+    """X90: paginated-document reassembly (stitching.stitch_pages) —
+    page 1 + each successor minus its nav-crumb overlap prefix,
+    concatenated in page order (array_sort over (page, frag) structs);
+    the groupBy(base) reuses the overlap window's hash distribution so
+    the whole operator is ONE exchange at any corpus size.
+    trimmed_chars is the near-dup mass removed before dedup ever sees
+    it; the stitched doc restores the long-document signal that
+    page-fragment corpora lose (reference walks listing pages
+    page-by-page, comprehensive_scraper.py pagination loop, but never
+    reassembles)."""
+    return st_mod.stitch_pages(_pages_analog(spark, sf_dir))
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
