@@ -6375,6 +6375,136 @@ def q_stitched_documents(spark, sf_dir):
 
 
 # ===========================================================================
+# X91: takedown / RTBF enforcement (operators/takedown.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import takedown as td_mod  # noqa: E402
+
+# corpus analog: the interleaved docs with a deterministic URL per doc
+# (host = doc_id mod 7 — both engines build the identical string)
+_TD_DOCS_SQL = """(
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/doc/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM (SELECT DISTINCT l_orderkey AS doc_id FROM lineitem) dd) td"""
+
+# flat media spans for the media-kind counts (the X78 span analog)
+_TD_SPANS_SQL = (
+    f"(SELECT doc_id, media_ref FROM {_IL_FLAT_SQL} f"
+    " WHERE media_ref IS NOT NULL)"
+)
+
+# request analog from nation (25 rows): kind by mod-4, keys hitting
+# hosts/prefixes/media that exist plus exact-URL keys that mostly
+# don't — the no_match rows are part of what the audit must report
+_TD_REQS_SQL = """(
+  SELECT n_nationkey AS request_id,
+         CASE n_nationkey % 4 WHEN 0 THEN 'url' WHEN 1 THEN 'host'
+              WHEN 2 THEN 'prefix' ELSE 'media' END AS kind,
+         CASE n_nationkey % 4
+           WHEN 0 THEN 'https://h'
+                || CAST((n_nationkey * 4 + 1) % 7 AS VARCHAR)
+                || '.example/doc/' || CAST(n_nationkey * 4 + 1 AS VARCHAR)
+           WHEN 1 THEN 'h' || CAST(n_nationkey % 3 AS VARCHAR) || '.example'
+           WHEN 2 THEN 'https://h' || CAST(n_nationkey % 7 AS VARCHAR)
+                || '.example/doc/' || CAST(n_nationkey % 10 AS VARCHAR)
+           ELSE 'img://' || CAST(n_nationkey * 50 AS VARCHAR)
+         END AS key
+  FROM nation) tr"""
+
+
+def _takedown_docs(spark, sf_dir):
+    return _interleaved_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "spans",
+    )
+
+
+def _takedown_reqs(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    host = (k % 7).cast("string")
+    kind = (
+        F.when(k % 4 == 0, F.lit("url"))
+        .when(k % 4 == 1, F.lit("host"))
+        .when(k % 4 == 2, F.lit("prefix"))
+        .otherwise(F.lit("media"))
+    )
+    key = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("https://h"),
+                ((k * 4 + 1) % 7).cast("string"),
+                F.lit(".example/doc/"),
+                (k * 4 + 1).cast("string"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(F.lit("h"), (k % 3).cast("string"), F.lit(".example")),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.lit("https://h"),
+                host,
+                F.lit(".example/doc/"),
+                (k % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("img://"), (k * 50).cast("string")))
+    )
+    return n.select(
+        k.alias("request_id"), kind.alias("kind"), key.alias("key")
+    )
+
+
+@q(
+    "takedown_audit",
+    td_mod.takedown_audit_sql(_TD_DOCS_SQL, _TD_REQS_SQL, _TD_SPANS_SQL),
+)
+def q_takedown_audit(spark, sf_dir):
+    """X91: per-request takedown/RTBF enforcement report
+    (takedown.takedown_audit) — url/host/prefix/media kinds matched by
+    broadcast equi-joins (prefix = key-host equi-join + startswith
+    residual, NEVER a nested-loop LIKE over the corpus), distinct-doc
+    and stripped-span counts, status enforced/no_match (a no_match row
+    is itself actionable). Unknown kinds raise in-plan — a misspelled
+    kind is a silently un-enforced legal demand. Host extraction is
+    ONE regex literal replayed verbatim by the twin."""
+    return td_mod.takedown_audit(
+        _takedown_docs(spark, sf_dir), _takedown_reqs(spark, sf_dir)
+    )
+
+
+@q(
+    "takedown_survivors",
+    td_mod.survivor_hosts_sql(_TD_DOCS_SQL, _TD_REQS_SQL),
+)
+def q_takedown_survivors(spark, sf_dir):
+    """X91: the surviving corpus per host after enforcement
+    (takedown.enforce_takedowns) — ONE broadcast anti-join on the
+    distinct matched doc set removes every doc-level match; the same
+    call filters a frontier before fetch (enforcement is also
+    prevention: RTBF content must not be re-collected next crawl).
+    Hosts h0-h2 lose everything to host-kind requests here, so the
+    report is also the over-enforcement check."""
+    surv = td_mod.enforce_takedowns(
+        _takedown_docs(spark, sf_dir), _takedown_reqs(spark, sf_dir)
+    )
+    return surv.groupBy(
+        F.regexp_extract("url", td_mod.HOST_RE, 1).alias("host")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 

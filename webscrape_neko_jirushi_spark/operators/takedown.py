@@ -1,0 +1,396 @@
+"""Takedown / right-to-be-forgotten enforcement (SURVEY.md §2.11 X91).
+
+A production crawl corpus receives deletion demands — DMCA notices,
+RTBF/GDPR erasure requests, site-owner opt-outs — and at 100 TB the
+naive response (grep and rewrite the corpus) is a full-corpus job per
+request batch. The reference deletes by hand (`cleanup_dataset.py`
+removes files by local path); this module is the corpus-scale version:
+requests are DATA, enforcement is a handful of broadcast equi-joins,
+and persisted-index deletion is a copy-on-write rewrite of ONLY the
+affected partitions through the `IndexManifest` commit protocol.
+
+Request kinds (one table, `(request_id, kind, key)`):
+
+- ``'url'``    — exact canonical URL;
+- ``'host'``   — every doc on the host;
+- ``'prefix'`` — every doc whose URL starts with ``key``; the key
+  carries its host, so matching is a broadcast HOST equi-join plus a
+  ``startswith`` residual — never a nested-loop LIKE over the corpus;
+- ``'media'``  — a ``media_ref``: the matching spans are stripped
+  from EVERY doc (the doc survives; the X40/X80 strip shape) and the
+  ref is tombstoned out of persisted indexes.
+
+Unknown kinds raise IN-PLAN (an ignored misspelled kind is a silently
+un-enforced legal demand). Host extraction uses ONE regex literal
+shared verbatim with the DuckDB twin (`parse_url` has no cross-engine
+mirror).
+
+Scale shape: the request table is small by nature (10^4-10^6 rows vs
+a 10^10-doc corpus) — every match is a broadcast map-side join, doc
+enforcement is ONE anti-join, media stripping is one explode +
+broadcast anti-join + one re-collect exchange. ``delete_from_index``
+reads only the affected partitions (manifest-resolved), rewrites them
+minus tombstoned rows, and commits with ``expected_version`` pinned —
+concurrent appends conflict loudly instead of losing rows. Older
+manifest versions still resolve the pre-deletion files (the audit
+trail); `expire_versions` + `vacuum` is the physical-erasure step
+that completes RTBF compliance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_store import IndexManifest
+
+# host of a URL/prefix — the one literal both engines run verbatim
+HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+_KINDS = ("url", "host", "prefix", "media")
+
+
+def _checked_requests(requests: DataFrame) -> DataFrame:
+    """(request_id, kind, key) with an in-plan unknown-kind guard
+    fused into the KIND column — every downstream kind filter
+    evaluates the coalesce on every request row, so a misspelled kind
+    raises even though no filter would have kept its row."""
+    bad = F.when(
+        ~F.col("kind").isin(*_KINDS),
+        F.raise_error(
+            F.concat(
+                F.lit("takedown: unknown request kind '"),
+                F.col("kind").cast("string"),
+                F.lit("' for request "),
+                F.col("request_id").cast("string"),
+            )
+        ),
+    )
+    return requests.select(
+        "request_id", F.coalesce(bad, F.col("kind")).alias("kind"), "key"
+    )
+
+
+def _doc_side(docs: DataFrame, doc_col: str, url_col: str) -> DataFrame:
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(url_col).alias("_url"),
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("_host"),
+    )
+
+
+def match_takedowns(
+    docs: DataFrame,
+    requests: DataFrame,
+    doc_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """(request_id, kind, key, doc_id) — one row per doc-level match
+    (kinds url/host/prefix; media matches are span-level, see
+    :func:`strip_media_spans`). All three kinds are broadcast
+    equi-joins against the tiny request table: url on the URL itself,
+    host on the doc host, prefix on the KEY's host with the
+    ``startswith`` check as a join residual."""
+    reqs = _checked_requests(requests)
+    d = _doc_side(docs, doc_col, url_col)
+    by_url = d.join(
+        F.broadcast(reqs.filter(F.col("kind") == "url")),
+        d["_url"] == F.col("key"),
+    )
+    by_host = d.join(
+        F.broadcast(reqs.filter(F.col("kind") == "host")),
+        d["_host"] == F.col("key"),
+    )
+    pre = reqs.filter(F.col("kind") == "prefix").select(
+        "request_id",
+        "kind",
+        "key",
+        F.regexp_extract("key", HOST_RE, 1).alias("_khost"),
+    )
+    by_prefix = d.join(
+        F.broadcast(pre),
+        (d["_host"] == F.col("_khost"))
+        & F.col("_url").startswith(F.col("key")),
+    )
+    return (
+        by_url.select("request_id", "kind", "key", "doc_id")
+        .unionByName(by_host.select("request_id", "kind", "key", "doc_id"))
+        .unionByName(by_prefix.select("request_id", "kind", "key", "doc_id"))
+    )
+
+
+def enforce_takedowns(
+    docs: DataFrame,
+    requests: DataFrame,
+    doc_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """The surviving corpus: docs minus every doc-level match — ONE
+    anti-join on doc_id, original columns untouched. Media-kind
+    requests do not remove docs (apply :func:`strip_media_spans` for
+    those). The same call filters a FRONTIER before fetch (docs =
+    frontier, doc_col = url): enforcement is also prevention — RTBF
+    content must not be re-collected on the next crawl."""
+    doomed = match_takedowns(docs, requests, doc_col, url_col).select(
+        F.col("doc_id").alias(doc_col)
+    )
+    return docs.join(F.broadcast(doomed.distinct()), doc_col, "left_anti")
+
+
+def strip_media_spans(
+    docs: DataFrame,
+    requests: DataFrame,
+    doc_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Docs with media-kind takedowns' spans removed: explode, split
+    media spans from the rest, broadcast anti-join the media rows on
+    media_ref = key, re-collect in offset order (array_sort over
+    offset-led structs). Docs whose every span is stripped survive
+    with an empty array — deleting the document under a media-only
+    demand would over-enforce. One explode + one re-collect exchange;
+    non-media spans never touch the join."""
+    keys = _checked_requests(requests).filter(
+        F.col("kind") == "media"
+    ).select(F.col("key").alias("media_ref"))
+    s = docs.select(doc_col, F.explode_outer(spans_col).alias("s")).select(
+        doc_col,
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    media = s.filter(F.col("media_ref").isNotNull())
+    kept = media.join(F.broadcast(keys), "media_ref", "left_anti").unionByName(
+        s.filter(F.col("media_ref").isNull())
+    )
+    rebuilt = (
+        kept.filter(F.col("offset").isNotNull())  # explode_outer's
+        # NULL row for an already-empty array carries no span
+        .groupBy(doc_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("offset", "kind", "text", "media_ref")
+                    )
+                ),
+                lambda x: F.struct(
+                    x["kind"].alias("kind"),
+                    x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"),
+                    x["offset"].alias("offset"),
+                ),
+            ).alias(spans_col)
+        )
+    )
+    empty = F.array().cast(docs.schema[spans_col].dataType)
+    return (
+        docs.select(doc_col)
+        .join(rebuilt, doc_col, "left")
+        .select(doc_col, F.coalesce(spans_col, empty).alias(spans_col))
+    )
+
+
+def takedown_audit(
+    docs: DataFrame,
+    requests: DataFrame,
+    doc_col: str = "doc_id",
+    url_col: str = "url",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Per-request enforcement report — the row a compliance officer
+    files: (request_id, kind, key, n_docs_removed, n_spans_stripped,
+    status). Doc-level kinds count DISTINCT matched docs; media kind
+    counts stripped span instances (the doc survives, so
+    n_docs_removed stays 0). status = 'enforced' iff anything
+    matched; a 'no_match' row is itself actionable (stale key, or the
+    content never entered the corpus)."""
+    reqs = _checked_requests(requests)
+    doc_counts = (
+        match_takedowns(docs, requests, doc_col, url_col)
+        .groupBy("request_id")
+        .agg(F.countDistinct("doc_id").alias("n_docs_removed"))
+    )
+    media_keys = reqs.filter(F.col("kind") == "media").select(
+        "request_id", F.col("key").alias("media_ref")
+    )
+    span_counts = (
+        docs.select(F.explode(spans_col).alias("s"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .join(F.broadcast(media_keys), "media_ref")
+        .groupBy("request_id")
+        .agg(F.count("*").alias("n_spans_stripped"))
+    )
+    return (
+        reqs.join(doc_counts, "request_id", "left")
+        .join(span_counts, "request_id", "left")
+        .select(
+            "request_id",
+            "kind",
+            "key",
+            F.coalesce("n_docs_removed", F.lit(0))
+            .cast("long")
+            .alias("n_docs_removed"),
+            F.coalesce("n_spans_stripped", F.lit(0))
+            .cast("long")
+            .alias("n_spans_stripped"),
+            F.when(
+                F.coalesce("n_docs_removed", F.lit(0))
+                + F.coalesce("n_spans_stripped", F.lit(0))
+                > 0,
+                F.lit("enforced"),
+            )
+            .otherwise(F.lit("no_match"))
+            .alias("status"),
+        )
+    )
+
+
+def delete_from_index(
+    spark: SparkSession,
+    path,
+    ids: DataFrame,
+    id_col: str = "id",
+) -> dict:
+    """Tombstone propagation into a manifest-backed index (X9/X10/X60
+    stores): copy-on-write DELETE of every row whose ``id_col`` is in
+    ``ids``, rewriting ONLY the partitions that contain one.
+
+    Protocol (the Iceberg CoW-delete discipline, built from the
+    store's own verbs): one manifest read resolves the full file
+    list; one Spark job finds the affected partition values (semi-join
+    against the broadcast tombstones — the parquet scan prunes to
+    ``id_col`` + the partition key); survivors of ONLY those
+    partitions are staged into a job-scoped ``_staging`` tree and
+    ``commit_staged(replace_values=..., expected_version=...)``
+    publishes them — a concurrent append raises ``CommitConflict``
+    instead of silently resurrecting deleted rows or losing its own.
+    A partition whose every row is tombstoned disappears from the
+    head. Older versions still resolve the pre-deletion files (the
+    audit trail); physical erasure = ``expire_versions`` + ``vacuum``,
+    which the caller runs once the retention/legal window allows.
+
+    Returns ``{"n_rows_deleted", "partitions_rewritten",
+    "version"}``; no-op (version unchanged) when nothing matches.
+    """
+    m = IndexManifest.load(path)
+    if m is None:
+        raise ValueError(f"delete_from_index: no manifest at {path}")
+    all_files = m.files_for(m.partitions.keys())
+    if not all_files:
+        return {"n_rows_deleted": 0, "partitions_rewritten": 0,
+                "version": m.version}
+    full = spark.read.option("basePath", str(m.root)).parquet(*all_files)
+    hit_rows = full.join(F.broadcast(ids.select(id_col)), id_col, "left_semi")
+    # one job: per-partition tombstone counts (bounded by #partitions)
+    hits = hit_rows.groupBy(m.key).count().collect()
+    if not hits:
+        return {"n_rows_deleted": 0, "partitions_rewritten": 0,
+                "version": m.version}
+    affected = sorted(str(r[m.key]) for r in hits)
+    n_deleted = sum(r["count"] for r in hits)
+    part = spark.read.option("basePath", str(m.root)).parquet(
+        *m.files_for(affected)
+    )
+    survivors = part.join(
+        F.broadcast(ids.select(id_col)), id_col, "left_anti"
+    ).repartition(m.key)
+    stage, _ = IndexManifest.stage_write(survivors, m.root, m.key)
+    new = IndexManifest.commit_staged(
+        m.root,
+        m.key,
+        stage,
+        meta=m.meta,
+        replace_values=affected,
+        expected_version=m.version,
+    )
+    return {
+        "n_rows_deleted": int(n_deleted),
+        "partitions_rewritten": len(affected),
+        "version": new.version,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB twins
+# --------------------------------------------------------------------------
+
+def _match_ctes(
+    docs_sql: str, requests_sql: str, doc_col: str, url_col: str
+) -> str:
+    return f"""td_req AS (
+      SELECT request_id, kind, key FROM {requests_sql}
+    ),
+    td_docs AS (
+      SELECT {doc_col} AS doc_id, {url_col} AS url,
+             regexp_extract({url_col}, '{HOST_RE}', 1) AS host
+      FROM {docs_sql}
+    ),
+    td_matches AS (
+      SELECT r.request_id, d.doc_id
+      FROM td_docs d JOIN td_req r
+        ON r.kind = 'url' AND d.url = r.key
+      UNION ALL
+      SELECT r.request_id, d.doc_id
+      FROM td_docs d JOIN td_req r
+        ON r.kind = 'host' AND d.host = r.key
+      UNION ALL
+      SELECT r.request_id, d.doc_id
+      FROM td_docs d JOIN td_req r
+        ON r.kind = 'prefix'
+       AND d.host = regexp_extract(r.key, '{HOST_RE}', 1)
+       AND starts_with(d.url, r.key)
+    )"""
+
+
+def survivor_hosts_sql(
+    docs_sql: str,
+    requests_sql: str,
+    doc_col: str = "doc_id",
+    url_col: str = "url",
+) -> str:
+    """DuckDB twin of ``enforce_takedowns`` aggregated per host:
+    (host, n_docs) over the surviving corpus."""
+    return f"""
+    WITH {_match_ctes(docs_sql, requests_sql, doc_col, url_col)}
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM td_docs
+    WHERE doc_id NOT IN (SELECT doc_id FROM td_matches)
+    GROUP BY host
+    """
+
+
+def takedown_audit_sql(
+    docs_sql: str,
+    requests_sql: str,
+    spans_sql: str,
+    doc_col: str = "doc_id",
+    url_col: str = "url",
+) -> str:
+    """DuckDB twin of :func:`takedown_audit`. ``docs_sql`` is a
+    relation with (doc_col, url_col); ``spans_sql`` a FLAT span
+    relation with (doc_col, media_ref). Host extraction replays
+    ``HOST_RE`` verbatim."""
+    return f"""
+    WITH {_match_ctes(docs_sql, requests_sql, doc_col, url_col)},
+    td_doc_counts AS (
+      SELECT request_id, COUNT(DISTINCT doc_id) AS n_docs
+      FROM td_matches GROUP BY request_id
+    ),
+    td_span_counts AS (
+      SELECT r.request_id, COUNT(*) AS n_spans
+      FROM {spans_sql} s JOIN td_req r
+        ON r.kind = 'media' AND s.media_ref = r.key
+      GROUP BY r.request_id
+    )
+    SELECT r.request_id, r.kind, r.key,
+           CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs_removed,
+           CAST(COALESCE(sc.n_spans, 0) AS BIGINT) AS n_spans_stripped,
+           CASE WHEN COALESCE(dc.n_docs, 0) + COALESCE(sc.n_spans, 0) > 0
+                THEN 'enforced' ELSE 'no_match' END AS status
+    FROM td_req r
+    LEFT JOIN td_doc_counts dc ON dc.request_id = r.request_id
+    LEFT JOIN td_span_counts sc ON sc.request_id = r.request_id
+    """
