@@ -6505,6 +6505,90 @@ def q_takedown_survivors(spark, sf_dir):
 
 
 # ===========================================================================
+# X92: embedding-space eval decontamination (operators/decontam.py)
+# ===========================================================================
+
+from webscrape_neko_jirushi_spark.operators import decontam as dc_mod  # noqa: E402
+
+_DC_TRAIN_SQL = """(
+  SELECT vec_id AS doc_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings)"""
+
+# eval analog: positively-scaled copies (the paraphrase stand-in —
+# cosine 1.0, MUST be flagged) + reversed vectors (direction broken —
+# the clean population); both constructions are engine-identical
+_DC_EVALS_SQL = """(
+  SELECT vec_id + 1000000 AS eval_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 3.0) AS embedding
+  FROM embeddings WHERE vec_id % 97 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS eval_id,
+         list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+           AS embedding
+  FROM embeddings WHERE vec_id % 89 = 0)"""
+
+
+def _dc_train(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+
+
+def _dc_evals(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    scaled = e.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 1000000).alias("eval_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 3.0).alias(
+            "embedding"
+        ),
+    )
+    rev = e.filter(F.col("vec_id") % 89 == 0).select(
+        (F.col("vec_id") + 2000000).alias("eval_id"),
+        F.reverse(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("embedding"),
+    )
+    return scaled.unionByName(rev)
+
+
+@q(
+    "semantic_decontamination",
+    dc_mod.contamination_report_sql(
+        _DC_TRAIN_SQL,
+        _DC_EVALS_SQL,
+        dim=64,
+        tau=0.98,
+        n_bands=_EMB_LSH_BANDS,
+        bits_per_band=_EMB_LSH_BITS,
+    ),
+)
+def q_semantic_decontamination(spark, sf_dir):
+    """X92: embedding-space eval decontamination audit
+    (decontam.semantic_contamination_report) — the paraphrase-leakage
+    check the X42 n-gram decontaminator can't see: both sides banded
+    with the SAME md5 hyperplanes (4x8 bits — size by lsh_bits_for on
+    the TRAIN corpus), banded EVAL side broadcast, candidates from a
+    map-side (band, bucket) equi-join (the 10^10-doc train side never
+    shuffles), exact cosine >= 0.98 verify on candidates only.
+    Per-eval rows: planted scaled copies flag at max_cosine 1.0,
+    reversed vectors report clean with NULL max_cosine ('no candidate
+    survived' and 'best scored 0' are different facts)."""
+    return dc_mod.semantic_contamination_report(
+        _dc_train(spark, sf_dir),
+        _dc_evals(spark, sf_dir),
+        dim=64,
+        tau=0.98,
+        n_bands=_EMB_LSH_BANDS,
+        bits_per_band=_EMB_LSH_BITS,
+    )
+
+
+# ===========================================================================
 # entry + registry
 # ===========================================================================
 
