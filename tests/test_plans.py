@@ -325,3 +325,28 @@ def test_round5_text_ops_python_free(spark):
         q = qs[name](spark, SF)
         assert P.python_eval_count(q) == 0, name
         assert P.codegen_stage_count(q) >= 1, name
+
+
+def test_x90_x92_plans(spark):
+    """The stitching / takedown / decontamination additions are
+    full-corpus maps and joins: zero Python eval nodes; every request
+    or eval-side join broadcasts (the small side is small BY DESIGN);
+    the prefix-kind takedown match plans as an equi-join with a
+    startswith residual, never a nested-loop LIKE over the corpus."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "page_overlap_profile",
+        "stitched_documents",
+        "takedown_audit",
+        "takedown_survivors",
+        "semantic_decontamination",
+    ):
+        q = qs[name](spark, SF)
+        plan = P.physical_plan(q)
+        assert P.python_eval_count(q) == 0, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in ("takedown_audit", "takedown_survivors",
+                 "semantic_decontamination"):
+        assert P.has_broadcast_join(qs[name](spark, SF)), name
