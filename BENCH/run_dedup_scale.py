@@ -1015,6 +1015,136 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             .agg(F.count("*").alias("n_keys"))
         )
 
+    def stitch_pages_p5():
+        # X90: every doc split map-side into a 5-page chain with a
+        # repeated nav crumb across each break, then reassembled —
+        # one lag window + one groupBy reusing the same hash
+        # distribution (ONE exchange), expected ~linear
+        from webscrape_neko_jirushi_spark.text import stitching
+
+        words = F.split(F.col("text"), " ")
+        pages = docs.select(
+            F.col("doc_id").alias("base"),
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("page"),
+            words.alias("_w"),
+        ).select(
+            "base",
+            "page",
+            F.concat(
+                F.when(
+                    F.col("page") > 1,
+                    F.concat(
+                        F.lit("crumb-"),
+                        F.col("base").cast("string"),
+                        F.lit("-"),
+                        (F.col("page") - 1).cast("string"),
+                        F.lit(" "),
+                    ),
+                ).otherwise(F.lit("")),
+                F.array_join(
+                    F.slice(F.col("_w"), (F.col("page") - 1) * 8 + 1, 8), " "
+                ),
+                F.lit(" crumb-"),
+                F.col("base").cast("string"),
+                F.lit("-"),
+                F.col("page").cast("string"),
+            ).alias("text"),
+        )
+        return stitching.stitch_pages(pages, max_overlap=32)
+
+    def semantic_decontam_e200():
+        # X92: FIXED 200-item eval set (the realistic shape: the
+        # benchmark is constant, the train corpus grows) vs the n-vec
+        # corpus — banded broadcast candidate join + exact verify;
+        # cost should track the TRAIN side ~linearly
+        from webscrape_neko_jirushi_spark.operators import decontam
+
+        evals = vecs.filter(F.col("vec_id") < 200).select(
+            (F.col("vec_id") + 10_000_000).alias("eval_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") * 2.0
+            ).alias("embedding"),
+        )
+        return decontam.semantic_contamination_report(
+            vecs,
+            evals,
+            dim=DIM,
+            tau=0.95,
+            n_bands=4,
+            bits_per_band=similarity.lsh_bits_for(n_vecs),
+            train_id="vec_id",
+        )
+
+    def takedown_audit_r100():
+        # X91: fixed 100-request batch (url/host/prefix/media kinds)
+        # vs the n-doc corpus — every match a broadcast equi-join,
+        # media counts over map-side nested spans; expected ~linear
+        from webscrape_neko_jirushi_spark.operators import takedown
+
+        host = (F.col("doc_id") % 50).cast("string")
+        words = F.slice(F.split(F.col("text"), " "), 1, 12)
+        spans = F.transform(
+            words,
+            lambda w, i: F.struct(
+                F.when(i % 3 == 2, F.lit("image"))
+                .otherwise(F.lit("text"))
+                .alias("kind"),
+                F.when(~(i % 3 == 2), w).alias("text"),
+                F.when(i % 3 == 2, F.concat(F.lit("img://"), w)).alias(
+                    "media_ref"
+                ),
+                i.cast("int").alias("offset"),
+            ),
+        )
+        td_docs = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"),
+                host,
+                F.lit(".example/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            spans.alias("spans"),
+        )
+        r = F.col("id")
+        reqs = spark.range(100).select(
+            r.alias("request_id"),
+            F.when(r % 4 == 0, F.lit("url"))
+            .when(r % 4 == 1, F.lit("host"))
+            .when(r % 4 == 2, F.lit("prefix"))
+            .otherwise(F.lit("media"))
+            .alias("kind"),
+            F.when(
+                r % 4 == 0,
+                F.concat(
+                    F.lit("https://h"),
+                    ((r * 7) % 50).cast("string"),
+                    F.lit(".example/doc/"),
+                    (r * 7).cast("string"),
+                ),
+            )
+            .when(
+                r % 4 == 1,
+                F.concat(
+                    F.lit("h"), (r % 50).cast("string"), F.lit(".example")
+                ),
+            )
+            .when(
+                r % 4 == 2,
+                F.concat(
+                    F.lit("https://h"),
+                    (r % 50).cast("string"),
+                    F.lit(".example/doc/"),
+                    (r % 10).cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("img://w"), (r % 500).cast("string"))
+            )
+            .alias("key"),
+        )
+        return takedown.takedown_audit(td_docs, reqs)
+
     qs = {
         "exact_dedup_groups": exact_dedup_groups,
         "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1071,6 +1201,9 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
         "linearize_b16": linearize_b16,
         "urlparam_verdicts": urlparam_verdicts,
         "ann_multiprobe_idx": ann_multiprobe_idx,
+        "stitch_pages_p5": stitch_pages_p5,
+        "semantic_decontam_e200": semantic_decontam_e200,
+        "takedown_audit_r100": takedown_audit_r100,
     }
     if n_docs > 150_000:
         # the 60-bit banding's candidate set is ~n^2/388 — by design

@@ -195,3 +195,61 @@ def test_delete_from_index_no_match_and_empty_partition(spark, tmp_path):
         *m.files_for(m.partitions.keys())
     )
     assert live.count() == 30
+
+
+def test_delete_from_real_lsh_text_index(spark, tmp_path):
+    """Tombstone propagation against a REAL engine index (the banded
+    minhash text index, multiple rows per doc across pb partitions):
+    after delete_from_index, an incremental candidate query can never
+    pair a new doc with the taken-down one."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared phrase body {i % 4} tail tokens here") for i in range(24)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "lshidx")
+    dedup.build_lsh_text_index(docs, root, n_subparts=16)
+    m0 = IndexManifest.load(root)
+    before = spark.read.option("basePath", str(m0.root)).parquet(
+        *m0.files_for(m0.partitions.keys())
+    )
+    n_bands_rows = before.filter(F.col("doc_id") == 7).count()
+    assert n_bands_rows > 0  # doc 7 really is in the index
+    audit = takedown.delete_from_index(
+        spark,
+        root,
+        spark.createDataFrame([(7,)], "doc_id long"),
+        id_col="doc_id",
+    )
+    assert audit["n_rows_deleted"] == n_bands_rows
+    m1 = IndexManifest.load(root)
+    after = spark.read.option("basePath", str(m1.root)).parquet(
+        *m1.files_for(m1.partitions.keys())
+    )
+    assert after.filter(F.col("doc_id") == 7).count() == 0
+    # a near-identical NEW doc no longer finds the tombstoned one
+    delta = spark.createDataFrame(
+        [(1000, "some shared phrase body 3 tail tokens here")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_candidates_incremental(spark, delta, root)
+    hits = {r["id_a"] for r in pairs.collect()} | {
+        r["id_b"] for r in pairs.collect()
+    }
+    assert 7 not in hits
+    assert hits  # it still pairs with the surviving same-bucket docs
+
+
+def test_enforce_takedowns_filters_frontier(spark, reqs):
+    """The prevention face: the same enforcement call filters a
+    frontier table (doc_col = the URL itself) before fetch."""
+    frontier = spark.createDataFrame(
+        [("https://a.example/doc/1",), ("https://b.example/anything",),
+         ("https://c.example/doc/99",)],
+        "url string",
+    )
+    surv = takedown.enforce_takedowns(
+        frontier, reqs, doc_col="url", url_col="url"
+    )
+    assert [r["url"] for r in surv.collect()] == ["https://c.example/doc/99"]
