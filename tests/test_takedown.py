@@ -69,9 +69,14 @@ def test_audit(docs, reqs):
     assert a[10]["n_docs_removed"] == 1
     assert a[11]["n_docs_removed"] == 2
     assert a[12]["n_docs_removed"] == 2
+    # img://100 appears in docs 1 and 2, and BOTH are removed outright
+    # by doc-level requests 10/12: the key matched 2 span instances,
+    # but the composed pipeline (enforce -> strip) performs 0 strips —
+    # enforced via coverage, never 'no_match'
     assert a[13] == {
         "request_id": 13, "kind": "media", "key": "img://100",
-        "n_docs_removed": 0, "n_spans_stripped": 2, "status": "enforced",
+        "n_docs_removed": 0, "n_spans_matched": 2,
+        "n_spans_stripped": 0, "status": "enforced",
     }
     assert a[14]["status"] == "no_match"
     assert a[14]["n_docs_removed"] == 0
@@ -98,6 +103,31 @@ def test_strip_media_spans(docs, reqs):
     assert out[3] == [("text", "three", None, 1)]
     assert out[4] == [("image", None, "img://300", 1)]
     assert out[5] == []  # empty stays empty, doc survives
+
+
+def test_strip_media_spans_preserves_columns(docs, reqs):
+    """Only spans_col is replaced — url (and any other corpus column)
+    passes through, in the original column order, so the stripped
+    corpus can feed enforce_takedowns directly."""
+    out = takedown.strip_media_spans(docs, reqs)
+    assert out.columns == docs.columns
+    urls = {r["doc_id"]: r["url"] for r in out.collect()}
+    assert urls[1] == "https://a.example/doc/1"
+
+
+def test_host_kind_key_port_stripped(docs, spark):
+    """A traps-derived 'host:port' key matches: doc hosts are
+    extracted port-stripped, and host-kind KEYS are normalized with
+    the same discipline (HOST_KEY_RE)."""
+    reqs = spark.createDataFrame(
+        [(20, "host", "b.example:8443")],
+        "request_id long, kind string, key string",
+    )
+    m = sorted(
+        (r["request_id"], r["doc_id"])
+        for r in takedown.match_takedowns(docs, reqs).collect()
+    )
+    assert m == [(20, 3), (20, 4)]
 
 
 def test_unknown_kind_raises(docs, spark):
@@ -239,6 +269,32 @@ def test_delete_from_real_lsh_text_index(spark, tmp_path):
     }
     assert 7 not in hits
     assert hits  # it still pairs with the surviving same-bucket docs
+
+
+def test_delete_from_index_null_partition_key(spark, tmp_path):
+    """Rows in the Hive default (NULL-key) partition must really be
+    rewritten, not silently skipped via str(None) != the manifest's
+    directory-derived '__HIVE_DEFAULT_PARTITION__' key."""
+    root = tmp_path / "idxnull"
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else i % 4, f"p-{i}") for i in range(40)],
+        "id long, bucket int, payload string",
+    )
+    df.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(str(root))
+    m0 = IndexManifest.commit(root, "bucket", meta={"dim": 0})
+    assert "__HIVE_DEFAULT_PARTITION__" in m0.partitions
+    # ids 0,4,8 live in the NULL partition; 1 lives in bucket 1
+    audit = takedown.delete_from_index(spark, root, _ids(spark, [0, 4, 8, 1]))
+    assert audit["n_rows_deleted"] == 4
+    assert audit["partitions_rewritten"] == 2
+    m1 = IndexManifest.load(root)
+    live = spark.read.option("basePath", str(root)).parquet(
+        *m1.files_for(m1.partitions.keys())
+    )
+    got = sorted(r["id"] for r in live.collect())
+    assert got == sorted(set(range(40)) - {0, 4, 8, 1})
 
 
 def test_enforce_takedowns_filters_frontier(spark, reqs):

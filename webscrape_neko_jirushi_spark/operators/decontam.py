@@ -141,7 +141,12 @@ def decontaminate_semantic(
 ) -> DataFrame:
     """The surviving train corpus: every doc within tau of ANY eval
     item is dropped (one anti-join on the distinct contaminated doc
-    set — small by nature, broadcast). Original columns untouched."""
+    set). Original columns untouched. The doomed side carries no
+    broadcast hint: the EVAL side is small but its match set is not
+    bounded by it — one eval item sitting in a boilerplate cluster can
+    contaminate millions of train docs — so AQE decides (broadcast at
+    runtime when small, shuffle anti-join when the corpus really is
+    that leaky)."""
     doomed = (
         semantic_contamination_pairs(
             train, evals, dim, tau, n_bands, bits_per_band,
@@ -150,7 +155,7 @@ def decontaminate_semantic(
         .select(train_id)
         .distinct()
     )
-    return train.join(F.broadcast(doomed), train_id, "left_anti")
+    return train.join(doomed, train_id, "left_anti")
 
 
 # --------------------------------------------------------------------------

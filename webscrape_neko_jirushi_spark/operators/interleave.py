@@ -272,9 +272,11 @@ def strip_chrome_stats(
 ) -> DataFrame:
     """Per-doc effect of stripping chrome media: (doc_id,
     n_media_before, n_media_after). The chrome set is joined back as
-    DATA (broadcast anti-join on media_ref — the X40 strip shape),
-    never collected to the driver: at web scale the chrome set is
-    bounded by corpus/min_docs but can still be millions of refs."""
+    DATA (anti-join on media_ref — the X40 strip shape), with no
+    broadcast hint: at web scale the chrome set can reach 10^8 refs
+    (bounded only by distinct-ref count, not by min_docs), so AQE
+    decides — broadcast at runtime when it fits, shuffle anti-join
+    when it doesn't."""
     chrome = (
         media_reuse_report(docs, min_docs, id_col, spans_col, media_kind)
         .filter("is_chrome")
@@ -283,7 +285,7 @@ def strip_chrome_stats(
     s = _exploded(docs, id_col, spans_col).filter(
         (F.col("kind") == media_kind) & F.col("media_ref").isNotNull()
     )
-    kept = s.join(F.broadcast(chrome), "media_ref", "left_anti")
+    kept = s.join(chrome, "media_ref", "left_anti")
     before = s.groupBy(id_col).agg(F.count("*").alias("n_media_before"))
     after = kept.groupBy(id_col).agg(F.count("*").alias("n_media_after"))
     return before.join(after, id_col, "left").select(

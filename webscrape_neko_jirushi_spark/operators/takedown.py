@@ -44,8 +44,16 @@ from pyspark.sql import functions as F
 
 from .index_store import IndexManifest
 
-# host of a URL/prefix — the one literal both engines run verbatim
+# host of a URL/prefix — the one literal both engines run verbatim.
+# Deliberately PORT-STRIPPING ([^/:?#]) where crawl/traps._HOST_RE is
+# port-keeping ([^/?#]): enforcement must not let ':8443' variants of
+# a demanded host escape. Host-kind request KEYS are normalized with
+# HOST_KEY_RE below so a traps-derived 'host:port' key still matches.
 HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+# port-stripper for bare host-kind keys ('shop.example:8443' ->
+# 'shop.example'), run verbatim on both engines
+HOST_KEY_RE = "^([^/:?#]+)"
 
 _KINDS = ("url", "host", "prefix", "media")
 
@@ -99,7 +107,7 @@ def match_takedowns(
     )
     by_host = d.join(
         F.broadcast(reqs.filter(F.col("kind") == "host")),
-        d["_host"] == F.col("key"),
+        d["_host"] == F.regexp_extract(F.col("key"), HOST_KEY_RE, 1),
     )
     pre = reqs.filter(F.col("kind") == "prefix").select(
         "request_id",
@@ -134,7 +142,12 @@ def enforce_takedowns(
     doomed = match_takedowns(docs, requests, doc_col, url_col).select(
         F.col("doc_id").alias(doc_col)
     )
-    return docs.join(F.broadcast(doomed.distinct()), doc_col, "left_anti")
+    # No broadcast hint on the doomed side: requests are tiny but their
+    # MATCH set is corpus-derived and unbounded (one 'host' demand can
+    # doom 10^8 docs), so a pinned broadcast risks driver OOM exactly
+    # when enforcement matters most. AQE picks broadcast at runtime for
+    # the common (small) case and a shuffle anti-join for the blowout.
+    return docs.join(doomed.distinct(), doc_col, "left_anti")
 
 
 def strip_media_spans(
@@ -148,8 +161,10 @@ def strip_media_spans(
     media_ref = key, re-collect in offset order (array_sort over
     offset-led structs). Docs whose every span is stripped survive
     with an empty array — deleting the document under a media-only
-    demand would over-enforce. One explode + one re-collect exchange;
-    non-media spans never touch the join."""
+    demand would over-enforce. Every OTHER doc column passes through
+    untouched (the enforce_takedowns contract); only ``spans_col`` is
+    replaced. One explode + one re-collect exchange; non-media spans
+    never touch the join."""
     keys = _checked_requests(requests).filter(
         F.col("kind") == "media"
     ).select(F.col("key").alias("media_ref"))
@@ -185,10 +200,14 @@ def strip_media_spans(
         )
     )
     empty = F.array().cast(docs.schema[spans_col].dataType)
-    return (
-        docs.select(doc_col)
-        .join(rebuilt, doc_col, "left")
-        .select(doc_col, F.coalesce(spans_col, empty).alias(spans_col))
+    joined = docs.drop(spans_col).join(rebuilt, doc_col, "left")
+    return joined.select(
+        *[
+            F.coalesce(F.col(spans_col), empty).alias(spans_col)
+            if c == spans_col
+            else F.col(c)
+            for c in docs.columns
+        ]
     )
 
 
@@ -200,28 +219,51 @@ def takedown_audit(
     spans_col: str = "spans",
 ) -> DataFrame:
     """Per-request enforcement report — the row a compliance officer
-    files: (request_id, kind, key, n_docs_removed, n_spans_stripped,
-    status). Doc-level kinds count DISTINCT matched docs; media kind
-    counts stripped span instances (the doc survives, so
-    n_docs_removed stays 0). status = 'enforced' iff anything
-    matched; a 'no_match' row is itself actionable (stale key, or the
-    content never entered the corpus)."""
+    files: (request_id, kind, key, n_docs_removed, n_spans_matched,
+    n_spans_stripped, status). Doc-level kinds count DISTINCT matched
+    docs (a doc matched by several requests appears in EACH request's
+    count — attribution is per-demand, not partitioned). Media kind
+    reports BOTH facts: ``n_spans_matched`` is every span instance the
+    key hits in the raw corpus, ``n_spans_stripped`` is the strip
+    actions of the COMPOSED pipeline (enforce_takedowns ->
+    strip_media_spans) — spans inside docs that doc-level requests
+    remove outright are matched but not double-reported as strips, so
+    the audit never claims an action the enforced corpus cannot
+    evidence. The doc survives a media strip, so n_docs_removed stays
+    0. status = 'enforced' iff anything MATCHED (a media demand fully
+    covered by doc removals is enforced with 0 strips, not
+    'no_match'); a 'no_match' row is itself actionable (stale key, or
+    the content never entered the corpus)."""
     reqs = _checked_requests(requests)
-    doc_counts = (
-        match_takedowns(docs, requests, doc_col, url_col)
-        .groupBy("request_id")
-        .agg(F.countDistinct("doc_id").alias("n_docs_removed"))
+    doc_matches = match_takedowns(docs, requests, doc_col, url_col)
+    doc_counts = doc_matches.groupBy("request_id").agg(
+        F.countDistinct("doc_id").alias("n_docs_removed")
     )
     media_keys = reqs.filter(F.col("kind") == "media").select(
         "request_id", F.col("key").alias("media_ref")
     )
-    span_counts = (
-        docs.select(F.explode(spans_col).alias("s"))
-        .select(F.col("s.media_ref").alias("media_ref"))
+    # doomed is corpus-derived and unbounded -> no broadcast hint
+    # (same rationale as enforce_takedowns); AQE decides at runtime
+    doomed = doc_matches.select(F.col("doc_id").alias(doc_col)).distinct()
+    flat = (
+        docs.join(doomed.withColumn("_doomed", F.lit(True)),
+                  doc_col, "left")
+        .select(
+            F.coalesce("_doomed", F.lit(False)).alias("_doomed"),
+            F.explode(spans_col).alias("s"),
+        )
+        .select("_doomed", F.col("s.media_ref").alias("media_ref"))
         .filter(F.col("media_ref").isNotNull())
-        .join(F.broadcast(media_keys), "media_ref")
+    )
+    span_counts = (
+        flat.join(F.broadcast(media_keys), "media_ref")
         .groupBy("request_id")
-        .agg(F.count("*").alias("n_spans_stripped"))
+        .agg(
+            F.count("*").alias("n_spans_matched"),
+            F.sum((~F.col("_doomed")).cast("long")).alias(
+                "n_spans_stripped"
+            ),
+        )
     )
     return (
         reqs.join(doc_counts, "request_id", "left")
@@ -233,12 +275,15 @@ def takedown_audit(
             F.coalesce("n_docs_removed", F.lit(0))
             .cast("long")
             .alias("n_docs_removed"),
+            F.coalesce("n_spans_matched", F.lit(0))
+            .cast("long")
+            .alias("n_spans_matched"),
             F.coalesce("n_spans_stripped", F.lit(0))
             .cast("long")
             .alias("n_spans_stripped"),
             F.when(
                 F.coalesce("n_docs_removed", F.lit(0))
-                + F.coalesce("n_spans_stripped", F.lit(0))
+                + F.coalesce("n_spans_matched", F.lit(0))
                 > 0,
                 F.lit("enforced"),
             )
@@ -289,7 +334,14 @@ def delete_from_index(
     if not hits:
         return {"n_rows_deleted": 0, "partitions_rewritten": 0,
                 "version": m.version}
-    affected = sorted(str(r[m.key]) for r in hits)
+    # NULL partition values live on disk (and in the manifest) under
+    # Spark's Hive default-partition directory name — str(None) would
+    # resolve no files and silently NOT delete, while still reporting
+    # success: the one failure mode an erasure audit must not have.
+    hive_default = "__HIVE_DEFAULT_PARTITION__"
+    affected = sorted(
+        hive_default if r[m.key] is None else str(r[m.key]) for r in hits
+    )
     n_deleted = sum(r["count"] for r in hits)
     part = spark.read.option("basePath", str(m.root)).parquet(
         *m.files_for(affected)
@@ -335,7 +387,7 @@ def _match_ctes(
       UNION ALL
       SELECT r.request_id, d.doc_id
       FROM td_docs d JOIN td_req r
-        ON r.kind = 'host' AND d.host = r.key
+        ON r.kind = 'host' AND d.host = regexp_extract(r.key, '{HOST_KEY_RE}', 1)
       UNION ALL
       SELECT r.request_id, d.doc_id
       FROM td_docs d JOIN td_req r
@@ -380,15 +432,19 @@ def takedown_audit_sql(
       FROM td_matches GROUP BY request_id
     ),
     td_span_counts AS (
-      SELECT r.request_id, COUNT(*) AS n_spans
+      SELECT r.request_id,
+             COUNT(*) AS n_matched,
+             SUM(CASE WHEN s.{doc_col} IN (SELECT doc_id FROM td_matches)
+                      THEN 0 ELSE 1 END) AS n_stripped
       FROM {spans_sql} s JOIN td_req r
         ON r.kind = 'media' AND s.media_ref = r.key
       GROUP BY r.request_id
     )
     SELECT r.request_id, r.kind, r.key,
            CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs_removed,
-           CAST(COALESCE(sc.n_spans, 0) AS BIGINT) AS n_spans_stripped,
-           CASE WHEN COALESCE(dc.n_docs, 0) + COALESCE(sc.n_spans, 0) > 0
+           CAST(COALESCE(sc.n_matched, 0) AS BIGINT) AS n_spans_matched,
+           CAST(COALESCE(sc.n_stripped, 0) AS BIGINT) AS n_spans_stripped,
+           CASE WHEN COALESCE(dc.n_docs, 0) + COALESCE(sc.n_matched, 0) > 0
                 THEN 'enforced' ELSE 'no_match' END AS status
     FROM td_req r
     LEFT JOIN td_doc_counts dc ON dc.request_id = r.request_id

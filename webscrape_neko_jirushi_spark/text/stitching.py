@@ -190,13 +190,17 @@ def page_overlaps_sql(
       SELECT base, page, cur,
              LAG(cur) OVER (PARTITION BY base ORDER BY page) AS prev
       FROM po_src
+    ),
+    po_ov AS (
+      SELECT base, page, cur,
+             {_ov_sql('prev', 'cur', max_overlap)} AS ov
+      FROM po_lag
     )
     SELECT base, page,
            CAST(length(cur) AS INTEGER) AS n_chars,
-           CAST({_ov_sql('prev', 'cur', max_overlap)} AS INTEGER) AS overlap,
-           CAST(length(cur) - {_ov_sql('prev', 'cur', max_overlap)} AS INTEGER)
-             AS frag_chars
-    FROM po_lag
+           CAST(ov AS INTEGER) AS overlap,
+           CAST(length(cur) - ov AS INTEGER) AS frag_chars
+    FROM po_ov
     """
 
 
