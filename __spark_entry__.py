@@ -6022,18 +6022,22 @@ _MP_BITS, _MP_PROBES = 12, 12
     ),
     pool AS (SELECT p, s9 * s9 AS c FROM qproj ORDER BY abs(s9), p LIMIT 16),
     flips AS (
-      SELECT CAST(0 AS BIGINT) AS mask, CAST(0 AS DOUBLE) AS score
-      UNION ALL SELECT CAST(1 << p AS BIGINT), c FROM pool
+      SELECT CAST(1 << p AS BIGINT) AS mask, c AS score FROM pool
       UNION ALL SELECT CAST((1 << a.p) | (1 << b.p) AS BIGINT), a.c + b.c
         FROM pool a JOIN pool b ON a.p < b.p
       UNION ALL SELECT CAST((1 << a.p) | (1 << b.p) | (1 << c3.p) AS BIGINT),
                        (a.c + b.c) + c3.c
         FROM pool a JOIN pool b ON a.p < b.p JOIN pool c3 ON b.p < c3.p
     ),
-    probes AS (
+    -- home bucket pinned first (a 0.0-margin flip ties its score and
+    -- must not displace it); flips rank by (score, bucket)
+    ranked_flips AS (
       SELECT xor(f.mask, qb.bucket) AS bucket
       FROM flips f, qb ORDER BY f.score, xor(f.mask, qb.bucket)
-      LIMIT {_MP_PROBES}
+      LIMIT {_MP_PROBES - 1}
+    ),
+    probes AS (
+      SELECT bucket FROM qb UNION ALL SELECT bucket FROM ranked_flips
     ),
     cand AS (
       SELECT b.vec_id FROM buckets b JOIN probes pr ON b.bucket = pr.bucket

@@ -203,6 +203,20 @@ def test_linearize_budget_cuts_at_span_boundary(spark):
     assert r0.text == "" and r0.n_spans_kept == 0 and r0.truncated
 
 
+def test_linearize_null_kind_counts_as_media(spark):
+    """A NULL kind takes the media branch in rendering and costing
+    (F.when otherwise) — n_media_kept must agree, not silently drop
+    the span from the count via a NULL filter predicate."""
+    docs = spark.createDataFrame(
+        [("d", [("text", "hello", None, 1), (None, None, "i1", 2)])],
+        SCHEMA,
+    )
+    r = il.linearize_docs(docs).collect()[0]
+    assert r.text == "hello <|image|>"
+    assert r.n_media_kept == 1
+    assert r.n_tokens == 2
+
+
 def test_linearize_null_spans_fail_loudly(spark):
     import pytest
 

@@ -56,6 +56,21 @@ def test_sequence_equals_hamming_ball_when_exhaustive():
     assert set(seq) == set(ball)
 
 
+def test_zero_margin_flip_cannot_displace_home():
+    """A projection that rounds to exactly 0.0 makes its flip cost
+    0.0, tying home's score — the home bucket must still be probed
+    first (with n_probes=1, ONLY home). The all-zero query vector
+    zeroes every projection, the worst case."""
+    dim, bits = 4, 6
+    planes = _planes(dim, bits)
+    q = [0.0] * dim
+    home = _home_bucket(q, planes)
+    assert S.multiprobe_sequence(q, planes, n_probes=1) == [home]
+    seq = S.multiprobe_sequence(q, planes, n_probes=5)
+    assert seq[0] == home
+    assert len(set(seq)) == 5
+
+
 def test_n_probes_beyond_bound_raises():
     q = [0.5, 0.5]
     planes = _planes(2, 2)

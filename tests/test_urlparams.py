@@ -99,6 +99,88 @@ def test_bare_flag_value_empty(spark):
     assert rep["flag"] == "insufficient_evidence"
 
 
+def test_second_question_mark_preserved(spark):
+    """RFC 3986 allows '?' inside the query — a positional split
+    would truncate '?d' from the value, merging distinct values and
+    corrupting canonical forms."""
+    got = [
+        r["u"]
+        for r in spark.createDataFrame(
+            [("https://h/x?b=c?d&a=1",)], "url string"
+        )
+        .select(up.strip_params(F.col("url"), ["a"]).alias("u"))
+        .collect()
+    ]
+    assert got == ["https://h/x?b=c?d"]
+    # significance: two URLs differing only in b's '?'-bearing value,
+    # same digest -> b is probed and content_neutral (pre-fix the
+    # truncated values collapsed and b never formed a probe group)
+    rows = [
+        ("https://h/x?a=1&b=c?d", "d1"),
+        ("https://h/x?a=1&b=e?f", "d1"),
+    ]
+    rep = {
+        r["param"]: r["verdict"]
+        for r in up.param_significance(_log(spark, rows)).collect()
+    }
+    assert rep["b"] == "content_neutral"
+
+
+def test_malformed_skip_mode(spark):
+    """malformed='skip' excludes list-param / un-encoded URLs from
+    evidence instead of killing the job; verdicts over the clean rows
+    are unchanged and the excluded count is reportable."""
+    dirty = _ROWS + [
+        ("https://h/x?tag=a&tag=b", "dd"),   # duplicate param name
+        ("https://h/x?a=1=2", "de"),          # un-encoded '='
+    ]
+    # error mode still raises on the same corpus
+    with pytest.raises(Exception):
+        up.param_significance(_log(spark, dirty)).collect()
+    rep = {
+        r["param"]: r["verdict"]
+        for r in up.param_significance(
+            _log(spark, dirty), malformed="skip"
+        ).collect()
+    }
+    assert rep["sess"] == "content_neutral"
+    assert rep["page"] == "significant"
+    assert "tag" not in rep and "a" not in rep
+    mal = up.malformed_url_report(_log(spark, dirty)).collect()[0]
+    assert mal["n_urls_with_query"] == 15  # 13 clean + 2 dirty
+    assert mal["n_malformed"] == 2
+
+
+def test_malformed_skip_twin_parity(spark):
+    dirty = _ROWS + [
+        ("https://h/x?tag=a&tag=b", "dd"),
+        ("https://h/x?a=1=2", "de"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE log(url VARCHAR, digest VARCHAR)")
+    con.executemany("INSERT INTO log VALUES (?, ?)", dirty)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                up.param_significance_sql("log", malformed="skip")
+            ).fetchall(),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in up.param_significance(
+            _log(spark, dirty), malformed="skip"
+        ).collect()
+    )
+    assert got == want
+    want_mal = tuple(
+        con.execute(up.malformed_url_report_sql("log")).fetchall()[0]
+    )
+    got_mal = tuple(up.malformed_url_report(_log(spark, dirty)).collect()[0])
+    assert got_mal == want_mal
+
+
 def test_duckdb_twin_parity(spark):
     con = duckdb.connect()
     con.execute(

@@ -97,8 +97,17 @@ def frontier_fairness(
     gini). Gini = (2·Σ rank·depth − (n+1)·Σdepth) / (n·Σdepth) over
     depths ranked ascending; num/den are exact DECIMAL(38,0), gini is
     their 6-dp double ratio. Empty frontier -> zero row with NULL
-    gini (0/0 has no value, and a silent 0.0 would read as 'fair')."""
-    ranked = global_sequence(_depths(frontier, host_col), "depth", out_col="rk")
+    gini (0/0 has no value, and a silent 0.0 would read as 'fair').
+
+    The per-host depth table is localCheckpoint'ed before ranking:
+    ``global_sequence`` runs two construction-time jobs (quantile
+    sketch, bucket counts) and the caller's terminal agg is a third —
+    without the checkpoint each would re-scan the FULL frontier, 3x
+    the necessary I/O for a one-row report. Checkpointed, the
+    frontier is scanned once and all three read the O(n_hosts)
+    result."""
+    depths = _depths(frontier, host_col).localCheckpoint(eager=False)
+    ranked = global_sequence(depths, "depth", out_col="rk")
     s = F.sum(
         F.col("rk").cast(_D38) * F.col("depth").cast(_D38)
     ).alias("_s")

@@ -41,13 +41,24 @@ and broadcast back for stripping. Zero Python, zero collect —
 everything is split/array/window-free builtin projections, so the
 whole pre-aggregate stage is one WholeStageCodegen span.
 
-In-plan guards (fail loudly, never mis-classify):
+Malformation policy (``malformed=`` on every learner entry point):
 
-- duplicate param NAME inside one URL (``?a=1&a=2`` list-params)
-  would make pair-removal ambiguous -> ``raise_error``;
-- a pair with more than one ``=`` (un-encoded value) would split
-  differently across engines -> ``raise_error``. Bare flags
-  (``?flag``) are fine: value is ''.
+- ``'error'`` (default): duplicate param NAME inside one URL
+  (``?a=1&a=2`` list-params) would make pair-removal ambiguous ->
+  ``raise_error``; a pair with more than one ``=`` (un-encoded
+  value) would split differently across engines -> ``raise_error``.
+  Bare flags (``?flag``) are fine: value is ''.
+- ``'skip'``: the operational mode for real fetch logs, where
+  list-param URLs are ubiquitous and one of them must not kill a
+  10^10-row learning job — offending URLs are EXCLUDED from
+  evidence (the same no-evidence treatment single-value groups
+  already get); :func:`malformed_url_report` counts what was
+  excluded so the skip is never silent.
+
+The query string is everything after the FIRST ``?`` — RFC 3986
+allows ``?`` inside the query component, so a positional
+``split_part`` would silently truncate ``?next=/p?id=9``-style
+values and corrupt both the residual groups and the canonical form.
 
 The DuckDB twins are emitted by ``*_sql`` builders from the same
 constants so the oracle can never drift.
@@ -55,21 +66,51 @@ constants so the oracle can never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PAIR_OK = r"\A[^=&?]+(=[^=&]*)?\z"
+_MODES = ("error", "skip")
 
 
-def _exploded_pairs(df: DataFrame, url_col: str, digest_col: str) -> DataFrame:
+def _query_of(url: Column) -> Column:
+    """Everything after the FIRST '?' (not split_part: '?' is legal
+    INSIDE a query per RFC 3986). locate=0 (no '?') returns the whole
+    url — every caller guards with ``contains('?')`` first."""
+    return F.substring(url, F.locate("?", url) + 1, F.length(url))
+
+
+def _pair_names(pairs: Column) -> Column:
+    return F.transform(pairs, lambda p: F.split_part(p, F.lit("="), F.lit(1)))
+
+
+def _well_formed(pairs: Column) -> Column:
+    """All pairs match _PAIR_OK and no param name repeats."""
+    return F.forall(pairs, lambda p: p.rlike(_PAIR_OK)) & (
+        F.array_size(pairs) == F.array_size(F.array_distinct(_pair_names(pairs)))
+    )
+
+
+def _checked_mode(malformed: str) -> None:
+    if malformed not in _MODES:
+        raise ValueError(
+            f"urlparams: malformed={malformed!r} (one of {_MODES}) required"
+        )
+
+
+def _exploded_pairs(
+    df: DataFrame, url_col: str, digest_col: str, malformed: str = "error"
+) -> DataFrame:
     """(url, digest) -> one row per k=v pair with the residual key.
 
     ``digest`` is first reduced to min() per distinct URL, then the
     query string is split. Output: url, digest, param, value,
-    residual.
+    residual. ``malformed='skip'`` filters offending URLs out instead
+    of raising (see module docstring).
     """
+    _checked_mode(malformed)
     base = F.split_part(F.col("url"), F.lit("?"), F.lit(1))
-    query = F.split_part(F.col("url"), F.lit("?"), F.lit(2))
+    query = _query_of(F.col("url"))
     one = (
         df.select(
             F.col(url_col).alias("url"), F.col(digest_col).alias("digest")
@@ -81,35 +122,36 @@ def _exploded_pairs(df: DataFrame, url_col: str, digest_col: str) -> DataFrame:
         .select("url", "digest", base.alias("base"), F.split(query, "&").alias("pairs"))
     )
     pair = F.col("pair")
-    bad_pair = ~pair.rlike(_PAIR_OK)
-    name = F.when(
-        bad_pair,
-        F.raise_error(
-            F.concat(F.lit("urlparams: malformed k=v pair in "), F.col("url"))
-        ),
-    ).otherwise(F.split_part(pair, F.lit("="), F.lit(1)))
-    dup_name = F.array_size(F.col("pairs")) != F.array_size(
-        F.array_distinct(F.transform(F.col("pairs"), lambda p: F.split_part(p, F.lit("="), F.lit(1))))
-    )
+    if malformed == "skip":
+        one = one.filter(_well_formed(F.col("pairs")))
+        name = F.split_part(pair, F.lit("="), F.lit(1))
+        checked_pairs = F.col("pairs")
+    else:
+        bad_pair = ~pair.rlike(_PAIR_OK)
+        name = F.when(
+            bad_pair,
+            F.raise_error(
+                F.concat(F.lit("urlparams: malformed k=v pair in "), F.col("url"))
+            ),
+        ).otherwise(F.split_part(pair, F.lit("="), F.lit(1)))
+        dup_name = F.array_size(F.col("pairs")) != F.array_size(
+            F.array_distinct(_pair_names(F.col("pairs")))
+        )
+        checked_pairs = F.when(
+            dup_name,
+            F.raise_error(
+                F.concat(
+                    F.lit("urlparams: duplicate param name in "), F.col("url")
+                )
+            ),
+        ).otherwise(F.col("pairs"))
     residual = F.concat(
         F.col("base"),
         F.lit("?"),
         F.array_join(F.array_sort(F.array_remove(F.col("pairs"), pair)), "&"),
     )
     return (
-        one.select(
-            "url",
-            "digest",
-            "base",
-            F.when(
-                dup_name,
-                F.raise_error(
-                    F.concat(
-                        F.lit("urlparams: duplicate param name in "), F.col("url")
-                    )
-                ),
-            ).otherwise(F.col("pairs")).alias("pairs"),
-        )
+        one.select("url", "digest", "base", checked_pairs.alias("pairs"))
         .select("url", "digest", "base", "pairs", F.explode("pairs").alias("pair"))
         .select(
             "url",
@@ -121,12 +163,44 @@ def _exploded_pairs(df: DataFrame, url_col: str, digest_col: str) -> DataFrame:
     )
 
 
+def malformed_url_report(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row: (n_urls_with_query, n_malformed) over DISTINCT urls —
+    the companion every ``malformed='skip'`` run reports next to its
+    verdicts, so excluded evidence is counted, never silent. A
+    malformed URL has a duplicate param name or a pair that fails
+    ``_PAIR_OK`` (more than one un-encoded ``=``)."""
+    q = _query_of(F.col("url"))
+    urls = (
+        df.select(F.col(url_col).alias("url"))
+        .filter(
+            F.col("url").isNotNull()
+            & F.col("url").contains("?")
+            & (F.length(q) > 0)
+        )
+        .distinct()
+        .select(F.split(q, "&").alias("pairs"))
+    )
+    return urls.agg(
+        F.count("*").cast("long").alias("n_urls_with_query"),
+        F.coalesce(
+            F.sum((~_well_formed(F.col("pairs"))).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_malformed"),
+    )
+
+
 def param_significance(
-    df: DataFrame, url_col: str = "url", digest_col: str = "digest"
+    df: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    malformed: str = "error",
 ) -> DataFrame:
     """Per-param verdict table: (param, n_urls, n_groups,
-    n_probe_groups, n_varying_groups, verdict)."""
-    px = _exploded_pairs(df, url_col, digest_col)
+    n_probe_groups, n_varying_groups, verdict). ``malformed='skip'``
+    excludes list-param / un-encoded URLs from evidence instead of
+    raising — pair it with :func:`malformed_url_report`."""
+    px = _exploded_pairs(df, url_col, digest_col, malformed)
     groups = px.groupBy("param", "residual").agg(
         F.countDistinct("value").alias("n_vals"),
         F.countDistinct("digest").alias("n_digests"),
@@ -162,7 +236,7 @@ def strip_params(url_col, params: list[str]):
     if not params:
         raise ValueError("strip_params: empty param list")
     base = F.split_part(url_col, F.lit("?"), F.lit(1))
-    query = F.split_part(url_col, F.lit("?"), F.lit(2))
+    query = _query_of(url_col)
     has_q = url_col.contains("?") & (F.length(query) > 0)
     kept = F.array_sort(
         F.filter(
@@ -178,7 +252,10 @@ def strip_params(url_col, params: list[str]):
 
 
 def param_strip_savings(
-    df: DataFrame, url_col: str = "url", digest_col: str = "digest"
+    df: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    malformed: str = "error",
 ) -> DataFrame:
     """One-row frontier-reduction report from learned verdicts:
     (n_urls_raw, n_neutral_params, n_canonical_before,
@@ -190,11 +267,11 @@ def param_strip_savings(
     table is tiny -> broadcast join, one extra shuffle-free stage on
     top of :func:`param_significance`'s plan.
     """
-    verdicts = param_significance(df, url_col, digest_col)
+    verdicts = param_significance(df, url_col, digest_col, malformed)
     neutral = verdicts.filter(F.col("verdict") == "content_neutral").select(
         "param"
     )
-    px = _exploded_pairs(df, url_col, digest_col)
+    px = _exploded_pairs(df, url_col, digest_col, malformed)
     marked = px.join(
         F.broadcast(neutral.withColumn("neutral", F.lit(True))),
         "param",
@@ -244,19 +321,38 @@ def param_strip_savings(
 # --------------------------------------------------------------------------
 
 
-def _exploded_pairs_sql(from_sql: str, url_expr: str, digest_expr: str) -> str:
+# query = everything after the FIRST '?' (strpos, not split_part — see
+# module docstring); both engines run the same extraction rule
+_Q_SQL = "substr(url, strpos(url, '?') + 1)"
+
+# DuckDB twin of _well_formed: every pair matches _PAIR_OK and no
+# param name repeats
+_WF_SQL = (
+    f"length(list_filter(pairs, p -> NOT regexp_matches(p, '{_PAIR_OK}'))) = 0"
+    " AND length(pairs) = length(list_distinct("
+    "list_transform(pairs, p -> split_part(p, '=', 1))))"
+)
+
+
+def _exploded_pairs_sql(
+    from_sql: str, url_expr: str, digest_expr: str, malformed: str = "error"
+) -> str:
     """CTE body producing (url, digest, param, value, residual) —
-    the twin of :func:`_exploded_pairs` (guards live Spark-side)."""
+    the twin of :func:`_exploded_pairs` (in 'error' mode the guards
+    live Spark-side; 'skip' emits the same well-formedness filter)."""
+    _checked_mode(malformed)
+    skip = f"WHERE {_WF_SQL}" if malformed == "skip" else ""
     return f"""
-    WITH one AS (
+    WITH one0 AS (
       SELECT url, MIN(digest) AS digest,
              split_part(url, '?', 1) AS base,
-             string_split(split_part(url, '?', 2), '&') AS pairs
+             string_split({_Q_SQL}, '&') AS pairs
       FROM (SELECT {url_expr} AS url, {digest_expr} AS digest FROM {from_sql})
       WHERE url IS NOT NULL AND contains(url, '?')
-        AND length(split_part(url, '?', 2)) > 0
+        AND length({_Q_SQL}) > 0
       GROUP BY url
     ),
+    one AS (SELECT * FROM one0 {skip}),
     px AS (
       SELECT url, digest, base, pairs, unnest(pairs) AS pair FROM one
     )
@@ -270,12 +366,31 @@ def _exploded_pairs_sql(from_sql: str, url_expr: str, digest_expr: str) -> str:
     """
 
 
+def malformed_url_report_sql(from_sql: str, url_expr: str = "url") -> str:
+    """DuckDB twin of :func:`malformed_url_report`."""
+    return f"""
+    WITH mu AS (
+      SELECT DISTINCT url FROM (SELECT {url_expr} AS url FROM {from_sql})
+      WHERE url IS NOT NULL AND contains(url, '?')
+        AND length({_Q_SQL}) > 0
+    ),
+    mp AS (SELECT string_split({_Q_SQL}, '&') AS pairs FROM mu)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_urls_with_query,
+           CAST(COALESCE(SUM(CASE WHEN {_WF_SQL} THEN 0 ELSE 1 END), 0)
+                AS BIGINT) AS n_malformed
+    FROM mp
+    """
+
+
 def param_significance_sql(
-    from_sql: str, url_expr: str = "url", digest_expr: str = "digest"
+    from_sql: str,
+    url_expr: str = "url",
+    digest_expr: str = "digest",
+    malformed: str = "error",
 ) -> str:
     """DuckDB twin of :func:`param_significance`."""
     return f"""
-    WITH flat AS ({_exploded_pairs_sql(from_sql, url_expr, digest_expr)}),
+    WITH flat AS ({_exploded_pairs_sql(from_sql, url_expr, digest_expr, malformed)}),
     grp AS (
       SELECT param, residual,
              COUNT(DISTINCT value)  AS n_vals,
@@ -301,11 +416,14 @@ def param_significance_sql(
 
 
 def param_strip_savings_sql(
-    from_sql: str, url_expr: str = "url", digest_expr: str = "digest"
+    from_sql: str,
+    url_expr: str = "url",
+    digest_expr: str = "digest",
+    malformed: str = "error",
 ) -> str:
     """DuckDB twin of :func:`param_strip_savings`."""
     return f"""
-    WITH flat AS ({_exploded_pairs_sql(from_sql, url_expr, digest_expr)}),
+    WITH flat AS ({_exploded_pairs_sql(from_sql, url_expr, digest_expr, malformed)}),
     grp AS (
       SELECT param, residual,
              COUNT(DISTINCT value)  AS n_vals,

@@ -639,11 +639,16 @@ def linearize_docs(
             is_text(s), F.trim(F.coalesce(s["text"], F.lit("")))
         ).otherwise(F.lit(media_token)),
     )
+    # the ONE whitespace-token definition (text/analysis.token_count):
+    # the X87+X42 training-export contract needs the packer's re-count
+    # to equal linearize's n_tokens bit-for-bit
+    from ..text.analysis import token_count
+
     costs = F.transform(
         srt,
         lambda s: F.when(
             is_text(s),
-            _ws_token_count(F.coalesce(s["text"], F.lit(""))),
+            token_count(F.coalesce(s["text"], F.lit(""))),
         )
         .otherwise(F.lit(media_cost))
         .cast("long"),
@@ -683,19 +688,17 @@ def linearize_docs(
         cum.alias("n_tokens"),
         kept.cast("long").alias("n_spans_kept"),
         n_total.cast("long").alias("n_spans_total"),
+        # NULL-safe media predicate: a NULL kind takes the media branch
+        # in rendering/costing (F.when otherwise), so it must count as
+        # media here too — ~is_text(s) alone is NULL for NULL kind and
+        # F.filter would silently drop the span from the count
         F.array_size(
-            F.filter(kept_spans, lambda s: ~is_text(s))
+            F.filter(
+                kept_spans,
+                lambda s: ~F.coalesce(is_text(s), F.lit(False)),
+            )
         ).cast("long").alias("n_media_kept"),
         (kept < n_total).alias("truncated"),
-    )
-
-
-def _ws_token_count(text):
-    """Whitespace token count (twin of analysis.token_count, inlined
-    here to keep the HOF lambda import-cycle-free)."""
-    trimmed = F.trim(text)
-    return F.when(trimmed == "", 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
     )
 
 

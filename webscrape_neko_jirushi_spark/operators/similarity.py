@@ -164,7 +164,12 @@ def multiprobe_sequence(
     every bucket sign test; pool membership orders by (|proj|, plane
     index); subset scores sum the squared rounded projections in
     increasing plane-index order (IEEE addition order fixed on both
-    engines); final ranking is (score, bucket id).
+    engines); the HOME bucket is pinned first unconditionally (a
+    projection that rounds to exactly 0.0 gives its flip score 0.0,
+    which would otherwise tie home and can win the bucket-id
+    tie-break — the one case where (score, bucket) ranking would
+    probe a neighbor INSTEAD of the query's own bucket); flip
+    buckets then rank by (score, bucket id).
     """
     from itertools import combinations
 
@@ -181,7 +186,7 @@ def multiprobe_sequence(
         :margin_pool
     ]
     pool.sort()  # combinations emit increasing-index subsets -> fixed sum order
-    cands: list[tuple[float, int]] = [(0.0, qbits)]
+    cands: list[tuple[float, int]] = []
     for h in range(1, max_flips + 1):
         for flips in combinations(pool, h):
             score = 0.0
@@ -190,14 +195,14 @@ def multiprobe_sequence(
                 score += projs[i] * projs[i]
                 m |= 1 << i
             cands.append((score, qbits ^ m))
-    if n_probes > len(cands):
+    if n_probes > len(cands) + 1:
         raise ValueError(
             f"multiprobe_sequence: n_probes={n_probes} exceeds the "
-            f"{len(cands)} candidates reachable with max_flips={max_flips}, "
-            f"margin_pool={margin_pool}; raise those bounds"
+            f"{len(cands) + 1} candidates reachable with max_flips="
+            f"{max_flips}, margin_pool={margin_pool}; raise those bounds"
         )
     cands.sort(key=lambda t: (t[0], t[1]))
-    return [b for _, b in cands[:n_probes]]
+    return [qbits] + [b for _, b in cands[: n_probes - 1]]
 
 
 def ann_topk_lsh(
