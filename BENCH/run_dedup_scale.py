@@ -921,8 +921,12 @@ def _queries(spark, paths: dict[str, str], n_docs: int, n_vecs: int):
             ),
         )
         nested = docs.select("doc_id", spans.alias("spans"))
+        # n_docs hint resolves the width auto-gate with zero probe
+        # jobs: the 600k-doc tier takes the 120-bit wide path — the
+        # 60-bit bands are out of their scale contract there, exactly
+        # like the harness's own simhash_pairs exclusion rule
         return interleave.interleaved_near_dups(
-            nested, max_hamming=6, min_media_jaccard=0.3
+            nested, max_hamming=6, min_media_jaccard=0.3, n_docs=n_docs
         ).agg(F.count("*").alias("pairs"))
 
     def linearize_b16():

@@ -2081,19 +2081,24 @@ _NORM_E = "sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(e.embeddin
 _NORM_Q = "sqrt(list_aggregate(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))"
 
 
-@q(
-    "cosine_topk",
-    f"""
+def _cosine_topk_sql(include_query: bool) -> str:
+    """Brute-force exact top-10 oracle; ``include_query=True`` keeps
+    vec_id 0 itself in the ranking — the variant the recall rows
+    compare against, because the ANN legs score their own query point
+    (cosine 1.0, always in its home bucket): recall must compare
+    SELF-INCLUSIVE lists on both sides or a perfect index caps at
+    0.9."""
+    where = "" if include_query else "WHERE e.vec_id <> 0"
+    return f"""
     SELECT e.vec_id, ROUND({_DOT_SQL} / ({_NORM_E} * {_NORM_Q}), 4) AS cosine
     FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    WHERE e.vec_id <> 0
+    {where}
     ORDER BY ROUND({_DOT_SQL} / ({_NORM_E} * {_NORM_Q}), 4) DESC, e.vec_id
     LIMIT 10
-    """,
-)
-def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 neighbours of vec_id 0 (exactness
-    baseline; zip_with+aggregate dot product, TakeOrderedAndProject)."""
+    """
+
+
+def _cosine_topk_df(spark, sf_dir, include_query: bool = False):
     e = load(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     dot = F.aggregate(
@@ -2110,9 +2115,9 @@ def q_cosine_topk(spark, sf_dir):
                 c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
             )
         )
+    base = e if include_query else e.filter(F.col("vec_id") != 0)
     return (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
+        base.crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
             F.round(dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))), 4).alias(
@@ -2122,6 +2127,13 @@ def q_cosine_topk(spark, sf_dir):
         .orderBy(F.desc("cosine"), F.col("vec_id"))
         .limit(10)
     )
+
+
+@q("cosine_topk", _cosine_topk_sql(include_query=False))
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbours of vec_id 0 (exactness
+    baseline; zip_with+aggregate dot product, TakeOrderedAndProject)."""
+    return _cosine_topk_df(spark, sf_dir, include_query=False)
 
 
 # planted ids offset by _DUP_OFF: +10000 collided with real vec_ids at
@@ -5749,8 +5761,11 @@ def q_interleaved_near_dups(spark, sf_dir):
     docs = _interleaved_docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
     )
+    # wide=False pinned: the twin replays the 60-bit signature, and
+    # pinning also skips the auto-gate's count probe (no construction
+    # job in a driver query)
     return il_mod.interleaved_near_dups(
-        docs, max_hamming=6, min_media_jaccard=0.5
+        docs, max_hamming=6, min_media_jaccard=0.5, wide=False
     )
 
 
@@ -5902,7 +5917,7 @@ def q_corpus_datasheet(spark, sf_dir):
 @q(
     "ann_recall_at_10",
     similarity.topk_recall_sql(
-        _ORACLES["cosine_topk"], _ORACLES["ann_topk_lsh"]
+        _cosine_topk_sql(include_query=True), _ORACLES["ann_topk_lsh"]
     ),
 )
 def q_ann_recall_at_10(spark, sf_dir):
@@ -5911,10 +5926,13 @@ def q_ann_recall_at_10(spark, sf_dir):
     AS A QUERY, so parameter sweeps (bits, multiprobe radius) are
     measured by the engine itself: (k, n_overlap, recall) from an
     inner join of two k-row tables (sketch-sized end to end). The
-    oracle composes the two queries' OWN oracle SQL, so this row is
-    only green if the exact leg, the ANN leg, and the metric all
-    agree with DuckDB simultaneously."""
-    exact = _QUERIES["cosine_topk"](spark, sf_dir)
+    exact leg is SELF-INCLUSIVE (vec_id 0 kept) to match the ANN leg,
+    which always scores its own query point — an exact leg that
+    excludes it caps recall at 0.9 structurally and a perfect index
+    could never read 1.0. The oracle composes the two legs' oracle
+    SQL, so this row is only green if the exact leg, the ANN leg, and
+    the metric all agree with DuckDB simultaneously."""
+    exact = _cosine_topk_df(spark, sf_dir, include_query=True)
     approx = _QUERIES["ann_topk_lsh"](spark, sf_dir)
     return similarity.topk_recall(exact, approx)
 
@@ -5923,24 +5941,22 @@ def q_ann_recall_at_10(spark, sf_dir):
 # X85: embedding-column health report (operators/expectations.py)
 # ===========================================================================
 
-from webscrape_neko_jirushi_spark.operators import expectations as ex_mod  # noqa: E402
-
-
 @q(
     "embedding_quality_report",
-    ex_mod.embedding_quality_report_sql("embeddings", dim=64),
+    dq.embedding_quality_report_sql("embeddings", dim=64),
 )
 def q_embedding_quality_report(spark, sf_dir):
     """X85: one-row vector-column health report
     (expectations.embedding_quality_report, dim pinned to 64) — the
     checks the generic X63 suite can't phrase because they quantify
-    INSIDE the array: NULL / wrong-dim / NaN-or-Inf / zero-vector
-    counts plus min/max norm over the valid vectors (defects excluded
-    from the norm scan, not poisoning it). A NaN survives every
-    aggregate it touches and a zero vector turns cosine into 0/0, so
-    this gate runs BEFORE any similarity op. One aggregate pass,
-    order-free reductions, norms rounded 6 dp at the boundary."""
-    return ex_mod.embedding_quality_report(
+    INSIDE the array: NULL / wrong-dim / null-element / NaN-or-Inf /
+    zero-vector counts plus min/max norm over the valid vectors
+    (defects excluded from the norm scan, not poisoning it). A NaN
+    survives every aggregate it touches and a zero vector turns
+    cosine into 0/0, so this gate runs BEFORE any similarity op. One
+    aggregate pass, order-free reductions, norms rounded 6 dp at the
+    boundary."""
+    return dq.embedding_quality_report(
         load(spark, sf_dir, "embeddings"), dim=64
     )
 
@@ -6084,14 +6100,14 @@ def q_multiprobe_recall_at_10(spark, sf_dir):
     probe path, composed from the two legs' own oracles like
     ann_recall_at_10. At 12 bits the home bucket holds ~n/4096
     vectors, so this row measures exactly what the ranked flips
-    recover."""
-    exact = _QUERIES["cosine_topk"](spark, sf_dir)
+    recover. Exact leg self-inclusive, like ann_recall_at_10."""
+    exact = _cosine_topk_df(spark, sf_dir, include_query=True)
     approx = _QUERIES["ann_topk_multiprobe"](spark, sf_dir)
     return similarity.topk_recall(exact, approx)
 
 
 _ORACLES["multiprobe_recall_at_10"] = similarity.topk_recall_sql(
-    _ORACLES["cosine_topk"], _ORACLES["ann_topk_multiprobe"]
+    _cosine_topk_sql(include_query=True), _ORACLES["ann_topk_multiprobe"]
 )
 
 

@@ -24,15 +24,19 @@ def _rows():
         (4, [float("nan"), 1.0]),        # NaN
         (5, [float("inf"), 1.0]),        # Inf
         (6, [0.0, 0.0]),                 # zero vector
+        (7, [1.0, None]),                # NULL element — its own bucket:
+        # three-valued logic would otherwise make the row invisible to
+        # EVERY count and diverge from the DuckDB twin
     ]
 
 
 def test_defect_classes_and_norms(spark):
     df = spark.createDataFrame(_rows(), SCHEMA).repartition(3)
     r = ex.embedding_quality_report(df, dim=2).collect()[0]
-    assert (r.n_vecs, r.n_null, r.n_wrong_dim, r.n_nonfinite, r.n_zero) == (
-        7, 1, 1, 2, 1,
-    )
+    assert (
+        r.n_vecs, r.n_null, r.n_wrong_dim, r.n_null_elem, r.n_nonfinite,
+        r.n_zero,
+    ) == (8, 1, 1, 1, 2, 1)
     assert r.min_norm == 0.0  # the zero vector is valid, norm 0
     assert r.max_norm == 5.0
 
@@ -47,7 +51,8 @@ def test_duckdb_twin_matches(spark):
             con.execute("INSERT INTO e VALUES (?, NULL)", [vid])
         else:
             vals = ", ".join(
-                "'nan'::FLOAT" if math.isnan(x)
+                "NULL" if x is None
+                else "'nan'::FLOAT" if math.isnan(x)
                 else "'inf'::FLOAT" if math.isinf(x)
                 else repr(x)
                 for x in vec
@@ -64,5 +69,7 @@ def test_clean_table(spark):
         [(i, [float(i + 1), 0.0]) for i in range(5)], SCHEMA
     )
     r = ex.embedding_quality_report(df, dim=2).collect()[0]
-    assert (r.n_null, r.n_wrong_dim, r.n_nonfinite, r.n_zero) == (0, 0, 0, 0)
+    assert (r.n_null, r.n_wrong_dim, r.n_null_elem, r.n_nonfinite, r.n_zero) == (
+        0, 0, 0, 0, 0,
+    )
     assert (r.min_norm, r.max_norm) == (1.0, 5.0)

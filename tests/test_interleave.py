@@ -203,6 +203,36 @@ def test_linearize_budget_cuts_at_span_boundary(spark):
     assert r0.text == "" and r0.n_spans_kept == 0 and r0.truncated
 
 
+def test_null_text_span_not_a_caption_candidate(spark):
+    """A text-kind span with NULL text must be skipped as a WHOLE
+    candidate: pairing the nearest non-null TEXT with the nearer null
+    span's OFFSET mis-measures the gap (and can smuggle a pair past
+    max_gap or emit a NULL caption)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                "d",
+                [
+                    ("text", "hello", None, 0),
+                    ("text", None, None, 1),
+                    ("image", None, "m", 2),
+                ],
+            )
+        ],
+        SCHEMA,
+    )
+    # true gap to 'hello' is 2 > max_gap=1 -> no pair at all
+    assert il.mine_captions(docs, max_gap=1).count() == 0
+    got = il.mine_captions(docs, max_gap=3).collect()
+    assert len(got) == 1
+    assert got[0].caption == "hello" and got[0].gap == 2
+    # the stats coverage flag agrees with the miner
+    st1 = il.interleave_stats(docs, max_gap=1).collect()[0]
+    assert st1.n_captioned == 0
+    st3 = il.interleave_stats(docs, max_gap=3).collect()[0]
+    assert st3.n_captioned == 1
+
+
 def test_linearize_null_kind_counts_as_media(spark):
     """A NULL kind takes the media branch in rendering and costing
     (F.when otherwise) — n_media_kept must agree, not silently drop

@@ -66,6 +66,30 @@ def test_both_modalities_required(spark):
     )
 
 
+def test_wide_path_same_planted_pairs(spark):
+    """Forced 120-bit wide path (the >150k-doc auto-gate target):
+    different signature, same planted verdicts on this corpus — the
+    X81 gates all hold, and the auto-gate resolves from the n_docs
+    hint without a probe job."""
+    got = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in il.interleaved_near_dups(
+            _corpus(spark), max_hamming=6, min_media_jaccard=0.5, wide=True
+        ).collect()
+    }
+    assert ("same_a", "same_b") in got
+    assert ("medless_a", "medless_b") in got
+    assert not any("diffmedia" in p for p in got)
+    assert not any("difftext" in p for p in got)
+    # n_docs hint above the threshold selects wide without any count
+    hinted = il.interleaved_near_dups(
+        _corpus(spark), min_media_jaccard=0.5, n_docs=200_000
+    )
+    assert {
+        tuple(sorted((r.id_a, r.id_b))) for r in hinted.collect()
+    } >= {("same_a", "same_b"), ("medless_a", "medless_b")}
+
+
 def test_duckdb_twin_matches(spark):
     import __spark_entry__ as entry
 

@@ -178,17 +178,26 @@ def embedding_quality_report(
 ) -> DataFrame:
     """One-row vector-column health report (SURVEY X85): the checks
     the generic suite can't phrase because they quantify INSIDE the
-    array — (n_vecs, n_null, n_wrong_dim, n_nonfinite, n_zero,
-    min_norm, max_norm). A NaN survives every aggregate it touches
-    and a zero vector poisons cosine with a 0/0, so both must be
-    counted BEFORE any similarity op runs; ``dim`` pins the expected
-    width (mixed widths silently break zip_with dot products).
+    array — (n_vecs, n_null, n_wrong_dim, n_null_elem, n_nonfinite,
+    n_zero, min_norm, max_norm). A NaN survives every aggregate it
+    touches and a zero vector poisons cosine with a 0/0, so both must
+    be counted BEFORE any similarity op runs; ``dim`` pins the
+    expected width (mixed widths silently break zip_with dot
+    products).
+
+    A NULL ELEMENT inside a vector is its own defect bucket
+    (n_null_elem): under three-valued logic it would otherwise make
+    the nonfinite/valid predicates NULL, silently dropping the row
+    from EVERY count and the norm scan — the one health-report
+    failure mode worse than a wrong number is an invisible row (and
+    DuckDB's list_filter drops NULL predicate hits, so the engines
+    would also disagree).
 
     All reductions are order-free (counts, min/max); the only
     in-vector fold (the squared-norm sum) runs in array order on both
     engines, and the norms are rounded to 6 dp at the boundary (the
-    cosine-query rule). NULL and wrong-dim vectors are excluded from
-    the norm scan rather than poisoning it."""
+    cosine-query rule). NULL, wrong-dim, and null-element vectors are
+    excluded from the norm scan rather than poisoning it."""
     v = F.col(vec_col)
     is_null = v.isNull()
     wrong_dim = (
@@ -196,7 +205,8 @@ def embedding_quality_report(
         if dim is not None
         else F.lit(False)
     )
-    nonfinite = ~is_null & ~wrong_dim & F.exists(
+    null_elem = ~is_null & ~wrong_dim & F.exists(v, lambda x: x.isNull())
+    nonfinite = ~is_null & ~wrong_dim & ~null_elem & F.exists(
         v, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == float("inf"))
     )
     sq = F.aggregate(
@@ -204,13 +214,14 @@ def embedding_quality_report(
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    valid = ~is_null & ~wrong_dim & ~nonfinite
+    valid = ~is_null & ~wrong_dim & ~null_elem & ~nonfinite
     zero = valid & (sq == 0.0)
     norm = F.round(F.sqrt(sq), 6)
     return df.agg(
         F.count("*").alias("n_vecs"),
         F.sum(is_null.cast("long")).alias("n_null"),
         F.sum(wrong_dim.cast("long")).alias("n_wrong_dim"),
+        F.sum(null_elem.cast("long")).alias("n_null_elem"),
         F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
         F.sum(zero.cast("long")).alias("n_zero"),
         F.min(F.when(valid, norm)).alias("min_norm"),
@@ -230,19 +241,28 @@ def embedding_quality_report_sql(
         if dim is not None
         else "FALSE"
     )
+    hasnull = (
+        f"({v} IS NOT NULL AND NOT {wrong} AND "
+        f"length(list_filter({v}, x -> x IS NULL)) > 0)"
+    )
     nonfin = (
-        f"({v} IS NOT NULL AND NOT {wrong} AND length(list_filter({v}, "
+        f"({v} IS NOT NULL AND NOT {wrong} AND NOT {hasnull} AND "
+        f"length(list_filter({v}, "
         f"x -> isnan(CAST(x AS DOUBLE)) OR abs(x) = CAST('inf' AS DOUBLE))) > 0)"
     )
     sq = (
         f"list_aggregate(list_transform({v}, "
         f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
     )
-    valid = f"({v} IS NOT NULL AND NOT {wrong} AND NOT {nonfin})"
+    valid = (
+        f"({v} IS NOT NULL AND NOT {wrong} AND NOT {hasnull} "
+        f"AND NOT {nonfin})"
+    )
     return f"""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
              CAST(SUM(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              CAST(SUM(CASE WHEN {wrong} THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+             CAST(SUM(CASE WHEN {hasnull} THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
              CAST(SUM(CASE WHEN {nonfin} THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
              CAST(SUM(CASE WHEN {valid} AND {sq} = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
              MIN(CASE WHEN {valid} THEN ROUND(SQRT({sq}), 6) END) AS min_norm,

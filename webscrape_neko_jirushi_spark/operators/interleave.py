@@ -89,9 +89,13 @@ def mine_captions(
     base = Window.partitionBy(id_col).orderBy("offset")
     before = base.rowsBetween(Window.unboundedPreceding, -1)
     after = base.rowsBetween(1, Window.unboundedFollowing)
-    is_text = F.col("kind") == text_kind
-    t_text = F.when(is_text, F.col("text"))
-    t_off = F.when(is_text, F.col("offset"))
+    # a text-kind span with NULL text is no caption candidate: BOTH
+    # the text and the offset must skip it, or last(ignorenulls) pairs
+    # the nearest non-null TEXT with the nearer null span's OFFSET —
+    # mis-measured gaps, wrong side picks, max_gap violations
+    is_cand = (F.col("kind") == text_kind) & F.col("text").isNotNull()
+    t_text = F.when(is_cand, F.col("text"))
+    t_off = F.when(is_cand, F.col("offset"))
     w = s.select(
         id_col,
         "kind",
@@ -151,13 +155,17 @@ def mine_captions_sql(
                  ("offset" - prev_off) <= (next_off - "offset")) AS use_before
         FROM (
           SELECT {id_col}, kind, media_ref, "offset",
-                 last_value(CASE WHEN kind = '{text_kind}' THEN text END
+                 last_value(CASE WHEN kind = '{text_kind}' AND text IS NOT NULL
+                   THEN text END
                    IGNORE NULLS) OVER ({bef}) AS prev_text,
-                 last_value(CASE WHEN kind = '{text_kind}' THEN "offset" END
+                 last_value(CASE WHEN kind = '{text_kind}' AND text IS NOT NULL
+                   THEN "offset" END
                    IGNORE NULLS) OVER ({bef}) AS prev_off,
-                 first_value(CASE WHEN kind = '{text_kind}' THEN text END
+                 first_value(CASE WHEN kind = '{text_kind}' AND text IS NOT NULL
+                   THEN text END
                    IGNORE NULLS) OVER ({aft}) AS next_text,
-                 first_value(CASE WHEN kind = '{text_kind}' THEN "offset" END
+                 first_value(CASE WHEN kind = '{text_kind}' AND text IS NOT NULL
+                   THEN "offset" END
                    IGNORE NULLS) OVER ({aft}) AS next_off
           FROM {spans_expr}
         ) w WHERE kind = '{media_kind}'
@@ -179,21 +187,37 @@ def interleave_stats(
     """Per-doc interleaving profile: (doc_id, n_text, n_media,
     n_transitions, n_captioned) where n_transitions counts kind
     changes between consecutive spans and n_captioned counts media
-    spans with a text neighbor within ``max_gap``. ONE explode, the
-    caption miner's window reused, one aggregate."""
-    caps = mine_captions(
-        docs, max_gap, id_col, spans_col, media_kind, text_kind
-    )
-    per_media = caps.groupBy(id_col).agg(
-        F.count("*").alias("n_captioned")
-    )
+    spans with a text neighbor within ``max_gap``. ONE explode, ONE
+    per-doc window pass (the transition lag and the caption miner's
+    neighbor-offset frames share the same partition/order, so one
+    exchange+sort serves all of them), ONE aggregate that reuses the
+    window's hash distribution — no join, no second scan.
+
+    ``n_captioned`` is definitionally mine_captions' row count per
+    doc: that miner keeps a media span iff its CLOSER available text
+    neighbor is within ``max_gap``, and the closer-side gap is
+    ``least(prev_gap, next_gap)`` (ties pick 'before' but tie on the
+    value), so the flag here is ``least(...) <= max_gap``."""
+    if max_gap < 1:
+        raise ValueError(f"max_gap={max_gap} (>=1) required")
     s = _exploded(docs, id_col, spans_col)
-    prev_kind = F.lag("kind").over(
-        Window.partitionBy(id_col).orderBy("offset")
-    )
+    base = Window.partitionBy(id_col).orderBy("offset")
+    before = base.rowsBetween(Window.unboundedPreceding, -1)
+    after = base.rowsBetween(1, Window.unboundedFollowing)
+    is_cand = (F.col("kind") == text_kind) & F.col("text").isNotNull()
+    t_off = F.when(is_cand, F.col("offset"))
+    prev_off = F.last(t_off, ignorenulls=True).over(before)
+    next_off = F.first(t_off, ignorenulls=True).over(after)
+    prev_kind = F.lag("kind").over(base)
     # the guard rides along as a +0 term so duplicate offsets fail
-    # here too (the lag's peer order would otherwise be undefined)
+    # here too (the windows' peer order would otherwise be undefined)
     guard0 = F.coalesce(_offset_guard(id_col) * 0, F.lit(0)).cast("int")
+    min_gap = F.least(
+        F.col("offset") - prev_off, next_off - F.col("offset")
+    )
+    captioned = (
+        (F.col("kind") == media_kind) & (min_gap <= max_gap)
+    )
     flat = s.select(
         id_col,
         "kind",
@@ -203,18 +227,13 @@ def interleave_stats(
             )
             + guard0
         ).alias("is_transition"),
+        F.coalesce(captioned, F.lit(False)).cast("int").alias("is_captioned"),
     )
-    agg = flat.groupBy(id_col).agg(
+    return flat.groupBy(id_col).agg(
         F.sum((F.col("kind") == text_kind).cast("int")).alias("n_text"),
         F.sum((F.col("kind") == media_kind).cast("int")).alias("n_media"),
         F.sum("is_transition").alias("n_transitions"),
-    )
-    return agg.join(per_media, id_col, "left").select(
-        id_col,
-        "n_text",
-        "n_media",
-        "n_transitions",
-        F.coalesce("n_captioned", F.lit(0)).alias("n_captioned"),
+        F.sum("is_captioned").cast("long").alias("n_captioned"),
     )
 
 
@@ -409,24 +428,51 @@ def interleaved_near_dups(
     min_media_jaccard: float = 0.5,
     id_col: str = "doc_id",
     spans_col: str = "spans",
+    n_docs: int | None = None,
+    wide: bool | None = None,
+    wide_threshold: int = 150_000,
 ) -> DataFrame:
     """(id_a, id_b, hamming, media_jaccard): pairs of interleaved
     documents that are near-duplicates in BOTH modalities — text
-    simhash within ``max_hamming`` (60-bit one-pass signature over
-    the offset-ordered text view, found by pigeonhole banding — X5,
+    simhash within ``max_hamming`` (one-pass signature over the
+    offset-ordered text view, found by pigeonhole banding — X5,
     never a cartesian product) AND media-ref Jaccard >=
     ``min_media_jaccard`` verified ONLY on the text candidates. The
     dedup that matters for interleaved corpora: text-only matching
     merges template pages with different images; media-only matching
     merges galleries with different prose; requiring both is the
-    conservative intersection (SURVEY X81)."""
+    conservative intersection (SURVEY X81).
+
+    Signature width AUTO-SELECTS like the rest of the dedup family:
+    the 60-bit form's 7x~8.6-bit bands turn quadratic past ~10^5 docs
+    (random band collisions ~ n^2/388 — the X5 scale rule), so above
+    ``wide_threshold`` docs the 120-bit form
+    (``simhash_signatures_wide`` + 15-20-bit bands, ~156x fewer
+    random collisions) is used instead. Resolve the gate with
+    ``n_docs`` (zero construction-time jobs), an explicit ``wide``
+    (the driver query pins False — its DuckDB twin replays the 60-bit
+    signature), or a LIMIT-bounded count probe. The two widths are
+    different signatures, so their pair sets differ at the margin;
+    the pigeonhole completeness guarantee holds for both."""
     from . import dedup
 
     texts = joined_text(docs, id_col, spans_col)
-    sigs = dedup.simhash_signatures(texts, "text", id_col)
-    text_pairs = dedup.simhash_banded_pairs(
-        sigs, id_col, "simhash", max_hamming=max_hamming, n_bits=60
-    )
+    if wide is None:
+        if n_docs is None:
+            n_docs = (
+                docs.select(id_col).limit(wide_threshold + 1).count()
+            )
+        wide = n_docs > wide_threshold
+    if wide:
+        sigs = dedup.simhash_signatures_wide(texts, "text", id_col)
+        text_pairs = dedup.simhash_wide_banded_pairs(
+            sigs, id_col, max_hamming=max_hamming
+        )
+    else:
+        sigs = dedup.simhash_signatures(texts, "text", id_col)
+        text_pairs = dedup.simhash_banded_pairs(
+            sigs, id_col, "simhash", max_hamming=max_hamming, n_bits=60
+        )
     with_media = media_pair_jaccard(text_pairs, docs, id_col, spans_col)
     return with_media.filter(
         F.col("media_jaccard") >= min_media_jaccard
