@@ -4864,7 +4864,7 @@ from webscrape_neko_jirushi_spark.operators import expectations as dq  # noqa: E
         CASE WHEN COUNT(o_totalprice) > 0
              THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
                   / CAST(COUNT(o_totalprice) AS DOUBLE)
-             ELSE 1.0 END AS m_mean,
+             END AS m_mean,
         CASE WHEN COUNT(o_orderpriority) > 0
              THEN CAST(CAST(SUM(CASE WHEN regexp_matches(o_orderpriority,
                     '^[1-5]-[A-Z]+\z') THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)

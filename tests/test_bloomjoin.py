@@ -31,6 +31,23 @@ def _bag(df):
     return out
 
 
+def test_null_keys_really_drop_from_prefilter(spark):
+    """The NULL drop must test the KEY, not its hash — xxhash64(NULL)
+    is a non-null constant, so a hash-side isNotNull is dead code and
+    a NULL build key would usher every NULL probe row through
+    prefilter_only as 'might-match'."""
+    probe = spark.createDataFrame(
+        [(None, "pn1"), (None, "pn2"), (7, "p7")], "k int, pv string"
+    )
+    build = spark.createDataFrame(
+        [(None, "bn"), (7, "b7")], "k int, bv string"
+    )
+    joined, filt = bloom_prefiltered_join(spark, probe, build, "k")
+    assert [tuple(r) for r in joined.collect()] == [(7, "p7", "b7")]
+    pref = prefilter_only(spark, probe, "k", filt)
+    assert [r["pv"] for r in pref.collect()] == ["p7"]
+
+
 def test_inner_and_semi_parity(spark, sides):
     probe, build = sides
     for how in ("inner", "left_semi"):

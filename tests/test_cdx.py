@@ -20,6 +20,10 @@ LINES = [
     "garbage line",
     # malformed: bad timestamp
     "- 2024010100 http://example.com/b text/html 200 d4 - - 10 50 c0.warc.gz",
+    # malformed: non-numeric status — must be INVALID on both engines
+    # (an unguarded CAST('30x') is NULL on Spark but a hard error on
+    # DuckDB, crashing the twin instead of diverging visibly)
+    "- 20240601000000 http://example.com/c text/html 30x d5 - - 10 60 c0.warc.gz",
 ]
 
 

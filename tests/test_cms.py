@@ -34,6 +34,26 @@ def test_estimates_one_sided_and_tight(spark, skewed):
     assert est["hot"] == 500
 
 
+def test_null_keys_excluded_both_engines(spark):
+    """NULLs are not keys: Spark would hash them into a junk NULL
+    bucket while DuckDB's CONCAT skips the NULL and hashes the bare
+    salt into a REAL cell — sketches must be identical with or
+    without NULL rows."""
+    import duckdb
+
+    base = spark.createDataFrame([("a",)] * 3 + [("b",)], "v string")
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(None,)] * 5, "v string")
+    )
+    clean = {tuple(r) for r in cms.cms_build(base, "v", W, D).collect()}
+    dirty = {tuple(r) for r in cms.cms_build(with_nulls, "v", W, D).collect()}
+    assert clean == dirty
+    con = duckdb.connect()
+    con.register("t", with_nulls.toPandas())
+    want = {tuple(r) for r in con.execute(cms.cms_build_sql("v", W, D)).fetchall()}
+    assert dirty == want
+
+
 def test_merge_equals_union(spark):
     a = spark.createDataFrame([(f"a{i % 50}",) for i in range(300)], "v string")
     b = spark.createDataFrame([(f"a{i % 30}",) for i in range(200)], "v string")

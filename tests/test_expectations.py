@@ -50,6 +50,27 @@ def test_metrics_and_gate(spark, df):
     assert E.suite_passed(E.check_suite(df, ok)) is True
 
 
+def test_never_evaluated_checks_fail_gate(spark):
+    """An all-NULL column (or empty table) leaves min/max/mean
+    unevaluated — NULL passed must FAIL the publish gate, not be
+    skipped by F.min, and mean must report NULL, not a fabricated
+    1.0 that could spuriously clear the bounds."""
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, price double"
+    )
+    suite = [
+        E.min_value("price", 0.0),
+        E.mean_between("price", 0.5, 2.0),
+    ]
+    res = _run(spark, nulls, suite)
+    assert res["min(price)"]["metric"] is None
+    assert res["mean(price)"]["metric"] is None
+    assert res["mean(price)"]["passed"] is None
+    assert E.suite_passed(E.check_suite(nulls, suite)) is False
+    empty = nulls.filter(F.lit(False))
+    assert E.suite_passed(E.check_suite(empty, suite)) is False
+
+
 def test_single_aggregate_pass(spark, df):
     suite = [E.completeness("email"), E.min_value("amount", 0), E.row_count_between(1)]
     plan = E.check_suite(df, suite)._jdf.queryExecution().executedPlan().toString()

@@ -57,6 +57,25 @@ def test_certification_fires_when_k_too_small(spark):
         hh.heavy_hitters_exact(df, "user_id", m=3, k=4).collect()
 
 
+def test_all_pruned_summaries_still_raise(spark):
+    """Every key unique (each appears once): every partition summary
+    prunes to EMPTY, so the candidate set is empty — the guard must
+    still fire on the D>0 placeholder row, never return a silent
+    empty 'top-m'."""
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "user_id long"
+    ).repartition(4)
+    with pytest.raises(Exception, match="not certifiable"):
+        hh.heavy_hitters_exact(df, "user_id", m=3, k=4).collect()
+
+
+def test_no_keys_at_all_is_a_clean_empty(spark):
+    """Zero non-null keys: D == 0 and no candidates — the one case
+    where an empty result IS the certified answer."""
+    df = spark.createDataFrame([(None,), (None,)], "user_id string")
+    assert hh.heavy_hitters_exact(df, "user_id", m=3, k=4).count() == 0
+
+
 def test_partition_layout_invariance(spark):
     base = _skewed(spark, parts=3)
     a = hh.heavy_hitters_exact(base, "user_id", m=5, k=64).collect()

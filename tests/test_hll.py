@@ -38,6 +38,31 @@ def test_duplicates_do_not_move_the_sketch(spark):
     assert ra == rb
 
 
+def test_null_values_excluded_both_engines(spark):
+    """A NULL is not a distinct value: unfiltered it inflates
+    ``occupied`` (junk NULL-bucket row) on Spark and hashes the bare
+    salt into a real register on DuckDB — registers must be identical
+    with or without NULL rows, and the estimate unchanged."""
+    import duckdb
+
+    base = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(None,)] * 7, "v string")
+    )
+    clean = {tuple(r) for r in hll.hll_registers(base, "v", p=8).collect()}
+    dirty = {
+        tuple(r) for r in hll.hll_registers(with_nulls, "v", p=8).collect()
+    }
+    assert clean == dirty
+    con = duckdb.connect()
+    con.register("t", with_nulls.toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(hll.hll_registers_sql("v", 8)).fetchall()
+    }
+    assert dirty == want
+
+
 def test_linear_counting_small_range(spark):
     small = spark.createDataFrame([(f"x{i}",) for i in range(100)], "v string")
     est = hll.hll_estimate(hll.hll_registers(small, "v", P), P).collect()[0]

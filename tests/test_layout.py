@@ -171,5 +171,11 @@ def test_range_layout_prune_and_parity(spark, tmp_path):
     assert got == list(range(5000, 6001))
     # pruning: the scan touches a small fraction of the bin files
     assert L.files_touched(out) <= 4 < m.n_files()
+    # a probe range hitting NO bins must return the SAME schema as a
+    # non-empty probe (all persisted columns + _bin), or downstream
+    # selects break only on the no-overlap case
+    miss = L.range_scan(spark, tmp_path / "rl", 10_000_000, 10_000_001)
+    assert miss.count() == 0
+    assert sorted(miss.columns) == sorted(out.columns)
     with pytest.raises(ValueError, match="k must be"):
         L.equi_depth_bins(df, "v", 1)

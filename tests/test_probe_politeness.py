@@ -325,7 +325,8 @@ def test_adaptive_delays_semantics_and_twin(spark):
 
     budget = spark.createDataFrame(
         [("bad", 10, 1001), ("good", 10, 1001), ("mixed", 10, 1001),
-         ("idle", 10, 777), ("capped", 10, 50_000), ("floored", 10, 520)],
+         ("idle", 10, 777), ("capped", 10, 50_000), ("floored", 10, 520),
+         ("nullrows", 10, 1001)],
         "host string, max_per_epoch int, min_delay_ms long",
     )
     log_rows = (
@@ -334,6 +335,10 @@ def test_adaptive_delays_semantics_and_twin(spark):
         + [("mixed", 200, None)] * 19 + [("mixed", None, "timeout")]  # 5% err
         + [("capped", 429, None)] * 5
         + [("floored", 200, None)] * 4
+        # all-NULL status AND error: non-errors (three-valued logic
+        # must not sum _n_err to NULL and silently hold where the
+        # twin probes)
+        + [("nullrows", None, None)] * 3
     )
     log = spark.createDataFrame(log_rows, "host string, status_code int, error string")
     out = {
@@ -348,6 +353,7 @@ def test_adaptive_delays_semantics_and_twin(spark):
     assert out["idle"] == 777               # no traffic: hold
     assert out["capped"] == 60_000          # cap binds
     assert out["floored"] == 500            # floor binds (520-100 -> 500)
+    assert out["nullrows"] == 1001 - 100    # NULL rows are clean: probe
 
     con = duckdb.connect()
     con.register("b", budget.toPandas())

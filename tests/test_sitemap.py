@@ -73,3 +73,8 @@ def test_expand_with_cycle_and_depth(spark):
     assert sorted(r["loc"] for r in out2.collect()) == ["https://ex.com/p1"]
     with pytest.raises(ValueError, match="max_depth"):
         SM.expand_sitemaps(web, seeds, max_depth=0)
+    # zero seeds (robots listed no Sitemap: lines): an EMPTY entry
+    # table with the full schema, not an AssertionError
+    empty = SM.expand_sitemaps(web, seeds.filter("url = 'none'"))
+    assert empty.count() == 0
+    assert empty.columns == out.columns

@@ -274,11 +274,18 @@ def adaptive_host_delays(
             "adaptive_host_delays: backoff_num/backoff_den must be > 1 "
             f"(got {backoff_num}/{backoff_den})"
         )
-    is_err = (
-        F.col("error").isNotNull()
-        | (F.col("status_code") == 429)
-        | (F.col("status_code") >= 500)
-    ).cast("long")
+    # coalesce matches the twin's CASE ... ELSE 0: a row with NULL
+    # error AND NULL status_code is a non-error (the predicate is
+    # NULL under three-valued logic, and an all-such-rows host would
+    # sum _n_err to NULL — holding the delay where the twin probes)
+    is_err = F.coalesce(
+        (
+            F.col("error").isNotNull()
+            | (F.col("status_code") == 429)
+            | (F.col("status_code") >= 500)
+        ).cast("long"),
+        F.lit(0),
+    )
     stats = fetch_log.groupBy("host").agg(
         F.count("*").alias("_n"), F.sum(is_err).alias("_n_err")
     )

@@ -57,9 +57,13 @@ def bloom_prefiltered_join(
             f"bloom_prefiltered_join: how must be inner|left_semi, got {how!r}"
             " — an outer join's unmatched rows would be dropped"
         )
+    # NULL-key drop must test the KEY, not its hash: xxhash64(NULL)
+    # is the non-null seed constant, so a hash-side isNotNull is dead
+    # code — NULL build keys would enter the bloom and NULL probe
+    # rows would sail through prefilter_only as 'might-match'
     kh = F.xxhash64(F.col(key).cast("string"))
     filt = BloomShards.build(
-        build.select(kh.alias("url_hash")).filter(F.col("url_hash").isNotNull()),
+        build.filter(F.col(key).isNotNull()).select(kh.alias("url_hash")),
         n_shards=n_shards,
         expected_per_shard=expected_per_shard,
         fpr=fpr,
@@ -77,7 +81,8 @@ def prefilter_only(
     against the filter's build side. NULL keys drop (they can never
     equi-join)."""
     kh = F.xxhash64(F.col(key).cast("string"))
+    # key-side isNotNull: the hash of NULL is a non-null constant
     out = filt.prefilter(
-        spark, probe.withColumn(_KH, kh).filter(F.col(_KH).isNotNull()), _KH
+        spark, probe.filter(F.col(key).isNotNull()).withColumn(_KH, kh), _KH
     )
     return out.filter(F.col("bloom_maybe_seen")).drop(_KH, "bloom_maybe_seen")

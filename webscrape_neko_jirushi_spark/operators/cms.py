@@ -29,9 +29,15 @@ def cms_build(
     df: DataFrame, col: str, w: int = 1 << 14, d: int = 4
 ) -> DataFrame:
     """(row, bucket, cnt) counters — only occupied cells are present
-    (absent cell == 0). ``w`` buckets x ``d`` hash rows."""
+    (absent cell == 0). ``w`` buckets x ``d`` hash rows. NULL keys
+    are EXCLUDED on both engines (a NULL is not a key): Spark's hash
+    NULL-propagates into a junk NULL bucket while DuckDB's CONCAT
+    skips NULL args and hashes the bare salt into a REAL cell —
+    unfiltered, the sketches diverge cell-for-cell and the DuckDB
+    estimates inflate by count(NULLs) on colliding keys."""
     if w < 2 or d < 1:
         raise ValueError(f"cms_build: need w >= 2, d >= 1, got w={w} d={d}")
+    df = df.filter(F.col(col).isNotNull())
     cell = F.explode(
         F.array(
             *[
@@ -102,7 +108,7 @@ def cms_build_sql(col_expr: str, w: int, d: int) -> str:
     arms = " UNION ALL ".join(
         f"SELECT {r} AS row, "
         f"{portable_hash64_sql(f'CAST({col_expr} AS VARCHAR)', salt=f'cms{r}')}"
-        f" % {w} AS bucket FROM t"
+        f" % {w} AS bucket FROM t WHERE {col_expr} IS NOT NULL"
         for r in range(d)
     )
     return f"SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({arms}) GROUP BY 1, 2"

@@ -86,10 +86,15 @@ def max_value(col: str, hi: float) -> Check:
 
 def mean_between(col: str, lo: float, hi: float) -> Check:
     """Mean via DECIMAL(28,4)-exact sum / exact count — aggregation-
-    order-independent, so both engines produce the identical double."""
-    m = _ratio(
-        F.sum(F.col(col).cast("decimal(28,4)")),
-        F.count(F.col(col)),
+    order-independent, so both engines produce the identical double.
+    Zero values -> NULL metric (not the ratio checks' 1.0 default: a
+    fabricated mean could spuriously pass the bounds) -> NULL passed,
+    which :func:`suite_passed` counts as FAILED."""
+    cnt = F.count(F.col(col))
+    m = F.when(
+        cnt > 0,
+        F.sum(F.col(col).cast("decimal(28,4)")).cast("double")
+        / cnt.cast("double"),
     )
     return Check(
         f"mean({col})", m, (m >= float(lo)) & (m <= float(hi))
@@ -140,9 +145,15 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
 
 
 def suite_passed(results: DataFrame) -> bool:
-    """The publish gate: True iff every check passed."""
+    """The publish gate: True iff every check passed. A NULL
+    ``passed`` (a bounds check over an empty table or all-NULL column
+    never evaluated) counts as FAILED — F.min would silently skip the
+    NULL row and publish a batch whose checks never ran."""
     row = results.agg(
-        F.coalesce(F.min(F.col("passed").cast("int")), F.lit(1)).alias("ok")
+        F.coalesce(
+            F.min(F.coalesce(F.col("passed"), F.lit(False)).cast("int")),
+            F.lit(1),
+        ).alias("ok")
     ).first()
     return bool(row["ok"])
 

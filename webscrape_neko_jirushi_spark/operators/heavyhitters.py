@@ -143,9 +143,18 @@ def heavy_hitters_exact(
         .orderBy(F.desc("cnt"), F.asc(key_col))
         .limit(m)
     )
-    # _n rows survive the LIMIT; over at most m rows, the empty
-    # window is a non-issue (and the whole result is sketch-sized).
-    n_res = F.count("*").over(Window.partitionBy(F.lit(1)))
+    # LEFT join FROM the always-1-row bound side: when every
+    # partition summary pruned to empty (near-unique keys), `exact`
+    # has ZERO rows and a guard living only on its rows could never
+    # fire — the silent-empty answer is exactly what certification
+    # exists to forbid. The placeholder row (NULL cnt) evaluates the
+    # guard too: D > 0 with no candidates raises; D == 0 with no
+    # candidates means the corpus had no non-null keys at all, and
+    # the NULL row is filtered into a correct empty result.
+    joined = bound.join(F.broadcast(exact), F.lit(True), "left")
+    n_res = F.sum(F.col("cnt").isNotNull().cast("int")).over(
+        Window.partitionBy(F.lit(1))
+    )
     guard = F.when(
         (F.col("cnt") <= F.col("_d")) | ((n_res < m) & (F.col("_d") > 0)),
         F.raise_error(
@@ -161,11 +170,11 @@ def heavy_hitters_exact(
         ),
     )
     return (
-        exact.join(F.broadcast(bound))
-        .select(
+        joined.select(
             key_col,
             F.coalesce(guard, F.col("cnt")).alias("cnt"),
         )
+        .filter(F.col("cnt").isNotNull())
     )
 
 

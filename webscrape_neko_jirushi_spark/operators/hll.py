@@ -43,9 +43,16 @@ def hll_registers(
 ) -> DataFrame:
     """(bucket, register) rows — only OCCUPIED buckets are present
     (absent bucket == register 0, the estimator accounts for them).
-    Mergeable: union register tables and re-``groupBy(bucket).max``."""
+    Mergeable: union register tables and re-``groupBy(bucket).max``.
+    NULL values are EXCLUDED on both engines (a NULL is not a
+    distinct value — the X63 uniqueness convention): unfiltered,
+    Spark emits a junk NULL-bucket row that inflates ``occupied``
+    and shrinks ``zeros`` in the estimator, while DuckDB's CONCAT
+    skips the NULL and hashes the bare salt into a REAL register —
+    both estimates wrong, and differently."""
     if not 4 <= p <= 18:
         raise ValueError(f"hll_registers: need 4 <= p <= 18, got {p}")
+    df = df.filter(F.col(col).isNotNull())
     width = _HASH_BITS - p
     h = portable_hash64(F.col(col).cast("string"), salt=salt)
     bucket = F.shiftright(h, width)
@@ -106,7 +113,7 @@ def hll_registers_sql(col_expr: str, p: int, salt: str = "") -> str:
              MAX(CASE WHEN (h & {(1 << width) - 1}) = 0 THEN {width + 1}
                       ELSE {width} - length(printf('%b', h & {(1 << width) - 1})) + 1
                  END) AS register
-      FROM (SELECT {h} AS h FROM t) GROUP BY 1
+      FROM (SELECT {h} AS h FROM t WHERE {col_expr} IS NOT NULL) GROUP BY 1
     """
 
 

@@ -246,6 +246,17 @@ def range_scan(spark, path, lo: int, hi: int) -> DataFrame:
     wanted = [v for v in m.partitions if b_lo <= int(v) <= b_hi]
     files = m.files_for(wanted)
     if not files:
-        return spark.createDataFrame([], schema=f"{col} long")
+        # empty probe must carry the SAME schema as a non-empty one
+        # (all persisted columns + _bin) or downstream selects/joins
+        # break only on the no-bin-overlap case; a limit(0) over the
+        # live files is schema-only work (one parquet footer read)
+        all_files = m.files_for(m.partitions.keys())
+        if not all_files:
+            return spark.createDataFrame([], schema=f"{col} long, _bin int")
+        return (
+            spark.read.option("basePath", str(m.root))
+            .parquet(*all_files)
+            .limit(0)
+        )
     df = spark.read.option("basePath", str(m.root)).parquet(*files)
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))

@@ -111,14 +111,18 @@ def surt_key_sql(expr: str) -> str:
 def parse_cdx(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """Typed capture rows from raw CDX-11 lines. One map-side split;
     no shuffle. ``valid`` marks well-formed lines (11 space-separated
-    fields, 14-digit timestamp, numeric length/offset when present);
-    malformed lines keep NULL fields so callers can audit them.
-    ``-`` is the CDX placeholder for absent values -> NULL."""
+    fields, 14-digit timestamp, numeric status/length/offset when
+    present); malformed lines keep NULL fields so callers can audit
+    them. ``-`` is the CDX placeholder for absent values -> NULL.
+    The status guard matters cross-engine: an unguarded CAST of a
+    non-numeric status ('30x') is NULL on Spark but a hard error on
+    DuckDB — the twin would crash instead of diverging visibly."""
     p = lines.withColumn("_f", F.split(F.col(line_col), " "))
     f = lambda i: F.try_element_at("_f", F.lit(i + 1))  # noqa: E731
     valid = (
         (F.size("_f") == len(_FIELDS))
         & f(1).rlike(_TS_RE)
+        & (f(4).rlike(_NUM_RE) | (f(4) == "-"))
         & (f(8).rlike(_NUM_RE) | (f(8) == "-"))
         & (f(9).rlike(_NUM_RE) | (f(9) == "-"))
     )
@@ -152,6 +156,7 @@ def parse_cdx_sql(lines_expr: str, line_col: str = "line") -> str:
     valid = (
         f"(len({fs}) = {len(_FIELDS)}"
         f" AND regexp_matches({f(1)}, '{_TS_RE}')"
+        f" AND (regexp_matches({f(4)}, '{_NUM_RE}') OR {f(4)} = '-')"
         f" AND (regexp_matches({f(8)}, '{_NUM_RE}') OR {f(8)} = '-')"
         f" AND (regexp_matches({f(9)}, '{_NUM_RE}') OR {f(9)} = '-'))"
     )

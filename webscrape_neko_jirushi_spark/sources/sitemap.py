@@ -127,7 +127,15 @@ def expand_sitemaps(
         )
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         level = nxt
-    assert out is not None
+    if out is None:
+        # zero seeds (a host whose robots listed no Sitemap: lines):
+        # the walk never ran — an empty ENTRY table with the right
+        # schema, consumable by the frontier union path, not a crash
+        return parse_urlset(
+            web.select(
+                F.col("url").alias("sitemap_url"), "xml"
+            ).limit(0)
+        )
     return out
 
 

@@ -54,12 +54,19 @@ def cooccurrence_pairs(
     window: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    post: DataFrame | None = None,
 ) -> DataFrame:
     """Ordered (a before b, distance <= window) pair counts:
-    (term_a, term_b, cnt)."""
+    (term_a, term_b, cnt). Pass an already-built ``post`` (the
+    :func:`invindex.postings` relation) to share one postings
+    definition with sibling aggregates (the ``phrase_match`` shape) —
+    note the pair self-join still EXECUTES the tokenize subtree once
+    per physical occurrence unless the caller checkpoints ``post``
+    first (the X3 bucket_pairs trade, caller's decision)."""
     if window < 1:
         raise ValueError(f"cooccurrence_pairs: window must be >= 1, got {window}")
-    post = postings(documents, id_col, text_col)
+    if post is None:
+        post = postings(documents, id_col, text_col)
     # linear form: explode each left posting into `window` target
     # positions, then ONE equi-join on (doc_id, pos)
     left = post.select(
@@ -93,7 +100,7 @@ def pmi_collocations(
     fixed expression order); round for display at the query boundary.
     """
     post = postings(documents, id_col, text_col)
-    pairs = cooccurrence_pairs(documents, window, id_col, text_col)
+    pairs = cooccurrence_pairs(documents, window, id_col, text_col, post=post)
     uni = post.groupBy("term").agg(F.count("*").alias("cf"))
     # W in CLOSED FORM from per-doc token counts — a length-L doc
     # contributes t(t+1)/2 + w*max(0, L-1-w) ordered pairs
