@@ -44,6 +44,25 @@ def prof(pages):
     }
 
 
+def test_crlf_leaves_no_carriage_returns(spark):
+    """CRLF documents (the web default) must extract the same text as
+    LF ones — a stray \\r makes 'line1\\r' != 'line1' for every
+    md5(line)-keyed consumer (line-dedup, boilerplate, repetition)."""
+    pages = spark.createDataFrame(
+        [
+            (1, "<p>line1\r\nline2</p>\r\n<p>tail</p>"),
+            (2, "<p>line1\nline2</p>\n<p>tail</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in extraction.extraction_profile(pages).collect()
+    }
+    assert "\r" not in out[1]
+    assert out[1] == out[2]
+
+
 def test_script_style_comments_stripped(prof):
     t = prof[1]["text"]
     assert "var x" not in t and "color:red" not in t

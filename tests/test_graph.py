@@ -147,6 +147,13 @@ def test_validation(spark, edges_df):
     )
     with pytest.raises(ValueError, match="NULL"):
         graph.pagerank(bad, n_iters=1)
+    # NULL SRC would vanish in the out_deg equi-join before a
+    # post-join guard could see it — must still raise
+    bad_src = spark.createDataFrame(
+        [(None, "b"), ("a", "b")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        graph.pagerank(bad_src, n_iters=1)
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         graph.pagerank(empty, n_iters=1)

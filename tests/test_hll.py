@@ -63,6 +63,24 @@ def test_null_values_excluded_both_engines(spark):
     assert dirty == want
 
 
+def test_empty_register_table_estimates_zero(spark):
+    """A legitimately empty day/source must estimate 0 (the linear-
+    counting branch at zeros=m), not NULL-propagate through raw and
+    estimate — and the DuckDB twin must agree."""
+    import duckdb
+
+    empty = spark.createDataFrame([], "v string")
+    r = hll.hll_estimate(hll.hll_registers(empty, "v", p=8), p=8).collect()[0]
+    assert (r["occupied"], r["zeros"]) == (0, 256)
+    assert r["estimate"] == 0.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v VARCHAR)")
+    ref = con.execute(
+        hll.hll_estimate_sql(hll.hll_registers_sql("v", 8), 8)
+    ).fetchone()
+    assert (ref[1], ref[2], ref[4]) == (0, 256, 0.0)
+
+
 def test_linear_counting_small_range(spark):
     small = spark.createDataFrame([(f"x{i}",) for i in range(100)], "v string")
     est = hll.hll_estimate(hll.hll_registers(small, "v", P), P).collect()[0]

@@ -99,6 +99,14 @@ def test_allocate_sums_and_zero_weights(spark):
         assert all(r["alloc"] == 0 for r in out if r["weight"] == 0)
     with pytest.raises(ValueError, match="budget"):
         revisit.allocate_budget(pages, -1)
+    # ALL-zero weights: double division yields IEEE NaN (no ANSI
+    # error), which would silently hand the first `budget` hosts one
+    # fetch each — the explicit in-plan guard must raise instead
+    zeros = spark.createDataFrame(
+        [(i, 0) for i in range(5)], "url long, weight long"
+    )
+    with pytest.raises(Exception, match="positive weight"):
+        revisit.allocate_budget(zeros, 3).collect()
 
 
 def test_duckdb_twins(spark, log):

@@ -63,6 +63,22 @@ def test_first_reason_priority_and_depth(flagged):
     assert flagged["trap.test"]["is_trap"]
 
 
+def test_uppercase_scheme_extracts_host(spark):
+    """Schemes are case-insensitive (RFC 3986) and real fetch logs
+    carry 'HTTP://' rows — a lowercase-only anchor pooled them all
+    into one phantom '' host."""
+    from webscrape_neko_jirushi_spark.crawl.traps import host_of, path_of
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [("HTTP://A.test/x/1",), ("https://a.test/x/2",)], "url string"
+    ).select(
+        host_of(F.col("url")).alias("h"), path_of(F.col("url")).alias("p")
+    )
+    got = [(r["h"], r["p"]) for r in rows.collect()]
+    assert got == [("A.test", "/x/1"), ("a.test", "/x/2")]
+
+
 def test_no_fingerprint_column(spark):
     df = spark.createDataFrame(
         [(u,) for u, _ in _log()], "url string"

@@ -120,9 +120,13 @@ def allocate_budget(
     int64 weights and floored identically on both engines.
 
     Zero/negative weights get 0 shares (and never a remainder seat);
-    an ALL-zero weight table fails loudly at execution (ANSI
-    divide-by-zero on the share division) — callers own at least one
-    positive weight.
+    an ALL-zero weight table fails loudly at execution via an
+    explicit in-plan ``raise_error`` — callers own at least one
+    positive weight. (The guard is explicit because double division
+    does NOT fail on its own: 0.0/0.0 is IEEE NaN, ANSI
+    divide-by-zero applies only to integral/decimal division, and a
+    NaN share would silently hand the first ``budget`` hosts one
+    fetch each.)
 
     Scale note: the input is one row per HOST (the politeness/budget
     granularity), not per URL, and the two global windows sort that
@@ -138,10 +142,20 @@ def allocate_budget(
         F.lit(0)
     )
     total = F.sum(wpos.cast("long")).over(wsum)
-    share = (
+    zero_guard = F.when(
+        total <= 0,
+        F.raise_error(
+            F.lit(
+                "allocate_budget: every weight is zero/negative — "
+                "callers own at least one positive weight"
+            )
+        ),
+    )
+    share = F.coalesce(
+        zero_guard,
         F.lit(int(budget)).cast("double")
         * wpos.cast("double")
-        / total.cast("double")
+        / total.cast("double"),
     )
     base = F.floor(share)
     frac = share - base

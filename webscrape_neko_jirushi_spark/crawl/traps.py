@@ -39,8 +39,12 @@ from pyspark.sql import functions as F
 
 # Java-regex / RE2 common subset (no lookaround, no \z dependence on
 # trailing-newline semantics — hosts/paths here never end in \n).
-_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
-_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+# Scheme letters are case-insensitive per RFC 3986 and real fetch
+# logs contain 'HTTP://' rows — a lowercase-only anchor would pool
+# every such URL into one phantom '' host that then flags as a
+# template-explosion trap while the real hosts undercount.
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)"
 _DIGITS_RE = "[0-9]+"
 
 

@@ -71,12 +71,16 @@ def pagerank(
     )
     if dedup_edges:
         e = e.dropDuplicates(["src", "dst"])
+    # NULL guard BEFORE the out_deg equi-join: a NULL src never
+    # equi-matches, so a post-join check would look at a table the
+    # offending edges have already silently vanished from — the exact
+    # silent drop this guard exists to reject
+    if e.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
+        raise ValueError("pagerank: NULL src/dst endpoint in edge list")
     # one materialization of the (edge x out-degree) table: every
     # iteration joins against THIS, never the upstream DAG again
     out_deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     ew = e.join(out_deg, "src").localCheckpoint(eager=True)
-    if ew.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
-        raise ValueError("pagerank: NULL src/dst endpoint in edge list")
 
     nodes = (
         ew.select(F.col("src").alias("node"))

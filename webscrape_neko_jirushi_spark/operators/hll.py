@@ -77,7 +77,12 @@ def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
     alpha = _alpha(m)
     agg = registers.agg(
         F.count("*").alias("occupied"),
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("_s"),
+        # coalesce: an EMPTY register table (legitimately empty
+        # day/source) must estimate 0 via the linear-counting branch,
+        # not NULL-propagate through raw/estimate
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("register"))), F.lit(0.0)
+        ).alias("_s"),
     )
     zeros = F.lit(m) - F.col("occupied")
     # absent buckets contribute 2^0 = 1 each
@@ -129,7 +134,7 @@ def hll_estimate_sql(registers_sql: str, p: int) -> str:
       FROM (
         SELECT CAST(COUNT(*) AS BIGINT) AS occupied,
                CAST({m} - COUNT(*) AS BIGINT) AS zeros,
-               {alpha * m * m!r} / (SUM(power(2.0, -register))
+               {alpha * m * m!r} / (COALESCE(SUM(power(2.0, -register)), 0.0)
                                     + ({m} - COUNT(*))) AS raw_estimate
         FROM ({registers_sql})
       )

@@ -49,7 +49,9 @@ from .index_store import IndexManifest
 # port-keeping ([^/?#]): enforcement must not let ':8443' variants of
 # a demanded host escape. Host-kind request KEYS are normalized with
 # HOST_KEY_RE below so a traps-derived 'host:port' key still matches.
-HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+#  scheme letters case-insensitive (RFC 3986): an 'HTTP://' doc URL
+#  must not dodge a host-kind demand by failing host extraction
+HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
 # port-stripper for bare host-kind keys ('shop.example:8443' ->
 # 'shop.example'), run verbatim on both engines

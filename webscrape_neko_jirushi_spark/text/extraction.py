@@ -66,9 +66,14 @@ _NEWLINE_TAG_RE = (
     r"|</table>|</ul>|</ol>|</blockquote>|</section>|</article>"
 )
 _ANY_TAG_RE = r"<[^>]*>"
-_SPACE_RUN_RE = r"[ \t\f]+"
-_NEWLINE_RUN_RE = r"[ \t\f]*\n[ \t\f\n]*"
-_OUTER_WS_RE = r"\A[ \t\f\n]+|[ \t\f\n]+\z"
+#  \r included: CRLF documents are the web's default, and a stray \r
+#  left in extracted text makes 'line1\r' != 'line1' for every
+#  md5(line)-keyed consumer (line-dedup, boilerplate, repetition) —
+#  the space-run pass turns it into a space, which the newline-run
+#  pass then folds into the break
+_SPACE_RUN_RE = r"[ \t\f\r]+"
+_NEWLINE_RUN_RE = r"[ \t\f\r]*\n[ \t\f\n\r]*"
+_OUTER_WS_RE = r"\A[ \t\f\n\r]+|[ \t\f\n\r]+\z"
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 _HREF_RE = r'(?i)href="([^"]*)"'
 

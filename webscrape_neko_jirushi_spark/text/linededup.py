@@ -10,7 +10,14 @@ repetition; a general training-data pipeline always does.
 
 Execution shape (the repo's standard disciplines):
 
-- ONE ``posexplode`` over the split text — the only full-text scan.
+- ONE ``posexplode`` DEFINITION over the split text, shared by the
+  verdict aggregate and the join-back side. The plan still EXECUTES
+  that subtree twice (verdict + join-back — the same self-join-shape
+  trade as X3 ``bucket_pairs``): the single-execution alternative
+  would ``collect_list`` every instance of a hot line inside the
+  per-key aggregate, unbounded for a syndicated footer in 10⁶ docs.
+  Callers who can afford materialization pass an upstream
+  ``localCheckpoint``'d documents table to pay the split once.
 - Duplicate verdicts are computed on ``md5(line)`` keys (constant
   width — line BODIES never enter the verdict aggregate) with the
   winner-in-aggregate pattern: ``min(struct(doc_id, pos))`` inside
@@ -60,13 +67,17 @@ def line_dup_keys(
     sep: str = "\n",
     min_chars: int = 10,
     min_dup_docs: int = 2,
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """Per duplicated line key: ``(line_md5, n_docs_with_line,
     n_instances, first_doc_id, first_pos)``. Lines shorter than
     ``min_chars`` are exempt (never counted — short lines like blank
     separators or "1." are legitimately common); a key qualifies when
-    it appears in at least ``min_dup_docs`` DISTINCT documents."""
-    lines = _lines(documents, id_col, text_col, sep)
+    it appears in at least ``min_dup_docs`` DISTINCT documents.
+    ``lines`` shares a prebuilt :func:`_lines` relation (the
+    line_dedup composition)."""
+    if lines is None:
+        lines = _lines(documents, id_col, text_col, sep)
     eligible = lines.filter(F.length("line") >= F.lit(int(min_chars)))
     keyed = eligible.select(
         F.md5(F.col("line")).alias("line_md5"), "doc_id", "pos"
@@ -111,7 +122,8 @@ def line_dedup(
         raise ValueError(f"line_dedup: keep must be 'first' or 'none', got {keep!r}")
     lines = _lines(documents, id_col, text_col, sep)
     dups = line_dup_keys(
-        documents, id_col, text_col, sep, min_chars, min_dup_docs
+        documents, id_col, text_col, sep, min_chars, min_dup_docs,
+        lines=lines,
     ).select("line_md5", "first_doc_id", "first_pos")
     withkey = lines.withColumn("_k", F.md5(F.col("line")))
     j = withkey.join(dups, withkey["_k"] == dups["line_md5"], "left")

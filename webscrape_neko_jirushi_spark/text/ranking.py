@@ -34,9 +34,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .lm import word_tokens
+
 
 def _toks(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    # the ONE shared tokenization surface (lm.word_tokens: trim +
+    # \s+ split, NULL/blank -> EMPTY array — not a NULL that would
+    # silently drop the row from _sumdl), lowercased for matching
+    return word_tokens(F.lower(text))
 
 
 def bm25_scores(
@@ -53,9 +58,10 @@ def bm25_scores(
     terms = sorted({t.lower() for t in query_terms if t})
     if not terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
-    t = F.col(text_col)
-    toks = _toks(t)
-    dl = F.when(F.trim(t) == "", 0).otherwise(F.size(toks)).cast("long")
+    toks = _toks(F.col(text_col))
+    # word_tokens maps NULL/blank to an EMPTY array, so size() is the
+    # correct dl=0 with no separate blank branch
+    dl = F.size(toks).cast("long")
     def tf_of(term: str) -> Column:
         # single-arg lambda: PySpark reads filter-lambda ARITY, so a
         # bound default parameter would be mistaken for the index arg
