@@ -111,7 +111,10 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
     # rows_per_part=2500 exercises the pb pruning at bench corpus sizes
     # (the 100k default only starts pruning past ~10^7 docs)
     subparts = dedup.lsh_subparts_for(n_docs, rows_per_part=2500)
-    lsh_idx = root / f"docs_{n_docs}_lsh{subparts}"
+    # delta holdout encoded in the cache name: changing DELTA_DOCS must
+    # invalidate, or a stale index already CONTAINING the "delta" docs is
+    # silently reused, violating the disjoint-ids contract
+    lsh_idx = root / f"docs_{n_docs}_lsh{subparts}_d{DELTA_DOCS}"
     if not (docs / "_SUCCESS").exists():
         synth_documents(
             spark, n_docs, partitions=max(8, n_docs // 25_000)
@@ -153,7 +156,7 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
             5,
             n_subparts=subparts,
         )
-    sim_idx = root / f"docs_{n_docs}_sim{subparts}"
+    sim_idx = root / f"docs_{n_docs}_sim{subparts}_d{DELTA_DOCS}"
     if IndexManifest.load(sim_idx) is None:
         dedup.build_simhash_index(
             spark.read.parquet(str(docs)).filter(
@@ -166,7 +169,7 @@ def _corpora(spark, root: Path, n_docs: int, n_vecs: int) -> dict[str, str]:
         )
     emb_bits = similarity.lsh_bits_for(n_vecs)
     emb_sub = dedup.lsh_subparts_for(n_vecs, rows_per_part=2500)
-    emb_idx = root / f"vecs_{n_vecs}_emblsh{emb_bits}_{emb_sub}"
+    emb_idx = root / f"vecs_{n_vecs}_emblsh{emb_bits}_{emb_sub}_d{DELTA_VECS}"
     if IndexManifest.load(emb_idx) is None:
         similarity.build_emb_lsh_index(
             spark.read.parquet(str(vecs)).filter(

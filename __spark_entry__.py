@@ -1900,8 +1900,14 @@ def _ngram_pairs(spark, sf_dir):
     cands = dedup.lsh_candidate_pairs(
         sigs, "doc_id", _N_MINHASH, 4, materialize=True
     )
+    # restrict_candidates pinned False: the sf corpora are DENSE (a
+    # planted dup per doc — candidate fraction near 1), the regime
+    # where the below-explode restriction measures ~40% slower while
+    # doing no extra work (ngram_jaccard_pairs docstring), and pinning
+    # also skips the auto-gate's construction-time count probe
     return dedup.ngram_jaccard_pairs(
-        c, "text", "doc_id", _K_SHINGLE, 0.5, candidates=cands
+        c, "text", "doc_id", _K_SHINGLE, 0.5, candidates=cands,
+        restrict_candidates=False,
     )
 
 

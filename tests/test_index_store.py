@@ -227,6 +227,48 @@ def test_lsh_text_index_incremental_parity(spark, tmp_path):
     assert got2 == want2 and len(want2) > 20
 
 
+def test_lsh_incremental_capped_parity_mega_bucket(spark, tmp_path):
+    """max_bucket must bind against the COMBINED corpus+delta bucket
+    occupancy: a boilerplate mega-bucket living in the INDEX would
+    otherwise explode the delta-x-index join into occupancy-
+    proportional pairs (the uncapped asymmetric form cannot see the
+    index side's occupancy), and the star center must be the combined
+    min id, exactly as a full capped rebuild computes it."""
+    mega = "common boilerplate text shared by the mega cluster page"
+    rows = (
+        [(i, mega) for i in range(50)]
+        + [(i, f"unique filler document number {i} with its own words {i * 7}")
+           for i in range(50, 80)]
+        + [(i, f"unique delta document number {i} tail tokens {i * 13}")
+           for i in range(80, 95)]
+        + [(i, mega) for i in range(95, 100)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs_all = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+    full_capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sigs_all, "doc_id", 16, 4, max_bucket=8
+        ).collect()
+    }
+    want = {(a, b) for a, b in full_capped if a >= 80 or b >= 80}
+    old = docs.filter(F.col("doc_id") < 80)
+    delta = docs.filter(F.col("doc_id") >= 80)
+    idx = str(tmp_path / "lsh_capped")
+    dedup.build_lsh_text_index(old, idx, "text", "doc_id", 16, 4, 5, n_subparts=16)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidates_incremental(
+            spark, delta, idx, max_bucket=8
+        ).collect()
+    }
+    assert got == want
+    # star-bounded: the 5 delta mega members pair with the star center
+    # (id 0), never with all 50 index members each
+    assert {(0, i) for i in range(95, 100)} <= got
+    assert len(got) < 30
+
+
 def test_lsh_text_index_incremental_prunes_to_delta_buckets(spark, tmp_path):
     """The pb sub-partitioning contract: a small delta's candidate scan
     reads ONLY the index partitions the delta hashes into (resolved

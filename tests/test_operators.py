@@ -236,6 +236,36 @@ def test_renumber_groups_auto_selects_bucketed_path(spark):
     assert got == want
 
 
+def test_renumber_groups_n_rows_hint_resolves_gate(spark):
+    """The n_rows hint resolves the auto gate with ZERO construction
+    jobs: a hint above the threshold plans the bucketed path (no
+    single-partition exchange), below it the single window — and both
+    produce the same numbering."""
+    from webscrape_neko_jirushi_spark.operators import reorganize
+    from webscrape_neko_jirushi_spark.sources.analog import cat_info_analog
+
+    cats = cat_info_analog(
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    )
+    big_hint = reorganize.renumber_groups(cats, n_rows=3_000_000)
+    assert "SinglePartition" not in (
+        big_hint._jdf.queryExecution().executedPlan().toString()
+    )
+    small_hint = reorganize.renumber_groups(cats, n_rows=10)
+    assert "SinglePartition" in (
+        small_hint._jdf.queryExecution().executedPlan().toString()
+    )
+    got = {
+        (r["cat_id"], r["new_dir"])
+        for r in big_hint.select("cat_id", "new_dir").collect()
+    }
+    want = {
+        (r["cat_id"], r["new_dir"])
+        for r in small_hint.select("cat_id", "new_dir").collect()
+    }
+    assert got == want
+
+
 def test_simhash_signatures_equal_hof_form(spark):
     """The one-pass relational SimHash returns identical signatures to
     the HOF column form — including NULL and empty text (explode_outer

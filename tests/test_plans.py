@@ -307,6 +307,29 @@ def test_ngram_restricted_semi_join_is_broadcast(spark):
     ), [l for l in lines if "LeftSemi" in l]
 
 
+def test_ngram_n_docs_hint_resolves_auto_gate(spark):
+    """The n_docs hint resolves restrict_candidates' auto gate with
+    zero construction jobs: above the threshold the restriction
+    semi-join appears in the plan, below it it doesn't."""
+    from webscrape_neko_jirushi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", 16, 5)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", 16, 4)
+    big = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", 5, 0.5, cands, n_docs=1_000_000
+    )
+    assert any(
+        "LeftSemi" in l for l in P.physical_plan(big).splitlines()
+    )
+    small = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", 5, 0.5, cands, n_docs=10
+    )
+    assert not any(
+        "LeftSemi" in l for l in P.physical_plan(small).splitlines()
+    )
+
+
 def test_round5_text_ops_python_free(spark):
     """The X41-X44 additions are full-corpus maps/joins — their plans
     must contain zero Python eval nodes (JVM codegen end to end)."""

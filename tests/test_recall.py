@@ -202,15 +202,19 @@ def test_ivf_trained_centroids_beat_seed_centroids(spark):
 def test_ivf_assign_pandas_parity_with_expression_form(spark):
     """The Arrow-matmul assigner (large-C path) must agree cell-for-cell
     with the literal-expression assigner, including on planted near-dup
-    vectors (scaled copies probe the norm handling). Zero vectors are
-    OUT of the shared contract: the ANSI expression form raises
-    DIVIDE_BY_ZERO on them (same as the DuckDB oracle), so the pandas
-    form's norm guard is a superset, not a divergence."""
+    vectors (scaled copies probe the norm handling) AND on a zero
+    vector: both now share the vnorm==0 -> 1.0 guard, assigning it
+    cell 0 — previously the ANSI expression form raised
+    DIVIDE_BY_ZERO while pandas assigned, so which behavior training
+    got depended only on n_cells."""
     vecs = synth_embeddings(spark, 400, dim=32, dup_frac=0.10)
+    zero = spark.createDataFrame(
+        [(9999, [0.0] * 32)], "vec_id long, embedding array<double>"
+    )
     corpus = vecs.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
+    ).unionByName(zero)
     cents = [
         [float(x) for x in r["embedding"]]
         for r in corpus.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
@@ -223,7 +227,8 @@ def test_ivf_assign_pandas_parity_with_expression_form(spark):
         r["vec_id"]: r["cell"]
         for r in similarity.ivf_assign_pandas(corpus, cents).collect()
     }
-    assert expr == pand and len(expr) == 400
+    assert expr == pand and len(expr) == 401
+    assert expr[9999] == 0  # the zero vector: guarded norm -> cell 0
 
 
 def test_ivf_training_is_deterministic_and_feeds_the_index(spark, tmp_path):

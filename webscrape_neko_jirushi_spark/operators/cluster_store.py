@@ -62,18 +62,19 @@ def _projected(rows: DataFrame, n: int) -> DataFrame:
 
 
 def _checked_cc_manifest(path: str):
-    m = IndexManifest.load(path)
-    if m is None:
-        raise ValueError(
+    from .similarity import _checked_manifest
+
+    return _checked_manifest(
+        path,
+        "pb",
+        ["kind", "n_subparts"],
+        kind="cc_labels",
+        desc="cluster-labels store",
+        missing_msg=(
             f"no cluster-labels manifest at {path} — build with "
             "build_cluster_labels first"
-        )
-    if m.key != "pb" or m.meta.get("kind") != "cc_labels" or "n_subparts" not in m.meta:
-        raise ValueError(
-            f"index at {path} is not a cluster-labels store "
-            f"(manifest key={m.key!r}, kind={m.meta.get('kind')!r})"
-        )
-    return m
+        ),
+    )
 
 
 def _read_pbs(spark, m, pbs) -> DataFrame | None:

@@ -213,6 +213,51 @@ def bucket_pairs(
     return pairs.distinct()
 
 
+def _capped_incremental_pairs(
+    delta: DataFrame,
+    idx: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """The CAPPED incremental candidate path, shared by the minhash
+    and embedding families: an asymmetric delta-x-index equi-join
+    cannot honor ``max_bucket`` (its occupancy view is the delta
+    alone, so one boilerplate mega-bucket in the INDEX explodes into
+    occupancy-proportional pairs — the exact skew the cap exists to
+    absorb), and the cap must use the COMBINED corpus+delta occupancy
+    and star center or the result diverges from a full rebuild.
+
+    So: reconstruct the FULL membership of the delta-hit buckets
+    (index rows semi-filtered to the delta's buckets + the delta) and
+    run the one true ``bucket_pairs`` over it — capping, star
+    expansion, and tie-breaks come from the same code the full
+    rebuild uses, making parity structural — then keep the pairs
+    touching a delta id (corpus-internal pairs were reported when the
+    corpus was indexed). Costs one extra self-join over the delta-hit
+    buckets' members vs the uncapped asymmetric form; that is the
+    price of the cap's occupancy view, and output stays
+    star-bounded."""
+    members = idx.join(
+        F.broadcast(delta.select(*bucket_cols).distinct()),
+        list(bucket_cols),
+        "left_semi",
+    ).unionByName(delta.select(id_col, *bucket_cols))
+    allp = bucket_pairs(members, id_col, list(bucket_cols), max_bucket)
+    dids = delta.select(id_col).distinct()
+    on_a = allp.join(
+        F.broadcast(dids.select(F.col(id_col).alias("id_a"))),
+        "id_a",
+        "left_semi",
+    )
+    on_b = allp.join(
+        F.broadcast(dids.select(F.col(id_col).alias("id_b"))),
+        "id_b",
+        "left_semi",
+    )
+    return on_a.unionByName(on_b).distinct()
+
+
 def banded_minhash(
     signatures: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
 ) -> DataFrame:
@@ -249,26 +294,19 @@ def lsh_candidate_pairs(
 
 
 def _checked_lsh_manifest(path: str):
-    from .index_store import IndexManifest
+    from .similarity import _checked_manifest
 
-    m = IndexManifest.load(path)
-    if m is None:
-        raise ValueError(
+    return _checked_manifest(
+        path,
+        "pb",
+        ["n_hashes", "n_bands", "k", "id_col", "text_col", "n_subparts"],
+        desc="banded-minhash text",
+        missing_msg=(
             f"no LSH text index manifest at {path} — build with "
             "build_lsh_text_index first (banding a delta against a bare "
             "tree could silently use different band parameters)"
-        )
-    missing = [
-        k
-        for k in ("n_hashes", "n_bands", "k", "id_col", "text_col", "n_subparts")
-        if k not in m.meta
-    ]
-    if m.key != "pb" or missing:
-        raise ValueError(
-            f"index at {path} is not a banded-minhash text index "
-            f"(manifest key={m.key!r}, missing meta {missing})"
-        )
-    return m
+        ),
+    )
 
 
 def _with_pb(
@@ -375,8 +413,16 @@ def lsh_candidates_incremental(
       already-checkpointed delta) resolve to a file list through one
       manifest read, and the delta side is broadcast, so the index
       side streams map-side with no shuffle and no full-index scan;
-    - delta x delta: the usual ``bucket_pairs`` self-join (with
-      ``max_bucket``'s star cap available for hot buckets).
+    - delta x delta: the usual ``bucket_pairs`` self-join.
+
+    With ``max_bucket`` set, the whole candidate step instead routes
+    through ``_capped_incremental_pairs``: full membership of the
+    delta-hit buckets -> ONE ``bucket_pairs`` (combined
+    corpus+delta occupancy, combined star center) -> delta-touching
+    filter — the asymmetric join above cannot honor the cap (its
+    occupancy view is the delta alone, so one mega-bucket in the
+    index would explode), and capping either side separately would
+    diverge from the full rebuild.
 
     Returns exactly the pairs a FULL rebuild over (corpus + delta)
     would emit that touch at least one delta doc (parity-tested) —
@@ -407,26 +453,36 @@ def lsh_candidates_incremental(
     ).localCheckpoint(eager=True)
     probe_pbs = [r["pb"] for r in delta.select("pb").distinct().collect()]
     files = m.files_for(probe_pbs)
-    if files:
+    if not files:  # a fresh index with no data: only delta-delta pairs
+        return bucket_pairs(delta, id_col, ["band", "bh"], max_bucket).distinct()
+    if max_bucket is not None:
+        # capped path: combined-occupancy capping through the one true
+        # bucket_pairs (see _capped_incremental_pairs — the asymmetric
+        # join below cannot honor the cap)
         idx = (
             spark.read.option("basePath", str(m.root))
             .parquet(*files)
-            .select(F.col(id_col).alias("_idx_id"), "band", "bh")
+            .select(F.col(id_col), "band", "bh")
         )
-        cross = (
-            F.broadcast(delta.select(id_col, "band", "bh"))
-            .join(idx, ["band", "bh"])
-            .filter(F.col(id_col) != F.col("_idx_id"))
-            .select(
-                F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
-                F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
-            )
+        return _capped_incremental_pairs(
+            delta, idx, id_col, ["band", "bh"], max_bucket
         )
-    else:  # a fresh index with no data at all: only delta-delta pairs
-        cross = None
-    within = bucket_pairs(delta, id_col, ["band", "bh"], max_bucket)
-    pairs = within if cross is None else cross.unionByName(within)
-    return pairs.distinct()
+    idx = (
+        spark.read.option("basePath", str(m.root))
+        .parquet(*files)
+        .select(F.col(id_col).alias("_idx_id"), "band", "bh")
+    )
+    cross = (
+        F.broadcast(delta.select(id_col, "band", "bh"))
+        .join(idx, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_idx_id"))
+        .select(
+            F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+        )
+    )
+    within = bucket_pairs(delta, id_col, ["band", "bh"], None)
+    return cross.unionByName(within).distinct()
 
 
 def append_lsh_text_index(
@@ -1129,27 +1185,20 @@ def _banded_wide_pairs(
     )
 
 def _checked_simhash_manifest(path: str):
-    from .index_store import IndexManifest
+    from .similarity import _checked_manifest
 
-    m = IndexManifest.load(path)
-    if m is None:
-        raise ValueError(
+    return _checked_manifest(
+        path,
+        "pb",
+        ["kind", "max_hamming", "id_col", "text_col", "n_subparts"],
+        kind="simhash_wide",
+        desc="wide-simhash text",
+        missing_msg=(
             f"no simhash index manifest at {path} — build with "
             "build_simhash_index first (banding a delta against a bare "
             "tree could silently use different band parameters)"
-        )
-    missing = [
-        k
-        for k in ("kind", "max_hamming", "id_col", "text_col", "n_subparts")
-        if k not in m.meta
-    ]
-    if m.key != "pb" or missing or m.meta.get("kind") != "simhash_wide":
-        raise ValueError(
-            f"index at {path} is not a wide-simhash text index "
-            f"(manifest key={m.key!r}, kind={m.meta.get('kind')!r}, "
-            f"missing meta {missing})"
-        )
-    return m
+        ),
+    )
 
 
 def build_simhash_index(

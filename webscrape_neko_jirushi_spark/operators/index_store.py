@@ -486,11 +486,22 @@ class IndexManifest:
         cutoff = time.time() - older_than_sec
         deleted = 0
         prefix = f"{key}="
+        def _tree_mtime(p) -> float:
+            # NEWEST mtime anywhere in the tree (SnapshotStore.vacuum's
+            # discipline): a task writing deep inside _temporary does
+            # not bump the top dir's mtime, so judging by d.stat()
+            # alone would delete the staging of any write merely
+            # RUNNING longer than the retention window, mid-job
+            return max(
+                (f.stat().st_mtime for f in p.rglob("*") if f.is_file()),
+                default=p.stat().st_mtime,
+            )
+
         for d in sorted(root.iterdir()):
             if d.name == "_temporary" and d.is_dir():
                 # Spark job-attempt staging from a killed write: never
                 # referenced by any manifest, safe past the retention
-                if d.stat().st_mtime <= cutoff:
+                if _tree_mtime(d) <= cutoff:
                     shutil.rmtree(d)
                     deleted += 1
                 continue
@@ -498,7 +509,7 @@ class IndexManifest:
                 # stage_write trees whose commit_staged never ran (a
                 # killed writer): never referenced, safe past retention
                 for sub in sorted(d.iterdir()):
-                    if sub.is_dir() and sub.stat().st_mtime <= cutoff:
+                    if sub.is_dir() and _tree_mtime(sub) <= cutoff:
                         shutil.rmtree(sub)
                         deleted += 1
                 if not any(d.iterdir()):

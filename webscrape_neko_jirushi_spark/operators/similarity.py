@@ -326,20 +326,41 @@ def ann_index_needs_reindex(
     return lsh_bits_for(n_vecs_total, target_occupancy) > int(m.meta["bits"])
 
 
-def _checked_manifest(path: str, expected_key: str, required_meta: list[str]):
+def _checked_manifest(
+    path: str,
+    expected_key: str,
+    required_meta: list[str],
+    kind: str | None = None,
+    desc: str | None = None,
+    missing_msg: str | None = None,
+):
     """Load and VALIDATE the index manifest: probing an ANN index with
     the IVF operator (or vice versa) would silently map probe values
     onto the wrong partition kind and return a confidently wrong
     top-k — fail loudly instead, like the pre-manifest column-mismatch
-    AnalysisException did."""
+    AnalysisException did.
+
+    The ONE validator for every index family (ANN/IVF/PQ probes plus
+    the banded minhash/simhash/emb-LSH and cluster-label stores —
+    five hand-rolled copies drifted before this): ``kind`` pins the
+    ``meta['kind']`` tag where a family writes one, ``desc`` names
+    the family in the mismatch error, and ``missing_msg`` turns the
+    absent-manifest case into that family's build-hint error instead
+    of returning None."""
     m = IndexManifest.load(path)
     if m is None:
+        if missing_msg is not None:
+            raise ValueError(missing_msg)
         return None
     missing = [k for k in required_meta if k not in m.meta]
-    if m.key != expected_key or missing:
+    bad_kind = kind is not None and m.meta.get("kind") != kind
+    if m.key != expected_key or missing or bad_kind:
+        label = desc if desc is not None else repr(expected_key)
         raise ValueError(
-            f"index at {path} is not a {expected_key!r} index "
-            f"(manifest key={m.key!r}, missing meta {missing}) — probe it "
+            f"index at {path} is not a {label} index "
+            f"(manifest key={m.key!r}"
+            + (f", kind={m.meta.get('kind')!r}" if kind is not None else "")
+            + f", missing meta {missing}) — probe it "
             "with the operator matching its build"
         )
     return m
@@ -529,13 +550,29 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine). The
-    centroid list is tiny (broadcast as literals into the plan)."""
+    centroid list is tiny (broadcast as literals into the plan).
+    Zero-norm vectors take ``ivf_assign_pandas``'s norm guard
+    VERBATIM (a 0 norm divides as 1.0 -> every score 0.0 -> cell 0):
+    without it the ANSI expression raises DIVIDE_BY_ZERO while the
+    pandas path assigns cell 0, so the two assigners
+    ``ivf_train_centroids`` auto-selects between would crash-or-
+    diverge depending only on n_cells. The coalesce additionally
+    keeps a NULL embedding out of a NULL cell (which training would
+    use as a list index)."""
+    vn = _norm(F.col(vec_col))
+    vn1 = F.when(vn == 0.0, F.lit(1.0)).otherwise(vn)
+
+    def _score(c: list[float]):
+        q = F.array(*[F.lit(float(x)) for x in c])
+        qn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return _dot(F.col(vec_col), q) / (vn1 * F.lit(qn))
+
     scored = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         F.array(
             *[
-                F.round(cosine_col(F.col(vec_col), c), 9).alias(f"c{i}")
+                F.coalesce(F.round(_score(c), 9), F.lit(0.0)).alias(f"c{i}")
                 for i, c in enumerate(centroids)
             ]
         ).alias("scores"),
@@ -976,25 +1013,19 @@ def ivf_topk_indexed(
 
 
 def _checked_emb_lsh_manifest(path: str):
-    m = IndexManifest.load(path)
-    if m is None:
-        raise ValueError(
+    return _checked_manifest(
+        path,
+        "pb",
+        ["kind", "dim", "n_bands", "bits_per_band", "id_col", "vec_col",
+         "n_subparts"],
+        kind="emb_lsh_banded",
+        desc="banded embedding-LSH",
+        missing_msg=(
             f"no embedding LSH index manifest at {path} — build with "
             "build_emb_lsh_index first (banding a delta against a bare "
             "tree could silently use different hyperplanes)"
-        )
-    missing = [
-        k
-        for k in ("kind", "dim", "n_bands", "bits_per_band", "id_col", "vec_col", "n_subparts")
-        if k not in m.meta
-    ]
-    if m.key != "pb" or missing or m.meta.get("kind") != "emb_lsh_banded":
-        raise ValueError(
-            f"index at {path} is not a banded embedding-LSH index "
-            f"(manifest key={m.key!r}, kind={m.meta.get('kind')!r}, "
-            f"missing meta {missing})"
-        )
-    return m
+        ),
+    )
 
 
 def build_emb_lsh_index(
@@ -1103,29 +1134,51 @@ def emb_near_dups_incremental(
     probe_pbs = [r["pb"] for r in delta.select("pb").distinct().collect()]
     files = m.files_for(probe_pbs)
     vectors = delta.select(id_col, vec_col).dropDuplicates([id_col])
-    within = bucket_pairs(
-        delta.select(id_col, "band", "bucket"), id_col, ["band", "bucket"], max_bucket
-    )
     if files:
         idx = spark.read.option("basePath", str(m.root)).parquet(*files)
-        cross = (
-            F.broadcast(delta.select(id_col, "band", "bucket"))
-            .join(
-                idx.select(F.col(id_col).alias("_idx_id"), "band", "bucket"),
+        if max_bucket is not None:
+            # capped path: combined-occupancy capping through the one
+            # true bucket_pairs (dedup._capped_incremental_pairs — the
+            # asymmetric join below cannot honor the cap)
+            from .dedup import _capped_incremental_pairs
+
+            cands = _capped_incremental_pairs(
+                delta.select(id_col, "band", "bucket"),
+                idx.select(F.col(id_col), "band", "bucket"),
+                id_col,
                 ["band", "bucket"],
+                max_bucket,
             )
-            .filter(F.col(id_col) != F.col("_idx_id"))
-            .select(
-                F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
-                F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+        else:
+            cross = (
+                F.broadcast(delta.select(id_col, "band", "bucket"))
+                .join(
+                    idx.select(F.col(id_col).alias("_idx_id"), "band", "bucket"),
+                    ["band", "bucket"],
+                )
+                .filter(F.col(id_col) != F.col("_idx_id"))
+                .select(
+                    F.least(F.col(id_col), F.col("_idx_id")).alias("id_a"),
+                    F.greatest(F.col(id_col), F.col("_idx_id")).alias("id_b"),
+                )
             )
-        )
-        cands = cross.unionByName(within).distinct()
+            within = bucket_pairs(
+                delta.select(id_col, "band", "bucket"),
+                id_col,
+                ["band", "bucket"],
+                None,
+            )
+            cands = cross.unionByName(within).distinct()
         vectors = vectors.unionByName(
             idx.select(id_col, vec_col).dropDuplicates([id_col])
         )
     else:  # a fresh index with no data at all: only delta-delta pairs
-        cands = within
+        cands = bucket_pairs(
+            delta.select(id_col, "band", "bucket"),
+            id_col,
+            ["band", "bucket"],
+            max_bucket,
+        )
     return embedding_near_dups(vectors, id_col, vec_col, tau, candidates=cands)
 
 
@@ -1261,11 +1314,11 @@ def pq_train(
     codebooks: list[list[list[float]]] = []
     for j in range(m):
         sub = v[:, j * dsub : (j + 1) * dsub]
+        # exactly ksub centers: the len(rows) >= ksub guard above plus
+        # _greedy_spread's min(n_cells, len(sample)) contract
         cents = np.asarray(
             _greedy_spread([list(x) for x in sub[: 8 * ksub]], ksub)
         )
-        if len(cents) < ksub:  # tiny sample: pad by repeating centers
-            cents = np.vstack([cents] * (ksub // len(cents) + 1))[:ksub]
         for _ in range(n_iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)  # first minimum = lowest code
