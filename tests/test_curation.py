@@ -64,6 +64,23 @@ def test_stratified_sample_nested_deterministic_and_spec_complete(spark, corpus)
         .count()
         == 0
     )
+    # the empty dict is the legal drop-everything spec on BOTH engines
+    # (the twin must emit FALSE, not a WHEN-less CASE DuckDB rejects)
+    import duckdb
+
+    assert (
+        curation.hash_stratified_sample(corpus, "stratum", {}, "doc_id").count()
+        == 0
+    )
+    con = duckdb.connect()
+    con.register("c", corpus.toPandas())
+    n = con.execute(
+        "SELECT COUNT(*) FROM c WHERE "
+        + curation.hash_stratified_sample_sql(
+            "stratum", {}, "CAST(doc_id AS VARCHAR)"
+        )
+    ).fetchone()[0]
+    assert n == 0
 
 
 def test_stratified_sample_rates_track_fractions(spark, corpus):

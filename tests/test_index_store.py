@@ -227,6 +227,48 @@ def test_lsh_text_index_incremental_parity(spark, tmp_path):
     assert got2 == want2 and len(want2) > 20
 
 
+def test_commit_staged_meta_update_merges_under_lock(spark, tmp_path):
+    """meta_update must merge onto the head's CURRENT meta at commit
+    time: a merge computed from a manifest read BEFORE a concurrent
+    commit would silently revert that commit's keys (e.g. a stream
+    watermark moving backward)."""
+    import pytest
+
+    root = tmp_path / "metaidx"
+    df = spark.createDataFrame(
+        [(i, i % 2, f"p{i}") for i in range(8)],
+        "id long, bucket int, payload string",
+    )
+    df.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(str(root))
+    IndexManifest.commit(root, "bucket", meta={"pinned": 1})
+    # a "concurrent" writer advances a watermark key on the head
+    m_now = IndexManifest.load(root)
+    IndexManifest.commit(
+        root, "bucket",
+        meta={**m_now.meta, "wm": 5},
+        partitions=m_now.partitions,
+    )
+    # this writer staged from the OLD view but merges via meta_update
+    delta = spark.createDataFrame(
+        [(100, 0, "pd")], "id long, bucket int, payload string"
+    )
+    stage, _ = IndexManifest.stage_write(delta, root, "bucket")
+    IndexManifest.commit_staged(
+        root, "bucket", stage, meta_update={"extra": 7}
+    )
+    final = IndexManifest.load(root)
+    assert final.meta["wm"] == 5          # the concurrent key survives
+    assert final.meta["extra"] == 7       # the merge landed
+    assert final.meta["pinned"] == 1
+    with pytest.raises(ValueError, match="not both"):
+        stage2, _ = IndexManifest.stage_write(delta, root, "bucket")
+        IndexManifest.commit_staged(
+            root, "bucket", stage2, meta={"x": 1}, meta_update={"y": 2}
+        )
+
+
 def test_lsh_incremental_capped_parity_mega_bucket(spark, tmp_path):
     """max_bucket must bind against the COMBINED corpus+delta bucket
     occupancy: a boilerplate mega-bucket living in the INDEX would

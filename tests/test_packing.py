@@ -27,6 +27,21 @@ def _rows(df):
     )
 
 
+def test_null_id_fails_loudly(spark):
+    """A NULL id cannot hold a deterministic stream position (NULL
+    hashes collide into one RANGE-frame tie / NULL bucket) — both
+    pack_sequences paths must raise, never overlap fragments or drop
+    the row."""
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (None, "other words there")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL id"):
+        packing.pack_sequences(docs, budget=4, buckets=0).collect()
+    with pytest.raises(Exception, match="NULL id"):
+        packing.pack_sequences(docs, budget=4, buckets=8).collect()
+
+
 def test_pack_invariants(spark, corpus):
     out = packing.pack_sequences(corpus, BUDGET, buckets=0).cache()
 

@@ -79,6 +79,14 @@ def test_gopher_filter_reasons(spark, docs):
     assert out[3] == (False, "too_few_words")
     assert out[4] == (False, "too_few_words")
 
+    # NULL text: every threshold predicate is NULL under three-valued
+    # logic — must reject as null_text, never fall through to keep
+    nulldoc = spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"
+    )
+    nr = repetition.gopher_repetition_filter(nulldoc, min_words=2).collect()
+    assert [(r["keep"], r["reason"]) for r in nr] == [(False, "null_text")]
+
     # word-count bounds fire before the gram rules (first-match-wins)
     strict = {
         r["doc_id"]: r["reason"]

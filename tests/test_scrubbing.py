@@ -15,6 +15,12 @@ DOCS = [
     # dates, an @handle without a TLD
     (3, "version 1.2.3 shipped 2024-12-01 to 5000 users @internal"),
     (4, ""),
+    # single-digit area code (Tokyo style): the {2,4} first-group rule
+    # silently let exactly these through
+    (5, "call +81 3-1234-5678 today"),
+    # overlap: the dotted run is consumed by the EMAIL redaction, so
+    # n_ipv4 must report 0 actual IP redactions, not 1 phantom one
+    (6, "contact 10.0.0.1@example.com please"),
 ]
 
 
@@ -42,6 +48,12 @@ def test_scrub_counts_and_text(spark, docs):
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
 
     assert got[4]["scrubbed"] == "" and got[4]["n_email"] == 0
+
+    assert got[5]["n_phone"] == 1
+    assert got[5]["scrubbed"] == "call <PHONE> today"
+
+    assert got[6]["n_email"] == 1 and got[6]["n_ipv4"] == 0
+    assert got[6]["scrubbed"] == "contact <EMAIL> please"
 
 
 def test_scrub_matches_duckdb_twin(spark, docs):

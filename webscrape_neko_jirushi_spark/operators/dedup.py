@@ -524,7 +524,7 @@ def append_lsh_text_index(
         "pb",
     )
     IndexManifest.commit_staged(
-        path, "pb", stage, meta={**m.meta, **(meta_update or {})}
+        path, "pb", stage, meta_update=meta_update
     )
 
 
@@ -1347,7 +1347,7 @@ def append_simhash_index(new_docs: DataFrame, path: str) -> None:
         path,
         "pb",
     )
-    IndexManifest.commit_staged(path, "pb", stage, meta=m.meta)
+    IndexManifest.commit_staged(path, "pb", stage)
 
 
 def semantic_dedup(

@@ -236,6 +236,7 @@ class IndexManifest:
         meta: dict | None = None,
         replace_values=None,
         expected_version: int | None = None,
+        meta_update: dict | None = None,
     ) -> "IndexManifest":
         """Move a :meth:`stage_write` tree into the live partition
         dirs and publish a manifest naming EXACTLY the moved files —
@@ -252,7 +253,15 @@ class IndexManifest:
         from that version (:class:`CommitConflict` otherwise). Moves
         use ``os.rename`` (same filesystem by construction); a crash
         mid-move leaves already-moved files unreferenced — plain
-        ``vacuum`` litter, the committed head stays intact."""
+        ``vacuum`` litter, the committed head stays intact.
+
+        Meta: omit ``meta`` to KEEP the head's CURRENT meta (read
+        under the lock — the safe default for appends); pass
+        ``meta_update`` to merge keys onto that current meta in the
+        same locked commit (the stream-watermark form — merging onto
+        a meta dict read BEFORE the lock would let a concurrent
+        committer's keys be silently reverted, e.g. a watermark
+        moving backward); pass ``meta`` only to REPLACE wholesale."""
         import shutil
 
         root = IndexManifest._local_root(path)
@@ -297,12 +306,18 @@ class IndexManifest:
             else:
                 for v, files in moved.items():
                     parts.setdefault(v, []).extend(files)
+            if meta is not None and meta_update is not None:
+                raise ValueError(
+                    "commit_staged: pass meta (replace) OR meta_update "
+                    "(merge under the lock), not both"
+                )
+            base_meta = meta if meta is not None else (
+                dict(prev.meta) if prev else {}
+            )
+            if meta_update is not None:
+                base_meta = {**base_meta, **meta_update}
             return IndexManifest._commit_locked(
-                root,
-                key,
-                meta if meta is not None else (prev.meta if prev else {}),
-                parts,
-                None,
+                root, key, base_meta, parts, None
             )
 
     @staticmethod

@@ -307,7 +307,7 @@ def append_ann_index(
         path,
         "bucket",
     )
-    IndexManifest.commit_staged(path, "bucket", stage, meta=m.meta)
+    IndexManifest.commit_staged(path, "bucket", stage)
 
 
 def ann_index_needs_reindex(
@@ -967,7 +967,7 @@ def append_ivf_index(
         path,
         "cell",
     )
-    IndexManifest.commit_staged(path, "cell", stage, meta=m.meta)
+    IndexManifest.commit_staged(path, "cell", stage)
 
 
 def ivf_topk_indexed(
@@ -1209,7 +1209,7 @@ def append_emb_lsh_index(new_embeddings: DataFrame, path: str) -> None:
         path,
         "pb",
     )
-    IndexManifest.commit_staged(path, "pb", stage, meta=m.meta)
+    IndexManifest.commit_staged(path, "pb", stage)
 
 
 def emb_lsh_index_needs_reindex(
@@ -1522,7 +1522,7 @@ def append_pq_index(
         path,
         "shard",
     )
-    IndexManifest.commit_staged(path, "shard", stage, meta=m.meta)
+    IndexManifest.commit_staged(path, "shard", stage)
 
 
 def pq_topk_indexed(
@@ -1698,7 +1698,7 @@ def append_ivfpq_index(
         path,
         "cell",
     )
-    IndexManifest.commit_staged(path, "cell", stage, meta=m.meta)
+    IndexManifest.commit_staged(path, "cell", stage)
 
 
 def ivfpq_topk(

@@ -81,6 +81,11 @@ def hash_stratified_sample(
             for lit in (F.lit(stratum), F.lit(sample_threshold(frac)))
         ]
     )
+    if not fractions:
+        # the legal drop-everything spec (omitted stratum == dropped):
+        # an empty create_map() types as VOID and the lookup fails
+        # analysis — filter FALSE is the spec's meaning
+        return df.filter(F.lit(False))
     h = portable_hash64(F.col(key_col).cast("string"), salt=salt)
     # missing stratum -> NULL threshold -> NULL predicate -> filtered
     return df.filter(h < thresholds[F.col(strata_col)])
@@ -91,7 +96,11 @@ def hash_stratified_sample_sql(
 ) -> str:
     """DuckDB WHERE-clause twin of ``hash_stratified_sample`` (same
     thresholds, same portable hash) for differential tests and
-    cross-engine reproduction."""
+    cross-engine reproduction. An empty ``fractions`` dict is the
+    legal drop-everything spec (omitted stratum == dropped) — it must
+    emit FALSE, not a WHEN-less CASE DuckDB rejects."""
+    if not fractions:
+        return "(FALSE)"
     cases = " ".join(
         f"WHEN {stratum!r} THEN CAST({sample_threshold(frac)} AS BIGINT)"
         for stratum, frac in fractions.items()

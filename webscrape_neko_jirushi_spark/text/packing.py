@@ -51,6 +51,36 @@ from ..functions.hashing import portable_hash64, portable_hash64_sql
 from .analysis import token_count
 
 
+def _hashed_base(documents, id_col, n, salt):
+    """(id, _n, _h) with positive counts only. NULL ids fail loudly
+    IN-PLAN: stream positions are keyed on the id hash, and NULL
+    hashes collide — tied rows share one RANGE-frame cumulative sum
+    (overlapping fragments) in the single-window form and a NULL
+    bucket (driver sort crash / join drop) in the bucketed form;
+    neither is a packing."""
+    null_guard = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "packing: NULL id — offsets are keyed on the id hash, "
+                "and a NULL id cannot hold a deterministic stream "
+                "position"
+            )
+        ),
+    )
+    return (
+        documents.select(F.col(id_col), n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "_h",
+            F.coalesce(
+                null_guard,
+                portable_hash64(F.col(id_col).cast("string"), salt=salt),
+            ),
+        )
+    )
+
+
 def _stream_offsets(
     documents: DataFrame,
     base: DataFrame,
@@ -138,13 +168,7 @@ def pack_sequences(
         if tokens_col is not None
         else token_count(F.col(text_col)).cast("long")
     )
-    base = (
-        documents.select(F.col(id_col), n.alias("_n"))
-        .filter(F.col("_n") > 0)
-        .withColumn(
-            "_h", portable_hash64(F.col(id_col).cast("string"), salt=salt)
-        )
-    )
+    base = _hashed_base(documents, id_col, n, salt)
 
     cum = _stream_offsets(
         documents, base, id_col, buckets, auto_threshold, n_rows
@@ -254,13 +278,7 @@ def assign_shards(
         if tokens_col is not None
         else token_count(F.col(text_col)).cast("long")
     )
-    base = (
-        documents.select(F.col(id_col), n.alias("_n"))
-        .filter(F.col("_n") > 0)
-        .withColumn(
-            "_h", portable_hash64(F.col(id_col).cast("string"), salt=salt)
-        )
-    )
+    base = _hashed_base(documents, id_col, n, salt)
     cum = _stream_offsets(
         documents, base, id_col, buckets, auto_threshold, n_rows
     )

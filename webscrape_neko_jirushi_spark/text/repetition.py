@@ -200,8 +200,14 @@ def gopher_repetition_filter(
     stats = repetition_stats(
         documents, tuple(sorted(max_topgram_frac)), text_col, id_col
     )
-    reason = F.when(F.col("n_words") < min_words, "too_few_words").when(
-        F.col("n_words") > max_words, "too_many_words"
+    # NULL text first (the training_filter convention, analysis.py):
+    # NULL stats make every threshold predicate NULL under three-
+    # valued logic, which would fall through to keep=True — absent
+    # content is rejected a fortiori, never admitted by default
+    reason = (
+        F.when(F.col("n_words").isNull(), "null_text")
+        .when(F.col("n_words") < min_words, "too_few_words")
+        .when(F.col("n_words") > max_words, "too_many_words")
     )
     reason = reason.when(
         F.col("dup_word_frac") > float(max_dup_word_frac), "dup_words"
