@@ -145,14 +145,16 @@ def test_validation(spark, edges_df):
     bad = spark.createDataFrame(
         [("a", None), ("a", "b")], "src string, dst string"
     )
-    with pytest.raises(ValueError, match="NULL"):
+    # in-plan raise (fires during the one checkpoint scan — no
+    # separate eager count job over an expensive upstream)
+    with pytest.raises(Exception, match="NULL src/dst"):
         graph.pagerank(bad, n_iters=1)
     # NULL SRC would vanish in the out_deg equi-join before a
     # post-join guard could see it — must still raise
     bad_src = spark.createDataFrame(
         [(None, "b"), ("a", "b")], "src string, dst string"
     )
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL src/dst"):
         graph.pagerank(bad_src, n_iters=1)
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):

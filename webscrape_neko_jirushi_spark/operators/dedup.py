@@ -244,18 +244,22 @@ def _capped_incremental_pairs(
         "left_semi",
     ).unionByName(delta.select(id_col, *bucket_cols))
     allp = bucket_pairs(members, id_col, list(bucket_cols), max_bucket)
+    # delta-touch filter as ONE pass over allp (two marker left joins
+    # + a disjunction filter): a union of two semi-joins would execute
+    # the capped self-join subtree — the dominant cost — twice
     dids = delta.select(id_col).distinct()
-    on_a = allp.join(
-        F.broadcast(dids.select(F.col(id_col).alias("id_a"))),
-        "id_a",
-        "left_semi",
+    da = dids.select(F.col(id_col).alias("id_a")).withColumn(
+        "_ha", F.lit(True)
     )
-    on_b = allp.join(
-        F.broadcast(dids.select(F.col(id_col).alias("id_b"))),
-        "id_b",
-        "left_semi",
+    db = dids.select(F.col(id_col).alias("id_b")).withColumn(
+        "_hb", F.lit(True)
     )
-    return on_a.unionByName(on_b).distinct()
+    return (
+        allp.join(F.broadcast(da), "id_a", "left")
+        .join(F.broadcast(db), "id_b", "left")
+        .filter(F.col("_ha").isNotNull() | F.col("_hb").isNotNull())
+        .select("id_a", "id_b")
+    )
 
 
 def banded_minhash(

@@ -66,17 +66,28 @@ def pagerank(
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
 
+    # NULL endpoints raise IN-PLAN, fused into the columns BEFORE the
+    # out_deg equi-join (a NULL src never equi-matches, so a post-join
+    # check would look at a table the offending edges have already
+    # silently vanished from) — and evaluated during the ONE eager
+    # checkpoint scan, not a separate eager count job that would
+    # re-execute an expensive upstream DAG a second time
+    def _req(col_name: str):
+        return F.coalesce(
+            F.when(
+                F.col(col_name).isNull(),
+                F.raise_error(
+                    F.lit("pagerank: NULL src/dst endpoint in edge list")
+                ),
+            ),
+            F.col(col_name),
+        )
+
     e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        _req(src_col).alias("src"), _req(dst_col).alias("dst")
     )
     if dedup_edges:
         e = e.dropDuplicates(["src", "dst"])
-    # NULL guard BEFORE the out_deg equi-join: a NULL src never
-    # equi-matches, so a post-join check would look at a table the
-    # offending edges have already silently vanished from — the exact
-    # silent drop this guard exists to reject
-    if e.filter(F.col("src").isNull() | F.col("dst").isNull()).limit(1).count():
-        raise ValueError("pagerank: NULL src/dst endpoint in edge list")
     # one materialization of the (edge x out-degree) table: every
     # iteration joins against THIS, never the upstream DAG again
     out_deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))

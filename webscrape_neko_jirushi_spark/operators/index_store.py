@@ -264,6 +264,14 @@ class IndexManifest:
         moving backward); pass ``meta`` only to REPLACE wholesale."""
         import shutil
 
+        if meta is not None and meta_update is not None:
+            # validate BEFORE any file moves: raising after the stage
+            # is renamed into live dirs and rmtree'd would destroy the
+            # append on a pure argument error
+            raise ValueError(
+                "commit_staged: pass meta (replace) OR meta_update "
+                "(merge under the lock), not both"
+            )
         root = IndexManifest._local_root(path)
         stage = Path(stage)
         with _commit_lock(root):
@@ -306,11 +314,6 @@ class IndexManifest:
             else:
                 for v, files in moved.items():
                     parts.setdefault(v, []).extend(files)
-            if meta is not None and meta_update is not None:
-                raise ValueError(
-                    "commit_staged: pass meta (replace) OR meta_update "
-                    "(merge under the lock), not both"
-                )
             base_meta = meta if meta is not None else (
                 dict(prev.meta) if prev else {}
             )
@@ -506,11 +509,18 @@ class IndexManifest:
             # discipline): a task writing deep inside _temporary does
             # not bump the top dir's mtime, so judging by d.stat()
             # alone would delete the staging of any write merely
-            # RUNNING longer than the retention window, mid-job
-            return max(
-                (f.stat().st_mtime for f in p.rglob("*") if f.is_file()),
-                default=p.stat().st_mtime,
-            )
+            # RUNNING longer than the retention window, mid-job.
+            # A file vanishing between rglob and stat means a LIVE
+            # writer is renaming files out right now — count it as
+            # brand-new (tree active), never crash the vacuum on it.
+            newest = p.stat().st_mtime
+            for f in p.rglob("*"):
+                try:
+                    if f.is_file():
+                        newest = max(newest, f.stat().st_mtime)
+                except OSError:
+                    newest = time.time()
+            return newest
 
         for d in sorted(root.iterdir()):
             if d.name == "_temporary" and d.is_dir():

@@ -556,11 +556,23 @@ def ivf_assign(
     without it the ANSI expression raises DIVIDE_BY_ZERO while the
     pandas path assigns cell 0, so the two assigners
     ``ivf_train_centroids`` auto-selects between would crash-or-
-    diverge depending only on n_cells. The coalesce additionally
-    keeps a NULL embedding out of a NULL cell (which training would
-    use as a list index)."""
+    diverge depending only on n_cells. A NULL embedding raises
+    IN-PLAN (the repo's invalid-key convention): silently filing it
+    in cell 0 would train on and index a vector that cannot be
+    scored — run the X85 embedding_quality_report gate first."""
+    null_guard = F.when(
+        F.col(vec_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "ivf_assign: NULL embedding — clean the corpus first "
+                "(X85 embedding_quality_report is the gate)"
+            )
+        ),
+    )
     vn = _norm(F.col(vec_col))
-    vn1 = F.when(vn == 0.0, F.lit(1.0)).otherwise(vn)
+    vn1 = F.coalesce(
+        null_guard, F.when(vn == 0.0, F.lit(1.0)).otherwise(vn)
+    )
 
     def _score(c: list[float]):
         q = F.array(*[F.lit(float(x)) for x in c])
@@ -572,7 +584,7 @@ def ivf_assign(
         F.col(vec_col),
         F.array(
             *[
-                F.coalesce(F.round(_score(c), 9), F.lit(0.0)).alias(f"c{i}")
+                F.round(_score(c), 9).alias(f"c{i}")
                 for i, c in enumerate(centroids)
             ]
         ).alias("scores"),

@@ -82,10 +82,15 @@ def _checked_requests(requests: DataFrame) -> DataFrame:
 
 
 def _doc_side(docs: DataFrame, doc_col: str, url_col: str) -> DataFrame:
+    # hosts compare LOWERCASED on both sides (RFC 3986: host is
+    # case-insensitive) — 'Shop.Example' must not dodge a demand for
+    # shop.example. Paths stay case-sensitive (they are, per the RFC),
+    # so prefix keys should carry the corpus's canonical scheme/host
+    # casing (functions/urls.canonicalize_url lowercases both).
     return docs.select(
         F.col(doc_col).alias("doc_id"),
         F.col(url_col).alias("_url"),
-        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("_host"),
+        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)).alias("_host"),
     )
 
 
@@ -109,13 +114,14 @@ def match_takedowns(
     )
     by_host = d.join(
         F.broadcast(reqs.filter(F.col("kind") == "host")),
-        d["_host"] == F.regexp_extract(F.col("key"), HOST_KEY_RE, 1),
+        d["_host"]
+        == F.lower(F.regexp_extract(F.col("key"), HOST_KEY_RE, 1)),
     )
     pre = reqs.filter(F.col("kind") == "prefix").select(
         "request_id",
         "kind",
         "key",
-        F.regexp_extract("key", HOST_RE, 1).alias("_khost"),
+        F.lower(F.regexp_extract("key", HOST_RE, 1)).alias("_khost"),
     )
     by_prefix = d.join(
         F.broadcast(pre),
@@ -379,7 +385,7 @@ def _match_ctes(
     ),
     td_docs AS (
       SELECT {doc_col} AS doc_id, {url_col} AS url,
-             regexp_extract({url_col}, '{HOST_RE}', 1) AS host
+             lower(regexp_extract({url_col}, '{HOST_RE}', 1)) AS host
       FROM {docs_sql}
     ),
     td_matches AS (
@@ -389,12 +395,13 @@ def _match_ctes(
       UNION ALL
       SELECT r.request_id, d.doc_id
       FROM td_docs d JOIN td_req r
-        ON r.kind = 'host' AND d.host = regexp_extract(r.key, '{HOST_KEY_RE}', 1)
+        ON r.kind = 'host'
+       AND d.host = lower(regexp_extract(r.key, '{HOST_KEY_RE}', 1))
       UNION ALL
       SELECT r.request_id, d.doc_id
       FROM td_docs d JOIN td_req r
         ON r.kind = 'prefix'
-       AND d.host = regexp_extract(r.key, '{HOST_RE}', 1)
+       AND d.host = lower(regexp_extract(r.key, '{HOST_RE}', 1))
        AND starts_with(d.url, r.key)
     )"""
 
