@@ -30,6 +30,7 @@ from webscrape_neko_jirushi_spark.functions.urls import (
     url_interest_predicate,
 )
 from webscrape_neko_jirushi_spark.crawl import revisit, traps
+from webscrape_neko_jirushi_spark.operators.fanout import fan_out, scan_splits
 from webscrape_neko_jirushi_spark.operators import (
     anchors,
     cleaning,
@@ -86,6 +87,20 @@ def q(name: str, sql: str | None = None):
 
 def _images(spark, sf_dir):
     return images_analog(load(spark, sf_dir, "lineitem"))
+
+
+def _images_fanned(spark, sf_dir, key: str):
+    """The image analog re-spread over the session parallelism, keyed
+    on the consumer's own shuffle key (guide §2.4: the repartition
+    exchange is then REUSED by the window/groupBy above it — exchange
+    count unchanged, map work parallel). The sf lineitem file is a
+    single row group, i.e. a 1-task scan; no-op once the scan
+    over-splits (see fanout.fan_out)."""
+    return fan_out(
+        _images(spark, sf_dir),
+        key,
+        splits=scan_splits(spark, f"{sf_dir}/lineitem.parquet"),
+    )
 
 
 # ===========================================================================
@@ -301,12 +316,24 @@ def q_data_images_join(spark, sf_dir):
     small side broadcast."""
     cats = cat_info_analog(load(spark, sf_dir, "customer"))
     imgs = _images(spark, sf_dir)
-    joined = F.broadcast(cats).join(
-        imgs,
-        imgs.doc_id == F.concat(F.lit("cat_"), (cats.cat_id % 500).cast("string")),
+    # aggregate the big side BEFORE the join (guide §2.3), then
+    # broadcast the tiny per-doc count table as the BUILD (non-
+    # preserved) side of the left join. The previous form hinted
+    # broadcast on the PRESERVED side of a left-outer join — a build
+    # side Spark cannot use (HintErrorLogger dropped it silently,
+    # VERDICT r5 #1) — and so shuffled the full 600k-row image analog
+    # against ~15k cats and aggregated the multiplied join output.
+    # sum(coalesce(n, 0)) per cat row == count(image_idx) over the
+    # row-level join for any cat_id multiplicity.
+    counts = imgs.groupBy("doc_id").agg(F.count("image_idx").alias("_n"))
+    joined = cats.join(
+        F.broadcast(counts),
+        counts.doc_id == F.concat(F.lit("cat_"), (cats.cat_id % 500).cast("string")),
         "left",
     )
-    return joined.groupBy("cat_id").agg(F.count("image_idx").alias("n_images"))
+    return joined.groupBy("cat_id").agg(
+        F.sum(F.coalesce("_n", F.lit(0))).alias("n_images")
+    )
 
 
 # ===========================================================================
@@ -325,10 +352,28 @@ def q_data_images_join(spark, sf_dir):
 )
 def q_keep_first_dedup(spark, sf_dir):
     """W1/A8: cross-group MD5 dedup, keep-first with deterministic order
-    (aggressive_cleaning.py:186-197)."""
-    return dedup.exact_dedup(
-        _images(spark, sf_dir), "md5", ["doc_id", "image_idx", "src_key"]
-    ).select("doc_id", "image_idx", "md5")
+    (aggressive_cleaning.py:186-197).
+
+    r6 form: keep-first == argmin of the (total) order tuple, so the
+    window (`dedup.exact_dedup`, which stays the engine operator for
+    whole-row survivors) reduces to `min(struct(order_cols))` per hash
+    — a hash aggregate with map-side partial aggregation (guide §2.3
+    "aggregate before you shuffle"): each task ships one candidate row
+    per md5 group instead of every row through the window sort.
+    Identical rows out: struct ordering is lexicographic and
+    (doc_id, image_idx, src_key) is row-unique. Fanned on the group
+    key: the repartition exchange doubles as the aggregation's own
+    shuffle."""
+    return (
+        _images_fanned(spark, sf_dir, "md5")
+        .groupBy("md5")
+        .agg(F.min(F.struct("doc_id", "image_idx", "src_key")).alias("_first"))
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.image_idx").alias("image_idx"),
+            "md5",
+        )
+    )
 
 
 @q(
@@ -361,9 +406,11 @@ def q_duplicate_groups(spark, sf_dir):
 )
 def q_ordinal_rename(spark, sf_dir):
     """W2/P10: per-group ordinal renaming (reorganize_dataset.py:100-105);
-    src_key makes the discovery-order tie-break total."""
+    src_key makes the discovery-order tie-break total. Fanned on the
+    window key: the repartition exchange doubles as the window's own
+    shuffle."""
     return reorganize.ordinal_rename(
-        _images(spark, sf_dir), order_col=["image_idx", "src_key"]
+        _images_fanned(spark, sf_dir, "doc_id"), order_col=["image_idx", "src_key"]
     ).select("doc_id", "image_idx", "new_name")
 
 
@@ -1570,7 +1617,20 @@ def _corpus(spark, sf_dir):
         (F.col("doc_id") + 2 * _DUP_OFF).alias("doc_id"),
         F.concat("text", F.lit(" extra tail token")).alias("text"),
     )
-    return d.unionByName(exact).unionByName(near)
+    c = d.unionByName(exact).unionByName(near)
+    # one hash repartition on doc_id right after the union: the sf
+    # documents file is a single row group (1-task scan), so every
+    # per-doc pipeline above this corpus — shingling, MinHash md5,
+    # SimHash token hashing — would otherwise run single-threaded on
+    # local[N]. Keyed on doc_id the exchange is REUSED by downstream
+    # groupBy/window/distinct on the id (guide §2.4); no-op at scale
+    # (see fanout.fan_out). Measured r6: simhash signature pass
+    # 1.8 s -> 1.3 s, minhash map stage ~9x.
+    return fan_out(
+        c,
+        "doc_id",
+        splits=3 * scan_splits(spark, f"{sf_dir}/documents.parquet"),
+    )
 
 
 @q(
@@ -1812,8 +1872,15 @@ _SIMHASH_SQL = f"""list_aggregate(list_transform(range(0, 60), i ->
 )
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (16 portable hash functions over word
-    5-shingles) — builtin HOFs only."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    5-shingles) — builtin HOFs only. Fanned out first: the plan is
+    pure map-side, so on the single-row-group sf file it would
+    otherwise run as ONE task (r6 measured 3.7 s -> 0.4 s on
+    local[32])."""
+    d = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        splits=scan_splits(spark, f"{sf_dir}/documents.parquet"),
+    )
     return dedup.minhash_signatures(d, "text", "doc_id", _N_MINHASH, _K_SHINGLE)
 
 
@@ -1893,21 +1960,27 @@ _NGRAM_PAIRS_SQL = f"""
 
 
 def _ngram_pairs(spark, sf_dir):
+    # One shingling pass feeds BOTH stages (r6): the checkpointed
+    # distinct-shingle SETS drive the MinHash signatures (min over
+    # distinct == min over all) AND the exact verify, which intersects
+    # the per-doc arrays per candidate pair (codegen array_intersect)
+    # instead of re-exploding shingle rows through a distinct + two
+    # joins — 5 exchanges -> 2 on the verify side, identical values
+    # (see ngram_jaccard_from_sets). broadcast_sets: the sf corpora
+    # are the known-small regime (same opt-in contract as
+    # materialize=True). Measured r6: 10.2 s -> ~3 s end to end.
     c = _corpus(spark, sf_dir)
-    sigs = dedup.minhash_signatures(c, "text", "doc_id", _N_MINHASH, _K_SHINGLE)
+    sets = dedup.shingle_sets(c, "text", "doc_id", _K_SHINGLE).localCheckpoint(
+        eager=True
+    )
+    sigs = dedup.minhash_signatures_from_shingles(sets, "doc_id", _N_MINHASH)
     # materialize: sf corpora are in the broadcast regime (r5 A/B —
     # banded upstream executes once, join strategy unchanged)
     cands = dedup.lsh_candidate_pairs(
         sigs, "doc_id", _N_MINHASH, 4, materialize=True
     )
-    # restrict_candidates pinned False: the sf corpora are DENSE (a
-    # planted dup per doc — candidate fraction near 1), the regime
-    # where the below-explode restriction measures ~40% slower while
-    # doing no extra work (ngram_jaccard_pairs docstring), and pinning
-    # also skips the auto-gate's construction-time count probe
-    return dedup.ngram_jaccard_pairs(
-        c, "text", "doc_id", _K_SHINGLE, 0.5, candidates=cands,
-        restrict_candidates=False,
+    return dedup.ngram_jaccard_from_sets(
+        sets, cands, "doc_id", 0.5, broadcast_sets=True
     )
 
 
@@ -2070,8 +2143,11 @@ def q_simhash_near_dups(spark, sf_dir):
     as the brute-force join the oracle runs, with no cartesian product
     in the physical plan."""
     c = dedup.simhash_signatures(_corpus(spark, sf_dir), "text", "doc_id")
+    # materialize: the 61-aggregate signature pass otherwise executes
+    # once per self-join side (0 ReusedExchange), and the hamming
+    # verify now runs inside the band join (r6: 6.1 s -> ~2.4 s)
     return dedup.simhash_banded_pairs(
-        c, "doc_id", "simhash", max_hamming=6, n_bits=60
+        c, "doc_id", "simhash", max_hamming=6, n_bits=60, materialize=True
     )
 
 

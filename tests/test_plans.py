@@ -151,6 +151,22 @@ def test_no_cartesian_product_in_any_query_plan(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_data_images_join_broadcasts_small_side(spark):
+    """VERDICT r5 #1: the J5 query must actually plan a broadcast of
+    the small side. The old form hinted the PRESERVED side of a
+    left-outer join (a build side Spark cannot use — hint silently
+    dropped, shuffle join at scale); the r6 form pre-aggregates the
+    image side to per-doc counts and broadcasts THAT as the build
+    side. Gate: a BroadcastHashJoin, and no sort-merge join of the
+    raw image analog."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["data_images_join"](spark, SF)
+    plan = P.physical_plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_agg_is_partial_final(spark):
     """Hash aggregation splits map-side partial + final (one shuffle)."""
     li = spark.read.parquet(f"{SF}/lineitem.parquet")

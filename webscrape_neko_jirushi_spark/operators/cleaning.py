@@ -86,9 +86,27 @@ def advanced_cascade(images: DataFrame) -> DataFrame:
         .when(suspicious_filename(F.col("filename")), "pattern")
         .when(reason.isNotNull(), "dimension")
     )
+    # keep as a standalone boolean (NOT reason.isNull()): identical
+    # truth table — a CASE chain yields NULL iff no branch is TRUE, and
+    # `~coalesce(any_cond, false)` is true in exactly that case — but
+    # it lets Catalyst prune the reason/category STRING construction
+    # (concat per row) out of consumers that only aggregate `keep`
+    # (cleaning_stats), which `isnull(<string CASE>)` pins in the plan.
+    removed = (
+        size.isin(ADV_SUSPICIOUS_SIZES)
+        | (size < ADV_MIN_FILE_SIZE)
+        | suspicious_filename(F.col("filename"))
+        | (w < ADV_MIN_DIM)
+        | (h < ADV_MIN_DIM)
+        | (w > ADV_MAX_DIM)
+        | (h > ADV_MAX_DIM)
+        | (aspect < ADV_MIN_ASPECT)
+        | (aspect > ADV_MAX_ASPECT)
+        | (F.col("mode").isin("RGBA", "LA") & (F.col("alpha_max") < 50))
+    )
     return images.withColumn("reason", reason).withColumn(
         "reason_category", category
-    ).withColumn("keep", reason.isNull())
+    ).withColumn("keep", ~F.coalesce(removed, F.lit(False)))
 
 
 def aggressive_cascade(images: DataFrame) -> DataFrame:
@@ -137,9 +155,23 @@ def aggressive_cascade(images: DataFrame) -> DataFrame:
             "file_size",
         ).when(reason.isNotNull(), "content")
     )
+    # standalone boolean keep — see advanced_cascade for why
+    removed = (
+        (size < AGG_MIN_FILE_SIZE)
+        | (size > AGG_MAX_FILE_SIZE)
+        | size.isin(AGG_PROBLEMATIC_SIZES)
+        | (w < AGG_MIN_DIM)
+        | (h < AGG_MIN_DIM)
+        | (w > AGG_MAX_DIM)
+        | (h > AGG_MAX_DIM)
+        | (aspect < AGG_MIN_ASPECT)
+        | (aspect > AGG_MAX_ASPECT)
+        | (F.col("mode").isin("RGBA", "LA") & (F.col("alpha_max") < 50))
+        | (F.col("top_color_ratio") > 0.8)
+    )
     return images.withColumn("reason", reason).withColumn(
         "reason_category", category
-    ).withColumn("keep", reason.isNull())
+    ).withColumn("keep", ~F.coalesce(removed, F.lit(False)))
 
 
 def heuristic_keep_score(images: DataFrame) -> DataFrame:

@@ -72,6 +72,52 @@ def shingles(text_col, k: int = 5):
     )
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Per-doc DISTINCT shingle sets as one array column:
+    ``(id, shs array<string>, n_sh)``. The shared upstream of the exact
+    verify family — one shingling pass feeds BOTH the MinHash
+    signatures (min over distinct shingles == min over all shingles;
+    duplicates cannot change a min) and the array-intersect verify
+    (:func:`ngram_jaccard_from_sets`), where the row-explode form
+    computes shingles once per consumer."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("shs"),
+    ).withColumn("n_sh", F.size("shs"))
+
+
+def minhash_signatures_from_shingles(
+    sets: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    shingles_col: str = "shs",
+) -> DataFrame:
+    """:func:`minhash_signatures` over a pre-shingled table (see
+    :func:`shingle_sets`) — identical signature values, one shingling
+    pass shared with the verify stage instead of recomputed."""
+
+    def _h12(s):
+        m = F.md5(s.cast("binary"))
+        return F.struct(
+            F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 13, 12), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+            .alias("h2"),
+        )
+
+    hs = F.transform(F.col(shingles_col), _h12).alias("hs")
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: h["h1"] + F.lit(i) * h["h2"])
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sets.select(F.col(id_col), hs).select(F.col(id_col), *sig_cols)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 16, k: int = 5
 ) -> DataFrame:
@@ -735,6 +781,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_from_sets(
+    sets: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    min_jaccard: float = 0.5,
+    broadcast_sets: bool = False,
+) -> DataFrame:
+    """Candidate-pair exact Jaccard verify over pre-built DISTINCT
+    shingle sets (:func:`shingle_sets`): hydrate each candidate pair
+    with its two shingle ARRAYS (two equi-joins by id) and intersect
+    per pair with the codegen builtin ``array_intersect`` —
+    |A∩B| / (|A|+|B|-|A∩B|), identical values to the explode/self-join
+    form in :func:`ngram_jaccard_pairs` (``array_intersect``
+    deduplicates, the arrays already are distinct, and the division is
+    the same long/long -> double).
+
+    WHY this form for candidate-driven verifies: the explode form
+    shuffles every candidate doc's shingle ROWS once per join stage
+    (explode -> distinct -> join by id -> join by (id, shingle) ->
+    count), five exchanges deep; this form moves each doc's set ONCE
+    per side as a single array cell and does the intersection
+    in-task — per-pair cost O(|A|+|B|) either way, but with two
+    exchanges instead of five and no shingle-row blowup between them.
+    The explode form remains the right shape WITHOUT candidates
+    (its shingle equi-join discovers pairs; arrays cannot).
+
+    ``broadcast_sets=True`` hints both hydration joins to broadcast
+    the set table — for the known-small regime (sets fit executors),
+    same opt-in contract as ``bucket_pairs(materialize=True)``; the
+    default shuffles candidates by id, which scales with the corpus."""
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shs").alias("_sh_a"),
+        F.col("n_sh").alias("_n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shs").alias("_sh_b"),
+        F.col("n_sh").alias("_n_b"),
+    )
+    if broadcast_sets:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return (
+        candidates.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("_n_a") + F.col("_n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -845,10 +949,18 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     tau: float = 0.95,
     candidates: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Cosine >= tau pairs. Brute-force cross join at small scale;
     at 100 TB pre-bucket with ``similarity.lsh_buckets`` and pass the
-    bucket pairs as ``candidates``."""
+    bucket pairs as ``candidates``.
+
+    ``materialize=True`` (candidate path only) localCheckpoints the
+    normed vector table — it is consumed by BOTH hydration joins, and
+    lazily each join side re-derives the whole corpus pipeline — and
+    broadcast-hints the two join builds (same known-small opt-in
+    contract as ``bucket_pairs``: safe while the vector table fits the
+    executors; the default shuffle join scales)."""
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -859,6 +971,8 @@ def embedding_near_dups(
     e = embeddings.select(
         F.col(id_col), F.col(vec_col), norm.alias("nrm")
     )
+    if candidates is not None and materialize:
+        e = e.localCheckpoint(eager=True)
     if candidates is not None:
         # Candidate-driven verify: hydrate both sides of each candidate
         # pair with two equi-joins — the quadratic pair space never
@@ -874,6 +988,8 @@ def embedding_near_dups(
             F.col(vec_col).alias("_vec_b"),
             F.col("nrm").alias("_nrm_b"),
         )
+        if materialize:
+            ea, eb = F.broadcast(ea), F.broadcast(eb)
         pairs = (
             candidates.select("id_a", "id_b").join(ea, "id_a").join(eb, "id_b")
         )
@@ -990,18 +1106,38 @@ def simhash_banded_pairs(
     sim_col: str = "simhash",
     max_hamming: int = 6,
     n_bits: int = 60,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact Hamming-ball pair search WITHOUT a cartesian product.
 
     Pigeonhole: split the ``n_bits`` signature into ``max_hamming + 1``
     contiguous bands — any pair within ``max_hamming`` bit flips agrees
     exactly on at least one band. Explode (band, chunk), equi-join on it
-    (shuffle-hash/sort-merge, AQE-skew-safe), then verify
-    ``bit_count(xor) <= max_hamming`` on the candidates. The result set
-    is provably identical to the brute-force a x b join.
-    """
+    (shuffle-hash/sort-merge, AQE-skew-safe), with the
+    ``bit_count(xor) <= max_hamming`` verify evaluated INSIDE the join
+    as a residual condition: a band bucket of B mutually-similar docs
+    emits B(B-1)/2 collision probes, and filtering them during the
+    probe (guide §2.3 — shuffle fewer bytes) keeps the non-pair volume
+    out of the downstream distinct exchange entirely (r6 measured:
+    25M probe hits -> 300k rows into distinct on the sf0.1 corpus;
+    the filter is a function of each candidate row alone, so
+    filter-then-distinct == distinct-then-filter). The result set is
+    provably identical to the brute-force a x b join.
+
+    ``materialize=True`` is the same controlled combination as
+    ``bucket_pairs``: localCheckpoint the signature table (the
+    upstream signature aggregation otherwise executes once per join
+    side — 0 ReusedExchange), broadcast-hint the build side, and
+    re-spread the probe side over the session parallelism keyed on
+    the join columns (a checkpointed aggregate output is AQE-coalesced
+    to ~1 partition, which would serialize the probe). Opt-in for the
+    same reason as ``bucket_pairs``: safe while the banded table fits
+    the executors — the regime every sf corpus is in; the lazy form
+    degrades gracefully at 10^9 rows."""
     n_bands = max_hamming + 1
     widths = _band_widths(n_bits, n_bands)
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     chunks = []
     off = 0
     for i, w in enumerate(widths):
@@ -1013,25 +1149,28 @@ def simhash_banded_pairs(
     ).select(id_col, sim_col, "bc.band", "bc.chunk")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    if materialize:
+        a = banded.repartition(
+            banded.sparkSession.sparkContext.defaultParallelism, "band", "chunk"
+        ).alias("a")
+        b = F.broadcast(b)
+    hamming = F.bit_count(
+        F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (hamming <= max_hamming),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{sim_col}").alias("_sim_a"),
-            F.col(f"b.{sim_col}").alias("_sim_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn("hamming", hamming64(F.col("_sim_a"), F.col("_sim_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
