@@ -5847,7 +5847,10 @@ def q_interleaved_near_dups(spark, sf_dir):
     # pinning also skips the auto-gate's count probe (no construction
     # job in a driver query)
     return il_mod.interleaved_near_dups(
-        docs, max_hamming=6, min_media_jaccard=0.5, wide=False
+        docs, max_hamming=6, min_media_jaccard=0.5, wide=False,
+        # r6: checkpoint the signature table — the span-linearization +
+        # signature pipeline otherwise executes once per self-join side
+        materialize=True,
     )
 
 

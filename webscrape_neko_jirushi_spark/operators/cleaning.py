@@ -78,13 +78,28 @@ def advanced_cascade(images: DataFrame) -> DataFrame:
             F.lit("Mostly transparent"),
         )
     )
+    # the last category branch tests the remaining boolean conditions
+    # directly instead of reason.isNotNull() — identical first-match
+    # semantics (rows caught by the first two branches never reach it,
+    # and the CASE skips NULL conditions either way), but consumers
+    # that aggregate only (keep, reason_category) — removal_breakdown —
+    # no longer drag the reason STRING construction into the plan (r6)
     category = (
         F.when(
             size.isin(ADV_SUSPICIOUS_SIZES) | (size < ADV_MIN_FILE_SIZE),
             "file_size",
         )
         .when(suspicious_filename(F.col("filename")), "pattern")
-        .when(reason.isNotNull(), "dimension")
+        .when(
+            (w < ADV_MIN_DIM)
+            | (h < ADV_MIN_DIM)
+            | (w > ADV_MAX_DIM)
+            | (h > ADV_MAX_DIM)
+            | (aspect < ADV_MIN_ASPECT)
+            | (aspect > ADV_MAX_ASPECT)
+            | (F.col("mode").isin("RGBA", "LA") & (F.col("alpha_max") < 50)),
+            "dimension",
+        )
     )
     # keep as a standalone boolean (NOT reason.isNull()): identical
     # truth table — a CASE chain yields NULL iff no branch is TRUE, and
@@ -147,13 +162,24 @@ def aggressive_cascade(images: DataFrame) -> DataFrame:
         )
         .when(F.col("top_color_ratio") > 0.8, F.lit("Too uniform (likely logo/icon)"))
     )
+    # boolean last branch — see advanced_cascade's category note (r6)
     category = (
         F.when(
             (size < AGG_MIN_FILE_SIZE)
             | (size > AGG_MAX_FILE_SIZE)
             | size.isin(AGG_PROBLEMATIC_SIZES),
             "file_size",
-        ).when(reason.isNotNull(), "content")
+        ).when(
+            (w < AGG_MIN_DIM)
+            | (h < AGG_MIN_DIM)
+            | (w > AGG_MAX_DIM)
+            | (h > AGG_MAX_DIM)
+            | (aspect < AGG_MIN_ASPECT)
+            | (aspect > AGG_MAX_ASPECT)
+            | (F.col("mode").isin("RGBA", "LA") & (F.col("alpha_max") < 50))
+            | (F.col("top_color_ratio") > 0.8),
+            "content",
+        )
     )
     # standalone boolean keep — see advanced_cascade for why
     removed = (

@@ -61,10 +61,14 @@ def source_shingle_hashes(
     k_shingle: int = 5,
 ) -> DataFrame:
     """(source, h): distinct 60-bit portable hashes of the word
-    k-shingles of each source's documents."""
-    sh = F.explode(shingles(F.col(text_col), k_shingle)).alias("_sh")
+    k-shingles of each source's documents. The shingle array is built
+    through ``with_shingles`` (words projected before the slice
+    lambda — see ``dedup.shingles``, r6)."""
+    from ..operators.dedup import with_shingles
+
     return (
-        docs.select(F.col(source_col).alias("source"), sh)
+        with_shingles(docs, text_col, source_col, k_shingle)
+        .select(F.col(source_col).alias("source"), F.explode("sh").alias("_sh"))
         .select("source", portable_hash64(F.col("_sh")).alias("h"))
         .distinct()
     )

@@ -55,17 +55,26 @@ def kgram_spans(
     rows. Map-side only."""
     if k < 1:
         raise ValueError(f"kgram_spans: k={k} must be >= 1")
+    # r6: words PROJECTED before the window lambda references them —
+    # inline, every per-element F.slice re-derived the whole split
+    # (interpreted HOFs have no common-subexpression cache) and
+    # InferFiltersFromGenerate cloned the full transform into a
+    # pre-Generate filter. Identical rows (same hash arithmetic).
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
+    base = documents.select(
+        F.col(id_col), F.trim(F.col(text_col)).alias("_t"), words.alias("_w")
+    )
+    w = F.col("_w")
+    n = F.size(w)
     starts = F.when(
-        (F.trim(F.col(text_col)) != "") & (n >= k),
+        (F.col("_t") != "") & (n >= k),
         F.sequence(F.lit(0), n - F.lit(k)),
     ).otherwise(F.array().cast("array<int>"))
     hashes = F.transform(
         starts,
-        lambda s: portable_hash64(F.concat_ws(" ", F.slice(words, s + 1, k))),
+        lambda s: portable_hash64(F.concat_ws(" ", F.slice(w, s + 1, k))),
     )
-    return documents.select(
+    return base.select(
         F.col(id_col), F.posexplode(hashes).alias("pos", "gram_hash")
     )
 
@@ -276,19 +285,29 @@ def remove_dup_substrings(
         F.col("_ivs"),
         F.array().cast("array<struct<span_start:int,span_end:int>>"),
     )
+    # r6: token array, interval array and the kept-filter output are
+    # PROJECTED before being referenced multiple times — inline, the
+    # nested filter/exists ran once per reference (concat_ws + size)
+    # and the split once per reference (interpreted HOF evaluation has
+    # no common-subexpression cache). Identical output columns.
+    staged = joined.select(
+        F.col(id_col), toks.alias("_toks"), ivsc.alias("_ivsc")
+    )
     kept = F.filter(
-        toks,
+        F.col("_toks"),
         lambda x, i: ~F.exists(
-            ivsc,
+            F.col("_ivsc"),
             lambda iv: (i >= iv["span_start"]) & (i < iv["span_end"]),
         ),
     )
-    return joined.select(
+    return staged.select(
+        F.col(id_col), F.col("_toks"), F.col("_ivsc"), kept.alias("_kept")
+    ).select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias(text_col),
-        F.size(toks).alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
-        F.size(ivsc).alias("n_spans_removed"),
+        F.concat_ws(" ", F.col("_kept")).alias(text_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).alias("n_tokens_removed"),
+        F.size("_ivsc").alias("n_spans_removed"),
     )
 
 
