@@ -3856,7 +3856,13 @@ _CLF_CTES = classifier.logreg_sql_ctes(_CLF_DIM, n_iters=_CLF_ITERS, lr=1.0)
 
 
 def _clf_train(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").withColumn(
+    # fanned on the feature groupBy key (r6): the token explode + hash
+    # featurization otherwise runs on the single-row-group scan task
+    d = fan_out(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        splits=scan_splits(spark, f"{sf_dir}/documents.parquet"),
+    ).withColumn(
         "is_en", (F.col("lang") == "en").cast("int")
     )
     feats = classifier.hashed_features(d, dim=_CLF_DIM, label_col="is_en")
@@ -5535,8 +5541,15 @@ def q_winnow_fingerprints_docs(spark, sf_dir):
     selected by ONE window-min over a packed 60-bit (hash, flipped
     pos) int64 (struct-min in a moving frame is not engine-portable;
     integer `div` decode — `/`+cast double-rounds above 2^53). One
-    shuffle, no Python; twin = the same pack/min/decode arithmetic."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffle, no Python; twin = the same pack/min/decode arithmetic.
+    Fanned on the window key (r6): the per-character gram explode and
+    its md5 hashing otherwise run on the single-row-group scan task,
+    and the repartition doubles as the window's own shuffle."""
+    d = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        splits=scan_splits(spark, f"{sf_dir}/documents.parquet"),
+    )
     return winnow_mod.winnow_fingerprints(d, k=8, w=4)
 
 
@@ -5553,8 +5566,13 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     ubiquitous hashes (boilerplate phrases; the X3 recall trade,
     visible in the data: at sf0.1 the cap prunes the vocab-shared
     grams and pair count DROPS vs sf0.01), then one count aggregate;
-    shared >= 3 survives. Cost = sum(bucket^2), never corpus^2."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shared >= 3 survives. Cost = sum(bucket^2), never corpus^2.
+    Fanned on the window key (r6) — see winnow_fingerprints_docs."""
+    d = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        splits=scan_splits(spark, f"{sf_dir}/documents.parquet"),
+    )
     fps = winnow_mod.winnow_fingerprints(d, k=8, w=4)
     return winnow_mod.fingerprint_overlap(fps, min_shared=3, max_bucket=64)
 
@@ -5605,8 +5623,14 @@ def q_source_overlap_sketch(spark, sf_dir):
     at k x tasks x sources rows, never the corpus's distinct-shingle
     count), then per pair the k' = min(k, |union|) union-minima and
     |both| / k'. Deterministic sketch (k-minimum-VALUES, not a
-    sample), so the DuckDB twin matches cell-for-cell."""
-    d = load(spark, sf_dir, "documents").select("source", "text")
+    sample), so the DuckDB twin matches cell-for-cell. Round-robin
+    fan-out (r6): the shingle explode + md5 hashing otherwise runs on
+    the single-row-group scan task; source has only 3 values, so no
+    key qualifies."""
+    d = fan_out(
+        load(spark, sf_dir, "documents").select("source", "text"),
+        splits=scan_splits(spark, f"{sf_dir}/documents.parquet"),
+    )
     sh = ov_mod.source_shingle_hashes(d, k_shingle=5)
     return ov_mod.source_overlap_bottomk(
         ov_mod.bottomk_signatures(sh, k=_OV_K), k=_OV_K
@@ -5637,10 +5661,16 @@ def q_source_overlap_exact(spark, sf_dir):
     ground truth and the small-corpus path: equi-join on h (never
     all-pairs of shingles), |A u B| by inclusion-exclusion from
     broadcast per-source sizes. Pairs with zero intersection don't
-    appear (no join row) — same on both sides."""
-    d = load(spark, sf_dir, "documents").select("source", "text")
+    appear (no join row) — same on both sides. Round-robin fan-out
+    (r6) — see source_overlap_sketch."""
+    d = fan_out(
+        load(spark, sf_dir, "documents").select("source", "text"),
+        splits=scan_splits(spark, f"{sf_dir}/documents.parquet"),
+    )
     return ov_mod.source_overlap_exact(
-        ov_mod.source_shingle_hashes(d, k_shingle=5)
+        ov_mod.source_shingle_hashes(d, k_shingle=5),
+        # r6: the distinct hash set feeds three consumers — known-small
+        materialize=True,
     )
 
 

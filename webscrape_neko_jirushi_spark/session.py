@@ -43,6 +43,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate clones the ENTIRE generator
+        # expression into a `size(e) > 0 AND e IS NOT NULL` filter
+        # below every explode, and filter pushdown then carries that
+        # clone through projections and exchanges down to the scan —
+        # where column-projection fixes no longer apply, so array
+        # builders (shingles, bigrams, k-gram windows) are evaluated
+        # a second time per row WITH the interpreted-HOF per-element
+        # re-derivation this engine's projections exist to avoid
+        # (r6; e.g. source_overlap_exact 5.0 s -> 1.9 s,
+        # containment_pairs 6.1 s -> 1.4 s at sf0.1). The rule's only
+        # benefit is skipping Generate input rows whose array is
+        # empty/NULL — rows that produce zero output either way; no
+        # result changes, and none of this engine's generators feed
+        # from prunable scans. Scale-independent: the clone cost
+        # grows WITH data, so the exclusion matters more at 100 TB,
+        # not less.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

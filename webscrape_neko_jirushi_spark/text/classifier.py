@@ -133,14 +133,28 @@ def train_logreg(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y"))
             .alias("r"),
         )
+        # ONE collect per round (r6): weight gradients per bucket plus
+        # the bias gradient as pseudo-bucket -1 in the same job — the
+        # two-job form paid a full driver-serial scheduling round for a
+        # single scalar. Values identical (same sums, order-free).
         gw_rows = (
             features.join(resid, id_col)
             .groupBy("bucket")
             .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .unionByName(
+                resid.agg(
+                    F.lit(-1).cast("long").alias("bucket"),
+                    F.sum("r").alias("g"),
+                )
+            )
             .collect()
         )
-        gb = resid.agg(F.sum("r")).first()[0]
-        grads = {int(r["bucket"]): float(r["g"]) for r in gw_rows}
+        gb = next(float(r["g"]) for r in gw_rows if int(r["bucket"]) == -1)
+        grads = {
+            int(r["bucket"]): float(r["g"])
+            for r in gw_rows
+            if int(r["bucket"]) >= 0
+        }
         w = [
             w[j] - float(lr) * (grads.get(j, 0.0) / nf + float(l2) * w[j])
             for j in range(dim)

@@ -160,14 +160,25 @@ def bottomk_signatures_sql(source_h_expr: str, k: int = 256) -> str:
     """
 
 
-def source_overlap_bottomk(sigs: DataFrame, k: int = 256) -> DataFrame:
+def source_overlap_bottomk(
+    sigs: DataFrame, k: int = 256, materialize: bool = True
+) -> DataFrame:
     """(source_a, source_b, k_eff, shared_topk, est_jaccard) for every
     unordered source pair, from their bottom-k signatures.
 
     bottom-k'(A u B) for k' = min(k, |sig_a u sig_b|) is exactly the
     k' smallest of the two signatures' union; the estimator counts how
     many of those union-minima both sources contain. Deterministic
-    given the hash — the twin reproduces it bit-for-bit."""
+    given the hash — the twin reproduces it bit-for-bit.
+
+    ``materialize`` (default ON — unlike the corpus-sized opt-ins
+    elsewhere, the input here is SKETCH-sized by construction:
+    <= k rows per source at any corpus scale) localCheckpoints the
+    signature table, which this function consumes FOUR times (both
+    pair sides + both broadcast source lists); lazily each consumer
+    re-executes the whole shingle/hash/prune/rank pipeline (r6)."""
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
     a = sigs.select(F.col("source").alias("source_a"), "h")
     b = sigs.select(F.col("source").alias("source_b"), "h")
     # the source list is sketch-sized: broadcast it so the pair
@@ -237,11 +248,19 @@ def source_overlap_bottomk_sql(sigs_expr: str, k: int = 256) -> str:
 
 def source_overlap_exact(
     source_h: DataFrame,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact pairwise Jaccard over the full distinct shingle-hash sets
     — the estimator's ground truth (tests) and the small-corpus path.
     Equi-join on h (never all-pairs of shingles): |A n B| from the
-    join, |A u B| = |A| + |B| - |A n B|."""
+    join, |A u B| = |A| + |B| - |A n B|.
+
+    ``materialize=True`` localCheckpoints the distinct hash set, which
+    is consumed THREE times (both join sides + sizes) — opt-in: the
+    hash set is corpus-shaped (bounded by distinct shingles, not by
+    k), so the known-small contract of ``bucket_pairs`` applies (r6)."""
+    if materialize:
+        source_h = source_h.localCheckpoint(eager=True)
     sizes = source_h.groupBy("source").agg(F.count("*").alias("n"))
     a = source_h.select(F.col("source").alias("source_a"), "h")
     b = source_h.select(F.col("source").alias("source_b"), "h")
