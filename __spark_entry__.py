@@ -3350,8 +3350,15 @@ def q_anchor_text_summary(spark, sf_dir):
     target the inlink count, distinct-source breadth, and majority
     anchor term (count desc, term asc — the tie-break lives inside a
     min(struct) aggregate, no window over the exploded table). The
-    part dimension is explicitly broadcast into the edge build."""
-    li = load(spark, sf_dir, "lineitem")
+    part dimension is explicitly broadcast into the edge build.
+    Fanned on the aggregation key (r6): the broadcast-probe + concat
+    map side otherwise runs on the single-row-group scan task, and the
+    repartition doubles as the groupBy(dst) shuffle."""
+    li = fan_out(
+        load(spark, sf_dir, "lineitem"),
+        "l_partkey",
+        splits=scan_splits(spark, f"{sf_dir}/lineitem.parquet"),
+    )
     p = load(spark, sf_dir, "part")
     edges = li.join(
         F.broadcast(p), li["l_partkey"] == p["p_partkey"]
@@ -6306,7 +6313,14 @@ _FETCHLOG_SQL = """(
 
 
 def _fetchlog_analog(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    # fanned (r6): the url/digest string construction and the
+    # groupBy(url) partial aggregate otherwise run on the
+    # single-row-group scan task
+    li = fan_out(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        splits=scan_splits(spark, f"{sf_dir}/lineitem.parquet"),
+    )
     page = (F.col("l_orderkey") % 50).cast("string")
     srt = (F.col("l_suppkey") % 3).cast("string")
     sess = (F.col("l_partkey") % 7).cast("string")

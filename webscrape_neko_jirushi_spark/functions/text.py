@@ -28,10 +28,19 @@ CLEANUP_ALLOW_PATTERNS = ["cat", "foster", "pet", "animal", "kitten", "kitty"]
 
 
 def _contains_any(col: Column, patterns: list[str]) -> Column:
-    pred = F.lit(False)
-    for p in patterns:
-        pred = pred | F.lower(col).contains(p)
-    return pred
+    """Any-substring predicate as ONE regex alternation over ONE
+    lowercasing (r6) instead of an N-term Contains chain. Same truth
+    table (patterns are regex-escaped, the match is unanchored). Why it
+    matters: when Catalyst pushes a filter through the projection that
+    builds ``col``, every Contains term gets the column's DEFINING
+    expression substituted in — N lowercases and N string rebuilds per
+    row in the pushed filter. One compiled regex keeps the inlined
+    expression a single evaluation (advanced removal_breakdown
+    4.3 s -> 1.1 s at sf0.1, output parity-checked)."""
+    import re as _re
+
+    rx = "|".join(_re.escape(p) for p in patterns)
+    return F.lower(col).rlike(rx)
 
 
 def suspicious_filename(filename: Column) -> Column:
