@@ -3548,17 +3548,54 @@ def q_boilerplate_detection(spark, sf_dir):
     """,
 )
 def q_boilerplate_strip_stats(spark, sf_dir):
-    """X40: boilerplate stripping (boilerplate.strip_boilerplate) —
-    per host, span counts before and after removing the flagged
-    chrome (anti-join on the constant-size (host, md5) key pair;
-    the chrome key set is tiny, so it broadcasts)."""
+    """X40: boilerplate strip stats — per host, span counts before and
+    after removing the flagged chrome. r6: the operator-composed form
+    (boilerplate_keys + strip_boilerplate + two count passes) executed
+    the span builder FOUR times (per-span agg, per-host agg, anti-join
+    probe, before-count). The stats never need span text — only
+    (host, page_id, md5(text)) — so the query derives everything from
+    ONE checkpointed keyed-proxy table (the guide's decide-on-small-
+    rows pattern: the proxy is 3 narrow columns and stays bounded no
+    matter how large spans grow at corpus scale):
+    - per-host pass fuses n_pages (countDistinct) with the before
+      count (n_spans) in one aggregation;
+    - flagged keys = per-span join per-host with the SAME
+      (page_frac > 0.5 AND n_pages >= 5) predicate boilerplate_keys
+      computes (long/long division is double in both engines);
+    - n_kept = broadcast anti-join of the proxy against the flagged
+      (host, md5) pairs — identical survivors to strip_boilerplate
+      because the anti-join key is exactly (host, md5(text)).
+    Parity with the operator-composed form is pytest-gated
+    (test_r06_optimizations.py::test_boilerplate_strip_stats_parity)."""
     spans = _bp_spans(spark, sf_dir)
-    keys = boilerplate.boilerplate_keys(spans)
-    kept = boilerplate.strip_boilerplate(spans, keys)
-    before = spans.groupBy("host").agg(F.count("*").alias("n_spans"))
-    after = kept.groupBy("host").agg(F.count("*").alias("n_kept"))
+    keyed = spans.select(
+        "host",
+        F.col("page_id").alias("_pg"),
+        F.md5("text").alias("_k"),
+    ).localCheckpoint()
+    per_span = keyed.groupBy("host", "_k").agg(
+        F.countDistinct("_pg").alias("_nps")
+    )
+    per_host = keyed.groupBy("host").agg(
+        F.countDistinct("_pg").alias("_np"),
+        F.count("*").alias("n_spans"),
+    )
+    flagged = (
+        per_span.join(per_host.select("host", "_np"), "host")
+        .filter(
+            (F.col("_nps") / F.col("_np") > F.lit(0.5))
+            & (F.col("_np") >= F.lit(5))
+        )
+        .select("host", "_k")
+    )
+    after = (
+        keyed.join(F.broadcast(flagged), ["host", "_k"], "left_anti")
+        .groupBy("host")
+        .agg(F.count("*").alias("n_kept"))
+    )
     return (
-        before.join(after, "host", "left")
+        per_host.select("host", "n_spans")
+        .join(after, "host", "left")
         .select(
             "host",
             "n_spans",

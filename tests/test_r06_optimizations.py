@@ -148,3 +148,24 @@ def test_scan_splits_estimates_from_filesystem(spark):
     one = scan_splits(spark, f"{SF}/lineitem.parquet")
     assert one == 1  # single small file -> one split
     assert scan_splits(spark, "hdfs://nowhere/tbl.parquet") == 1  # non-local
+
+
+def test_boilerplate_strip_stats_parity(spark):
+    """The keyed-proxy rewrite of q_boilerplate_strip_stats must equal
+    the operator-composed form (boilerplate_keys + strip_boilerplate +
+    two count passes) row for row."""
+    import __spark_entry__ as entry
+    from webscrape_neko_jirushi_spark.text import boilerplate
+
+    spans = entry._bp_spans(spark, SF)
+    keys = boilerplate.boilerplate_keys(spans)
+    kept = boilerplate.strip_boilerplate(spans, keys)
+    before = spans.groupBy("host").agg(F.count("*").alias("n_spans"))
+    after = kept.groupBy("host").agg(F.count("*").alias("n_kept"))
+    composed = before.join(after, "host", "left").select(
+        "host",
+        "n_spans",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+    rewritten = entry.queries()["boilerplate_strip_stats"](spark, SF)
+    assert _rows(rewritten) == _rows(composed)

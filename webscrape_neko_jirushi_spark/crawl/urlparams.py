@@ -145,14 +145,32 @@ def _exploded_pairs(
                 )
             ),
         ).otherwise(F.col("pairs"))
+    # r6: sort ONCE per URL below the explode, remove per pair above it.
+    # array_remove deletes every element equal to `pair`, so
+    # sort-then-remove == remove-then-sort for ANY input (multiset ops
+    # commute, duplicates included) — and EXPLODING the sorted array
+    # makes the Generate node itself depend on `_sp`, so Catalyst
+    # cannot collapse the O(p log p) sort back into the per-pair
+    # residual expression (a plain hoisted projection gets re-inlined).
+    # Element order out of the explode changes, but every consumer
+    # aggregates, and param/value/residual are per-element facts.
     residual = F.concat(
         F.col("base"),
         F.lit("?"),
-        F.array_join(F.array_sort(F.array_remove(F.col("pairs"), pair)), "&"),
+        F.array_join(F.array_remove(F.col("_sp"), pair), "&"),
     )
     return (
         one.select("url", "digest", "base", checked_pairs.alias("pairs"))
-        .select("url", "digest", "base", "pairs", F.explode("pairs").alias("pair"))
+        .select(
+            "url", "digest", "base", F.array_sort(F.col("pairs")).alias("_sp")
+        )
+        .select(
+            "url",
+            "digest",
+            "base",
+            "_sp",
+            F.explode("_sp").alias("pair"),
+        )
         .select(
             "url",
             "digest",
