@@ -145,3 +145,16 @@ def test_duckdb_twin(pages):
         for r in con.execute(stitching.stitch_pages_sql("p")).fetchall()
     )
     assert got_st == want_st
+
+
+def test_null_page_guard(spark):
+    """ADVICE r5: a NULL page orders NULLS FIRST on Spark but NULLS
+    LAST on the DuckDB twin — it must raise in-plan like a duplicate,
+    not quietly stitch in an engine-dependent order."""
+    nul = spark.createDataFrame(
+        [("a", None, "x"), ("a", 2, "y")], "base string, page int, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL page"):
+        stitching.stitch_pages(nul).collect()
+    with pytest.raises(SparkRuntimeException, match="NULL page"):
+        stitching.page_overlaps(nul).collect()

@@ -309,3 +309,14 @@ def test_enforce_takedowns_filters_frontier(spark, reqs):
         frontier, reqs, doc_col="url", url_col="url"
     )
     assert [r["url"] for r in surv.collect()] == ["https://c.example/doc/99"]
+
+
+def test_null_kind_raises(docs, spark):
+    """ADVICE r5: `~isin` alone is NULL (not true) for a NULL kind, so
+    the guard never fired and a NULL-kind request silently matched
+    nothing — the guard must be NULL-safe and raise."""
+    bad = spark.createDataFrame(
+        [(1, None, "x.example")], "request_id long, kind string, key string"
+    )
+    with pytest.raises(SparkRuntimeException, match="unknown request kind"):
+        takedown.match_takedowns(docs, bad).collect()

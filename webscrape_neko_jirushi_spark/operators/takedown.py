@@ -65,12 +65,16 @@ def _checked_requests(requests: DataFrame) -> DataFrame:
     fused into the KIND column — every downstream kind filter
     evaluates the coalesce on every request row, so a misspelled kind
     raises even though no filter would have kept its row."""
+    # NULL-safe: `~isin` alone is NULL (not true) for a NULL kind under
+    # three-valued logic, so a NULL-kind request would silently match
+    # nothing downstream — the exact silently-un-enforced demand this
+    # guard exists to prevent.
     bad = F.when(
-        ~F.col("kind").isin(*_KINDS),
+        F.col("kind").isNull() | ~F.col("kind").isin(*_KINDS),
         F.raise_error(
             F.concat(
                 F.lit("takedown: unknown request kind '"),
-                F.col("kind").cast("string"),
+                F.coalesce(F.col("kind").cast("string"), F.lit("NULL")),
                 F.lit("' for request "),
                 F.col("request_id").cast("string"),
             )

@@ -43,15 +43,20 @@ from pyspark.sql import functions as F
 
 
 def _dup_guard():
+    # NULL page raises too: Spark's window orderBy/array_sort place
+    # NULLs first while the DuckDB twin's LAG/string_agg default to
+    # NULLS LAST, so a NULL page would stitch in a different order on
+    # the two engines instead of failing loudly (the module's lag-order
+    # convention: ambiguity is an error, not a quiet reorder).
     peers = F.count("*").over(Window.partitionBy("base", "page"))
     return F.when(
-        peers > 1,
+        F.col("page").isNull() | (peers > 1),
         F.raise_error(
             F.concat(
-                F.lit("stitching: duplicate page number in chain "),
-                F.col("base").cast("string"),
+                F.lit("stitching: duplicate page number or NULL page in chain "),
+                F.coalesce(F.col("base").cast("string"), F.lit("NULL")),
                 F.lit(" at page "),
-                F.col("page").cast("string"),
+                F.coalesce(F.col("page").cast("string"), F.lit("NULL")),
             )
         ),
     )
